@@ -1,0 +1,156 @@
+"""Top-level decoder: NAL dispatch state machine.
+
+Behavioral equivalent of DecoderLib/DecLib.cpp decode():2632 — parameter-set
+storage/activation, picture lifecycle, per-slice decode, DPB output, and
+decoded-picture-hash verification.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from vtm_tpu.bitstream import reader as nalio
+from vtm_tpu.common.params import PicHeader, SliceHeader
+from vtm_tpu.common.types import ChromaFormat
+from vtm_tpu.decoder import sei as seilib
+from vtm_tpu.decoder import vlc
+from vtm_tpu.utils import pic_hash
+
+
+@dataclass
+class Picture:
+    poc: int
+    planes: list[np.ndarray]  # reconstruction, int32
+    sps_id: int
+    pps_id: int
+    hash_sei: seilib.DecodedPictureHash | None = None
+    slices: list[SliceHeader] = field(default_factory=list)
+    is_irap: bool = False
+    is_reference: bool = True
+    needed_for_output: bool = True
+    # 4x4 motion field etc. added when inter decode lands
+
+
+@dataclass
+class HashResult:
+    poc: int
+    ok: bool
+    computed: bytes
+    expected: bytes
+    hash_type: int
+
+
+class Decoder:
+    """Feed NAL units (or whole Annex-B streams); collect output pictures."""
+
+    def __init__(self):
+        self.psm = vlc.ParameterSetManager()
+        self.ph: PicHeader | None = None
+        self.cur_pic: Picture | None = None
+        self.dpb: list[Picture] = []
+        self.output: list[Picture] = []
+        self.hash_results: list[HashResult] = []
+        self.prev_tid0_poc = 0
+        self.pending_hash_sei: seilib.DecodedPictureHash | None = None
+
+    # -- public API ---------------------------------------------------------
+
+    def decode_stream(self, data: bytes) -> list[Picture]:
+        for ebsp in nalio.split_annexb(data):
+            self.decode_nal(nalio.parse_nal(ebsp))
+        self.finish_picture()
+        self.flush()
+        return self.output
+
+    def decode_nal(self, nal: nalio.NalUnit) -> None:
+        t = nal.nal_unit_type
+        if t == nalio.NAL_SPS:
+            sps = vlc.parse_sps(nal.rbsp)
+            self.psm.sps[sps.sps_id] = sps
+        elif t == nalio.NAL_PPS:
+            pps = vlc.parse_pps(nal.rbsp)
+            self.psm.pps[pps.pps_id] = pps
+        elif t in (nalio.NAL_PREFIX_APS, nalio.NAL_SUFFIX_APS):
+            self.psm.store_aps(vlc.parse_aps(nal.rbsp))
+        elif t == nalio.NAL_PH:
+            self.finish_picture()
+            self.ph = vlc.parse_picture_header(
+                vlc.BitReader(nal.rbsp), self.psm
+            )
+        elif t in nalio.SLICE_NAL_TYPES:
+            self._decode_slice(nal)
+        elif t == nalio.NAL_PREFIX_SEI:
+            for msg in seilib.parse_sei_rbsp(nal.rbsp):
+                if msg.payload_type == seilib.SEI_DECODED_PICTURE_HASH:
+                    self.pending_hash_sei = seilib.parse_decoded_picture_hash(msg.payload)
+        elif t == nalio.NAL_SUFFIX_SEI:
+            for msg in seilib.parse_sei_rbsp(nal.rbsp):
+                if msg.payload_type == seilib.SEI_DECODED_PICTURE_HASH:
+                    if self.cur_pic is not None:
+                        self.cur_pic.hash_sei = seilib.parse_decoded_picture_hash(msg.payload)
+        # AUD/EOS/EOB/VPS/DCI ignored for now
+
+    # -- internals ----------------------------------------------------------
+
+    def _decode_slice(self, nal: nalio.NalUnit) -> None:
+        first_flag = nal.rbsp[0] >> 7  # picture_header_in_slice_header_flag
+        if first_flag:
+            self.finish_picture()
+        sh, ph, r = vlc.parse_slice_header(
+            nal.rbsp, nal.nal_unit_type, nal.temporal_id, self.psm,
+            None if first_flag else self.ph, self.prev_tid0_poc,
+        )
+        self.ph = ph
+        pps = self.psm.pps[ph.pps_id]
+        sps = self.psm.sps[pps.sps_id]
+        if self.cur_pic is None or self.cur_pic.poc != sh.poc:
+            self.finish_picture()
+            fmt = sps.chroma_format
+            shapes = [(pps.pic_height, pps.pic_width)]
+            if fmt != ChromaFormat.YUV400:
+                shapes += [(pps.pic_height >> fmt.scale_y, pps.pic_width >> fmt.scale_x)] * 2
+            self.cur_pic = Picture(
+                poc=sh.poc,
+                planes=[np.zeros(s, dtype=np.int32) for s in shapes],
+                sps_id=sps.sps_id,
+                pps_id=pps.pps_id,
+                is_irap=nal.nal_unit_type in nalio.IRAP_NAL_TYPES,
+            )
+            if self.pending_hash_sei is not None:
+                self.cur_pic.hash_sei = self.pending_hash_sei
+                self.pending_hash_sei = None
+        self.cur_pic.slices.append(sh)
+        if nal.temporal_id == 0 and nal.nal_unit_type not in (
+            nalio.NAL_RASL, nalio.NAL_RADL
+        ):
+            self.prev_tid0_poc = sh.poc
+        # slice data decode
+        from vtm_tpu.decoder.dec_slice import decompress_slice
+
+        decompress_slice(self, sps, pps, ph, sh, r)
+
+    def finish_picture(self) -> None:
+        if self.cur_pic is None:
+            return
+        pic = self.cur_pic
+        self.cur_pic = None
+        # in-loop filters run here once implemented (executeLoopFilters)
+        from vtm_tpu.decoder import filters
+
+        filters.apply_loop_filters(self, pic)
+        if pic.hash_sei is not None:
+            sps = self.psm.sps[pic.sps_id]
+            bds = [sps.bit_depth] * len(pic.planes)
+            fn = pic_hash.HASH_FUNCS[pic.hash_sei.hash_type]
+            computed = fn(pic.planes, bds)
+            self.hash_results.append(
+                HashResult(pic.poc, computed == pic.hash_sei.digest, computed,
+                           pic.hash_sei.digest, pic.hash_sei.hash_type)
+            )
+        self.dpb.append(pic)
+        self.output.append(pic)
+
+    def flush(self) -> None:
+        self.output.sort(key=lambda p: p.poc)
