@@ -1,0 +1,33 @@
+"""Bit-exact decode conformance vs VTM golden streams.
+
+Each stream was encoded by the reference EncoderApp (tools/make_golden.sh)
+with a decoded-picture-hash SEI; we decode and require every picture hash to
+match (the reference's own oracle: DecLib.cpp:751-756).
+"""
+
+import os
+
+import pytest
+
+from vtm_tpu.decoder.declib import Decoder
+
+TD = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata")
+
+STREAMS = [
+    "ai_min_tiny64_qp37",
+    "ai_min_tiny64_qp27",
+    "ai_min_small208_qp32",
+    "ai_dq_tiny64_qp32",
+]
+
+
+@pytest.mark.parametrize("name", STREAMS)
+def test_bit_exact_decode(name):
+    path = os.path.join(TD, f"{name}.bit")
+    if not os.path.exists(path):
+        pytest.skip("golden streams not generated on this machine")
+    dec = Decoder()
+    dec.decode_stream(open(path, "rb").read())
+    assert dec.hash_results, "no picture hashes found"
+    for hr in dec.hash_results:
+        assert hr.ok, f"hash mismatch at POC {hr.poc}"

@@ -1,0 +1,237 @@
+"""Decode-side coding structure.
+
+Array-backed re-design of the reference's CodingStructure (CodingStructure.h:
+71-180): instead of pointer-linked CU/PU/TU pools with sub-structure cloning,
+the decoder keeps plain dataclasses plus per-channel spatial index maps at
+minimum-block granularity (4x4 luma units, 2x2 chroma units) for neighbor
+lookup (getCU/getPU/getCURestricted equivalents).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from vtm_tpu.common.types import ChromaFormat
+
+# pred modes
+MODE_INTER, MODE_INTRA, MODE_IBC, MODE_PLT = 0, 1, 2, 3
+# tree types
+TREE_D, TREE_L, TREE_C = 0, 1, 2
+# mode types
+MODE_TYPE_ALL, MODE_TYPE_INTER, MODE_TYPE_INTRA = 0, 1, 2
+# channel
+CH_L, CH_C = 0, 1
+
+PLANAR_IDX = 0
+DC_IDX = 1
+HOR_IDX = 18
+VER_IDX = 50
+VDIA_IDX = 66
+NUM_LUMA_MODE = 67
+LM_CHROMA_IDX = 67
+MDLM_L_IDX = 68
+MDLM_T_IDX = 69
+DM_CHROMA_IDX = 70
+NUM_CHROMA_MODE = 8
+MTS_DCT2_DCT2, MTS_SKIP, MTS_DST7_DST7, MTS_DCT8_DST7, MTS_DST7_DCT8, MTS_DCT8_DCT8 = 0, 1, 2, 3, 4, 5
+
+
+@dataclass
+class Rect:
+    x: int = 0
+    y: int = 0
+    w: int = 0
+    h: int = 0
+
+    @property
+    def x1(self):
+        return self.x + self.w
+
+    @property
+    def y1(self):
+        return self.y + self.h
+
+    def contains(self, px, py):
+        return self.x <= px < self.x1 and self.y <= py < self.y1
+
+
+@dataclass
+class TU:
+    # per-component rects in component coords; None if not valid
+    blocks: list[Rect | None]
+    cu: "CU"
+    depth: int = 0
+    cbf: list[int] = field(default_factory=lambda: [0, 0, 0])
+    mts_idx: list[int] = field(default_factory=lambda: [0, 0, 0])
+    coeffs: list[np.ndarray | None] = field(default_factory=lambda: [None, None, None])
+    joint_cbcr: int = 0
+    no_residual: bool = False
+    chroma_qp: list[int] = field(default_factory=lambda: [0, 0, 0])
+
+
+@dataclass
+class CU:
+    ch_type: int
+    tree_type: int
+    mode_type: int
+    blocks: list[Rect | None]  # per-component areas (component coords)
+    chroma_format: ChromaFormat
+    pred_mode: int = MODE_INTRA
+    skip: bool = False
+    root_cbf: bool = True
+    qp: int = 0
+    chroma_qp_adj: int = 0
+    qt_depth: int = 0
+    depth: int = 0
+    bdpcm_mode: int = 0
+    bdpcm_mode_chroma: int = 0
+    intra_dir: list[int] = field(default_factory=lambda: [PLANAR_IDX, PLANAR_IDX])
+    mip_flag: bool = False
+    mip_transposed: bool = False
+    multi_ref_idx: int = 0
+    isp_mode: int = 0
+    lfnst_idx: int = 0
+    color_transform: bool = False
+    sbt_info: int = 0
+    tile_idx: int = 0
+    slice_idx: int = 0
+    sep_tree: bool = False  # treeType != TREE_D || CS::isDualITree
+    tus: list[TU] = field(default_factory=list)
+
+    @property
+    def lx(self):
+        """luma-coords x (blocks may lack Y for dual-tree chroma)."""
+        b = self.blocks[0]
+        if b is not None:
+            return b.x
+        return self.blocks[1].x << self.chroma_format.scale_x
+
+    @property
+    def ly(self):
+        b = self.blocks[0]
+        if b is not None:
+            return b.y
+        return self.blocks[1].y << self.chroma_format.scale_y
+
+    @property
+    def lwidth(self):
+        b = self.blocks[0]
+        if b is not None:
+            return b.w
+        return self.blocks[1].w << self.chroma_format.scale_x
+
+    @property
+    def lheight(self):
+        b = self.blocks[0]
+        if b is not None:
+            return b.h
+        return self.blocks[1].h << self.chroma_format.scale_y
+
+    @property
+    def is_sep_tree(self) -> bool:
+        return self.sep_tree or self.tree_type != TREE_D
+
+
+class DecCodingStructure:
+    """Per-picture CU container + spatial index."""
+
+    def __init__(self, sps, pps, ph, sh, slice_idx_of_ctu: np.ndarray):
+        self.sps = sps
+        self.pps = pps
+        self.ph = ph
+        self.sh = sh
+        self.chroma_format = sps.chroma_format
+        w, h = pps.pic_width, pps.pic_height
+        self.pic_w, self.pic_h = w, h
+        self.cus: list[CU] = []
+        # luma index at 4x4, chroma at 2x2 (chroma coords)
+        self.map_l = np.full(((h + 3) >> 2, (w + 3) >> 2), -1, dtype=np.int32)
+        cw = w >> self.chroma_format.scale_x if self.chroma_format != ChromaFormat.YUV400 else 0
+        ch = h >> self.chroma_format.scale_y if self.chroma_format != ChromaFormat.YUV400 else 0
+        self.map_c = (
+            np.full(((ch + 1) >> 1, (cw + 1) >> 1), -1, dtype=np.int32)
+            if cw else None
+        )
+        # per-CTU tile index and slice index (raster CTU addr)
+        self.ctu_size = sps.ctu_size
+        self.pic_w_ctu = pps.pic_width_in_ctu(sps.ctu_size)
+        self.pic_h_ctu = pps.pic_height_in_ctu(sps.ctu_size)
+        self.slice_idx_of_ctu = slice_idx_of_ctu  # filled by the slice loop
+        self.cur_slice_idx = 0
+        # reconstruction planes (int32), borrowed from Picture
+        self.planes: list[np.ndarray] = []
+        # QP maps at 4x4 luma granularity for deblocking later
+        self.qp_map_l = np.zeros_like(self.map_l)
+        self.qp_map_c: np.ndarray | None = (
+            np.zeros_like(self.map_c) if self.map_c is not None else None
+        )
+
+    def tile_idx_at(self, lx: int, ly: int) -> int:
+        cx = min(lx >> self.sps.log2_ctu_size, self.pic_w_ctu - 1)
+        cy = min(ly >> self.sps.log2_ctu_size, self.pic_h_ctu - 1)
+        pps = self.pps
+        return (
+            pps.ctu_to_tile_row[cy] * pps.num_tile_cols + pps.ctu_to_tile_col[cx]
+        )
+
+    def slice_idx_at(self, lx: int, ly: int) -> int:
+        cx = lx >> self.sps.log2_ctu_size
+        cy = ly >> self.sps.log2_ctu_size
+        return int(self.slice_idx_of_ctu[cy * self.pic_w_ctu + cx])
+
+    def add_cu(self, cu: CU) -> CU:
+        idx = len(self.cus)
+        self.cus.append(cu)
+        cu.tile_idx = self.tile_idx_at(cu.lx, cu.ly)
+        cu.slice_idx = self.cur_slice_idx
+        if cu.tree_type != TREE_C and cu.blocks[0] is not None:
+            b = cu.blocks[0]
+            self.map_l[b.y >> 2 : b.y1 >> 2, b.x >> 2 : b.x1 >> 2] = idx
+        if cu.tree_type != TREE_L and len(cu.blocks) > 1 and cu.blocks[1] is not None:
+            b = cu.blocks[1]
+            self.map_c[b.y >> 1 : b.y1 >> 1, b.x >> 1 : b.x1 >> 1] = idx
+        return cu
+
+    def get_cu(self, x: int, y: int, ch_type: int) -> CU | None:
+        """Position in channel coords of ch_type."""
+        if x < 0 or y < 0:
+            return None
+        if ch_type == CH_L:
+            if y >= self.pic_h or x >= self.pic_w:
+                return None
+            idx = self.map_l[y >> 2, x >> 2]
+        else:
+            if self.map_c is None:
+                return None
+            cw = self.pic_w >> self.chroma_format.scale_x
+            chh = self.pic_h >> self.chroma_format.scale_y
+            if y >= chh or x >= cw:
+                return None
+            idx = self.map_c[y >> 1, x >> 1]
+        return self.cus[idx] if idx >= 0 else None
+
+    def get_cu_restricted(
+        self, x: int, y: int, cur_x: int, cur_y: int, ch_type: int
+    ) -> CU | None:
+        """Neighbor CU availability (CodingStructure::getCURestricted).
+
+        Coordinates in channel coords of ch_type; cur pos is the current
+        block's top-left.
+        """
+        cu = self.get_cu(x, y, ch_type)
+        if cu is None:
+            return None
+        scale_x = self.chroma_format.scale_x if ch_type == CH_C else 0
+        scale_y = self.chroma_format.scale_y if ch_type == CH_C else 0
+        lx, ly = x << scale_x, y << scale_y
+        cur_lx, cur_ly = cur_x << scale_x, cur_y << scale_y
+        if cu.slice_idx != self.cur_slice_idx or cu.tile_idx != self.tile_idx_at(
+            cur_lx, cur_ly
+        ):
+            return None
+        if self.sps.entropy_coding_sync:
+            if (lx >> self.sps.log2_ctu_size) >= (cur_lx >> self.sps.log2_ctu_size) + 1:
+                return None
+        return cu

@@ -1,0 +1,397 @@
+"""CU reconstruction from parsed syntax (intra path).
+
+Behavioral equivalent of DecoderLib/DecCu.cpp decompressCtu:102 /
+xReconIntraQT:454 / xIntraRecBlk:173 plus TrQuant::xIT dispatch
+(getTrTypes:695) and the LFNST inverse (xInvLfnst:270).  Operates on the
+numpy reconstruction planes of the current picture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vtm_tpu.common import rom
+from vtm_tpu.decoder import cs as D
+from vtm_tpu.decoder.cs import CH_C, CH_L, CU, MODE_INTRA, Rect, TREE_C, TU
+from vtm_tpu.ops import intra as I
+from vtm_tpu.ops import quant as Q
+from vtm_tpu.ops import transform as TX
+
+BDPCM_IDX = 100  # internal marker
+
+
+class CuReconstructor:
+    def __init__(self, dcs: D.DecCodingStructure, planes: list[np.ndarray]):
+        self.cs = dcs
+        self.sps = dcs.sps
+        self.planes = planes
+        h, w = planes[0].shape
+        self.decomp_l = np.zeros(((h + 3) >> 2, (w + 3) >> 2), dtype=bool)
+        if len(planes) > 1:
+            ch, cw = planes[1].shape
+            self.decomp_c = np.zeros(((ch + 1) >> 1, (cw + 1) >> 1), dtype=bool)
+        else:
+            self.decomp_c = None
+        self.bit_depth = dcs.sps.bit_depth
+
+    # -- decomp tracking ----------------------------------------------------
+
+    def set_decomp(self, comp: int, b: Rect):
+        if comp == 0:
+            self.decomp_l[b.y >> 2 : (b.y1 + 3) >> 2, b.x >> 2 : (b.x1 + 3) >> 2] = True
+        else:
+            self.decomp_c[b.y >> 1 : (b.y1 + 1) >> 1, b.x >> 1 : (b.x1 + 1) >> 1] = True
+
+    def is_decomp(self, comp: int, x: int, y: int) -> bool:
+        if x < 0 or y < 0:
+            return False
+        if comp == 0:
+            m = self.decomp_l
+            if y >= self.planes[0].shape[0] or x >= self.planes[0].shape[1]:
+                return False
+            return bool(m[y >> 2, x >> 2])
+        m = self.decomp_c
+        if y >= self.planes[1].shape[0] or x >= self.planes[1].shape[1]:
+            return False
+        return bool(m[y >> 1, x >> 1])
+
+    # -- top level ----------------------------------------------------------
+
+    def reconstruct_cus(self, cus: list[CU]):
+        for cu in cus:
+            if cu.pred_mode != MODE_INTRA:
+                raise NotImplementedError("non-intra reconstruction")
+            self.recon_intra_cu(cu)
+
+    def recon_intra_cu(self, cu: CU):
+        for tu in cu.tus:
+            for comp in range(3):
+                if tu.blocks[comp] is not None:
+                    self.intra_rec_blk(tu, comp)
+
+    # -- per-block ----------------------------------------------------------
+
+    def _final_intra_mode(self, cu: CU, comp: int) -> int:
+        ch = 0 if comp == 0 else 1
+        mode = cu.intra_dir[ch]
+        if ch == 1 and mode == D.DM_CHROMA_IDX:
+            # co-located luma mode
+            b = cu.blocks[1]
+            fmt = self.cs.chroma_format
+            if cu.is_sep_tree:
+                lx = (b.x + (b.w >> 1)) << fmt.scale_x
+                ly = (b.y + (b.h >> 1)) << fmt.scale_y
+            else:
+                lx = b.x << fmt.scale_x
+                ly = b.y << fmt.scale_y
+            luma = self.cs.get_cu(lx, ly, CH_L)
+            mode = D.PLANAR_IDX if (luma is None or luma.mip_flag) else luma.intra_dir[0]
+        return mode
+
+    def fill_reference_samples(self, tu_b: Rect, cu: CU, comp: int, mrl: int):
+        """xFillReferenceSamples → (top, left) arrays (see ops.intra docs)."""
+        plane = self.planes[comp]
+        ph, pw = plane.shape
+        w, h = tu_b.w, tu_b.h
+        pred_size = w * 2
+        pred_hsize = h * 2
+        fmt = self.cs.chroma_format
+        unit_w = 4 >> (fmt.scale_x if comp else 0)
+        unit_h = 4 >> (fmt.scale_y if comp else 0)
+        total_above = (pred_size + unit_w - 1) // unit_w
+        total_left = (pred_hsize + unit_h - 1) // unit_h
+        total_units = total_above + total_left + 1
+        num_above = max(w // unit_w, 1)
+        num_left = max(h // unit_h, 1)
+        num_ar = total_above - num_above
+        num_bl = total_left - num_left
+        ch = 0 if comp == 0 else 1
+        x0, y0 = tu_b.x, tu_b.y
+
+        def avail(px, py) -> bool:
+            return self.is_decomp(comp, px, py) and (
+                self.cs.get_cu_restricted(px, py, x0, y0, ch) is not None
+            )
+
+        flags = [False] * total_units
+        # ordering: [0..total_left-1] below-left(bottom..)/left, [total_left]=AL,
+        # then above and above-right
+        flags[total_left] = avail(x0 - 1, y0 - 1)
+        for i in range(num_above):
+            flags[total_left + 1 + i] = avail(x0 + i * unit_w, y0 - 1)
+        for i in range(num_ar):
+            flags[total_left + 1 + num_above + i] = avail(
+                x0 + w + i * unit_w, y0 - 1
+            )
+        for i in range(num_left):
+            flags[total_left - 1 - i] = avail(x0 - 1, y0 + i * unit_h)
+        for i in range(num_bl):
+            flags[total_left - 1 - num_left - i] = avail(x0 - 1, y0 + h + i * unit_h)
+        num_intra = sum(flags)
+        top = np.zeros(pred_size + mrl + 2, dtype=np.int64)
+        left = np.zeros(pred_hsize + mrl + 2, dtype=np.int64)
+        dc_val = 1 << (self.bit_depth - 1)
+        if num_intra == 0:
+            top[: pred_size + mrl + 1] = dc_val
+            left[: pred_hsize + mrl + 1] = dc_val
+            return top, left
+
+        def src(px, py):
+            px = min(max(px, 0), pw - 1)
+            py = min(max(py, 0), ph - 1)
+            return int(plane[py, px])
+
+        if num_intra == total_units:
+            for j in range(pred_size + mrl + 1):
+                top[j] = src(x0 - 1 - mrl + j, y0 - 1 - mrl)
+            for i in range(pred_hsize + mrl + 1):
+                left[i] = src(x0 - 1 - mrl, y0 - 1 - mrl + i)
+            return top, left
+        # partial: fill available, then pad (mirror of reference logic)
+        filled = np.zeros(total_units, dtype=bool)
+        # top-left
+        if flags[total_left]:
+            top[0] = src(x0 - 1 - mrl, y0 - 1 - mrl)
+            left[0] = top[0]
+            for i in range(1, mrl + 1):
+                top[i] = src(x0 - 1 - mrl + i, y0 - 1 - mrl)
+                left[i] = src(x0 - 1 - mrl, y0 - 1 - mrl + i)
+        # left/below-left: unit idx total_left-1 down to 1
+        for unit in range(total_left - 1, 0, -1):
+            if flags[unit]:
+                row0 = y0 + (total_left - 1 - unit) * unit_h
+                for i in range(unit_h):
+                    left[mrl + 1 + (total_left - 1 - unit) * unit_h + i] = src(
+                        x0 - 1 - mrl, row0 + i
+                    )
+        if flags[0]:
+            last = unit_h if pred_hsize % unit_h == 0 else pred_hsize % unit_h
+            row0 = y0 + (total_left - 1) * unit_h
+            for i in range(last):
+                left[mrl + 1 + (total_left - 1) * unit_h + i] = src(x0 - 1 - mrl, row0 + i)
+        # above/above-right
+        for unit in range(total_left + 1, total_units - 1):
+            if flags[unit]:
+                col0 = x0 + (unit - total_left - 1) * unit_w
+                for j in range(unit_w):
+                    top[mrl + 1 + (unit - total_left - 1) * unit_w + j] = src(
+                        col0 + j, y0 - 1 - mrl
+                    )
+        if flags[total_units - 1]:
+            last = unit_w if pred_size % unit_w == 0 else pred_size % unit_w
+            col0 = x0 + (total_above - 1) * unit_w
+            for j in range(last):
+                top[mrl + 1 + (total_above - 1) * unit_w + j] = src(col0 + j, y0 - 1 - mrl)
+        # padding — mirror of the reference's unit-based pad
+        # find first available unit
+        if not flags[0]:
+            first_avail = 1
+            while first_avail < total_units and not flags[first_avail]:
+                first_avail += 1
+            # position of first available sample
+            if first_avail < total_left:
+                first_row = (total_left - first_avail) * unit_h + mrl
+                first_sample = left[first_row]  # left idx: row over predStride
+                first_col = -1
+            elif first_avail == total_left:
+                first_row = mrl
+                first_sample = left[first_row]
+                first_col = -1
+            else:
+                first_col = (first_avail - total_left - 1) * unit_w + 1 + mrl
+                first_sample = top[first_col]
+                first_row = -1
+            # fill left column from bottom up to first_row
+            last_row = pred_hsize + mrl
+            fr = first_row if first_row >= 0 else -1
+            for i in range(last_row, fr, -1):
+                left[i] = first_sample
+            if first_col > 0:
+                for j in range(first_col):
+                    top[j] = first_sample
+            last_avail = first_avail
+        else:
+            last_avail = 0
+        cur = last_avail + 1
+        while cur < total_units:
+            if not flags[cur]:
+                # last available sample
+                if last_avail < total_left:
+                    la_row = (total_left - last_avail - 1) * unit_h + mrl + 1
+                    la_sample = left[la_row]
+                    la_col = -1
+                elif last_avail == total_left:
+                    la_col = mrl
+                    la_sample = top[la_col]
+                    la_row = -1
+                else:
+                    la_col = (last_avail - total_left) * unit_w + mrl
+                    la_sample = top[la_col]
+                    la_row = -1
+                if cur < total_left:
+                    for i in range(la_row - 1, la_row - unit_h - 1, -1):
+                        left[i] = la_sample
+                elif cur == total_left:
+                    for i in range(mrl + 1):
+                        left[i] = la_sample
+                        top[i] = la_sample
+                else:
+                    if cur == total_units - 1:
+                        n = unit_w if pred_size % unit_w == 0 else pred_size % unit_w
+                    else:
+                        n = unit_w
+                    for j in range(la_col + 1, la_col + n + 1):
+                        top[j] = la_sample
+            last_avail = cur
+            cur += 1
+        return top, left
+
+    def intra_rec_blk(self, tu: TU, comp: int):
+        cu = tu.cu
+        b = tu.blocks[comp]
+        is_luma = comp == 0
+        ch = 0 if is_luma else 1
+        mode = self._final_intra_mode(cu, comp)
+        bdpcm = cu.bdpcm_mode if is_luma else cu.bdpcm_mode_chroma
+        if cu.isp_mode and is_luma:
+            raise NotImplementedError("ISP recon")
+        if cu.mip_flag and is_luma:
+            raise NotImplementedError("MIP recon")
+        if not is_luma and mode in (D.LM_CHROMA_IDX, D.MDLM_L_IDX, D.MDLM_T_IDX):
+            raise NotImplementedError("CCLM recon")
+        mrl = cu.multi_ref_idx if is_luma else 0
+        p = I.IntraParams(
+            dir_mode=mode,
+            pu_w=b.w,
+            pu_h=b.h,
+            cu_w=cu.blocks[comp].w if cu.blocks[comp] else b.w,
+            cu_h=cu.blocks[comp].h if cu.blocks[comp] else b.h,
+            is_luma=is_luma,
+            multi_ref_idx=mrl,
+            use_isp=bool(cu.isp_mode),
+            bdpcm=bool(bdpcm),
+        )
+        top, left = self.fill_reference_samples(b, cu, comp, mrl)
+        if p.ref_filter_flag:
+            ftop, fleft = I.filter_reference_samples(top, left, b.w * 2, b.h * 2, mrl)
+        else:
+            ftop, fleft = top, left
+        if bdpcm:
+            pred = I.pred_bdpcm(top, left, b.w, b.h, bdpcm, self.bit_depth)
+        elif mode == D.PLANAR_IDX:
+            pred = I.pred_planar(ftop, fleft, b.w, b.h)
+            if p.apply_pdpc:
+                pred = I.pdpc_planar_dc(pred, ftop, fleft)
+        elif mode == D.DC_IDX:
+            dc = I.pred_dc(top, left, b.w, b.h, p.multi_ref_idx)
+            pred = np.full((b.h, b.w), dc, dtype=np.int64)
+            if p.apply_pdpc:
+                pred = I.pdpc_planar_dc(pred, top, left)
+        else:
+            use_top, use_left = (ftop, fleft) if p.ref_filter_flag else (top, left)
+            pred = I.pred_angular(
+                use_top, use_left, b.w, b.h, p, is_luma, self.bit_depth
+            )
+        # residual
+        resi = self.inv_transform(tu, comp)
+        maxv = (1 << self.bit_depth) - 1
+        recon = np.clip(pred + resi, 0, maxv).astype(np.int32)
+        self.planes[comp][b.y : b.y1, b.x : b.x1] = recon
+        self.set_decomp(comp, b)
+        # record qp for deblocking
+        if comp == 0:
+            self.cs.qp_map_l[b.y >> 2 : b.y1 >> 2, b.x >> 2 : b.x1 >> 2] = cu.qp
+
+    # -- residual -----------------------------------------------------------
+
+    def _tr_types(self, tu: TU, comp: int) -> tuple[int, int]:
+        cu = tu.cu
+        sps = self.sps
+        is_explicit = sps.explicit_mts_intra and comp == 0  # intra CU path
+        is_implicit = (
+            sps.mts and not sps.explicit_mts_intra and comp == 0
+            and cu.lfnst_idx == 0 and not cu.mip_flag
+        )
+        is_isp = bool(cu.isp_mode) and comp == 0
+        tr_h = tr_v = TX.DCT2
+        if is_isp and cu.lfnst_idx:
+            return tr_h, tr_v
+        if not sps.mts:
+            return tr_h, tr_v
+        if is_implicit or is_isp:
+            b = tu.blocks[comp]
+            if 4 <= b.w <= 16:
+                tr_h = TX.DST7
+            if 4 <= b.h <= 16:
+                tr_v = TX.DST7
+            return tr_h, tr_v
+        if is_explicit and tu.mts_idx[comp] > D.MTS_SKIP:
+            ind_h = (tu.mts_idx[comp] - D.MTS_DST7_DST7) & 1
+            ind_v = (tu.mts_idx[comp] - D.MTS_DST7_DST7) >> 1
+            tr_h = TX.DCT8 if ind_h else TX.DST7
+            tr_v = TX.DCT8 if ind_v else TX.DST7
+        return tr_h, tr_v
+
+    def _qp_for(self, tu: TU, comp: int) -> tuple[int, int, int]:
+        cu = tu.cu
+        sh = self.cs.sh
+        use_jqp = abs(self._ict_mode(tu)) == 2 if comp != 0 else False
+        adj_offsets = (0, 0, 0)
+        if cu.chroma_qp_adj and self.cs.pps.chroma_qp_offset_list:
+            adj_offsets = self.cs.pps.chroma_qp_offset_list[cu.chroma_qp_adj - 1]
+        return Q.qp_param(
+            cu.qp,
+            comp,
+            self.sps,
+            sh.cb_qp_offset,
+            sh.cr_qp_offset,
+            sh.joint_cbcr_qp_offset,
+            adj_offsets,
+            use_jqp,
+        )
+
+    def _ict_mode(self, tu: TU) -> int:
+        if tu.joint_cbcr == 0:
+            return 0
+        sign = 1 if self.cs.ph.joint_cbcr_sign else 0
+        return Q.G_ICT_MODES[sign][tu.joint_cbcr]
+
+    def inv_transform(self, tu: TU, comp: int) -> np.ndarray:
+        """invTransformNxN + joint CbCr handling; returns (h, w) residual."""
+        cu = tu.cu
+        b = tu.blocks[comp]
+        if tu.joint_cbcr and comp != 0:
+            if comp == 1:
+                mode = self._ict_mode(tu)
+                if tu.joint_cbcr >> 1:
+                    res1 = self._inv_tx_one(tu, 1)
+                else:
+                    res1 = self._inv_tx_one(tu, 2)
+                cb, cr = Q.inv_transform_ict(mode, res1, res1.copy())
+                tu._joint_cr = cr
+                return cb
+            return tu._joint_cr
+        if not tu.cbf[comp]:
+            return np.zeros((b.h, b.w), dtype=np.int32)
+        return self._inv_tx_one(tu, comp)
+
+    def _inv_tx_one(self, tu: TU, comp: int) -> np.ndarray:
+        cu = tu.cu
+        b = tu.blocks[comp]
+        qp = self._qp_for(tu, comp)
+        if tu.mts_idx[comp] == D.MTS_SKIP:
+            raise NotImplementedError("transform skip recon")
+        sh = self.cs.sh
+        use_regular = sh.ts_residual_coding_disabled or tu.mts_idx[comp] != D.MTS_SKIP
+        if sh.dep_quant and use_regular:
+            scan = rom.scan(1, b.w, b.h)
+            deq = Q.dequant_dep(tu.coeffs[comp], qp, self.bit_depth, scan)
+        else:
+            deq = Q.dequant(tu.coeffs[comp], qp, self.bit_depth)
+        if cu.lfnst_idx:
+            deq = self.inv_lfnst(tu, comp, deq)
+        tr_h, tr_v = self._tr_types(tu, comp)
+        return TX.inv_transform_2d_np(deq, self.bit_depth, tr_h, tr_v)
+
+    def inv_lfnst(self, tu: TU, comp: int, coeffs: np.ndarray) -> np.ndarray:
+        raise NotImplementedError("LFNST inverse")

@@ -1,0 +1,149 @@
+"""Dequantization — exact integer reference implementation.
+
+Behavioral contract from CommonLib/Quant.cpp Quant::dequant:357 (flat
+default scaling lists) and QpParam (Quant.cpp/h): per-TU QP derivation with
+chroma mapping tables and joint-CbCr offsets.  Scaling-list support lands
+with the scaling-list APS.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vtm_tpu.common import rom
+
+IQUANT_SHIFT = 6
+G_ICT_MODES = [[0, 3, 1, 2], [0, -3, -1, -2]]  # Rom.cpp:527
+
+
+def floor_log2(x: int) -> int:
+    return x.bit_length() - 1
+
+
+def qp_param(
+    qp_y: int,
+    comp: int,
+    sps,
+    cb_qp_offset: int,
+    cr_qp_offset: int,
+    joint_qp_offset: int,
+    chroma_qp_adj_offsets: tuple[int, int, int],
+    use_jqp: bool,
+) -> tuple[int, int, int]:
+    """Returns (qp, per, rem) for the non-TS path (QpParam)."""
+    bd_off = sps.qp_bd_offset
+    if comp == 0:
+        base = qp_y + bd_off
+    else:
+        if use_jqp:
+            table_idx = 2
+            offset = joint_qp_offset + chroma_qp_adj_offsets[2]
+        else:
+            table_idx = comp - 1
+            offset = (cb_qp_offset if comp == 1 else cr_qp_offset) + chroma_qp_adj_offsets[comp - 1]
+        qpi = max(-bd_off, min(63, qp_y))
+        base = sps.chroma_qp_table.map_qp(table_idx, qpi, bd_off)
+        base = max(-bd_off, min(63, base + offset)) + bd_off
+    base = max(0, min(63 + bd_off, base))
+    return base, base // 6, base % 6
+
+
+def dequant(
+    coeff: np.ndarray,
+    qp: tuple[int, int, int],
+    bit_depth: int,
+    is_ts: bool = False,
+) -> np.ndarray:
+    """Quant::dequant with flat (default) scaling list.
+
+    coeff: (h, w) int; qp: (qp, per, rem) from qp_param (TS variant applies
+    the max(qpTS) rule before calling).
+    """
+    h, w = coeff.shape
+    max_range = 15
+    tmin, tmax = -(1 << max_range), (1 << max_range) - 1
+    transform_shift = max_range - bit_depth - ((floor_log2(w) + floor_log2(h)) >> 1)
+    needs_sqrt2 = (not is_ts) and (((floor_log2(w) + floor_log2(h)) & 1) == 1)
+    i_transform_shift = transform_shift + (-1 if needs_sqrt2 else 0)
+    _, qp_per, qp_rem = qp
+    right_shift = IQUANT_SHIFT - ((0 if is_ts else i_transform_shift) + qp_per)
+    scale = rom.inv_quant_scale(qp_rem, needs_sqrt2)
+    scale_bits = IQUANT_SHIFT + 1
+    target_bd = min(max_range + 1, 64 + right_shift - scale_bits)
+    in_min, in_max = -(1 << (target_bd - 1)), (1 << (target_bd - 1)) - 1
+    c = np.clip(coeff.astype(np.int64), in_min, in_max)
+    if right_shift > 0:
+        add = 1 << (right_shift - 1)
+        out = (c * scale + add) >> right_shift
+    else:
+        out = (c * scale) << (-right_shift)
+    return np.clip(out, tmin, tmax).astype(np.int32)
+
+
+def dequant_dep(
+    coeff: np.ndarray,
+    qp: tuple[int, int, int],
+    bit_depth: int,
+    scan: np.ndarray,
+    is_ts: bool = False,
+) -> np.ndarray:
+    """Dependent-quantization inverse (DepQuant.cpp Quantizer::dequantBlock
+    :705): per-coefficient 8-state machine over the scan order with
+    qIdx = 2*level -/+ (state>>1) and QP+1 scaling."""
+    h, w = coeff.shape
+    max_range = 15
+    tmin, tmax = -(1 << max_range), (1 << max_range) - 1
+    flat = coeff.ravel()
+    out = np.zeros_like(flat)
+    last = -1
+    for scan_idx in range(w * h - 1, -1, -1):
+        if flat[scan[scan_idx][0]]:
+            last = scan_idx
+            break
+    if last < 0:
+        return out.reshape(h, w)
+    qp_dq = qp[0] + 1
+    qp_per, qp_rem = qp_dq // 6, qp_dq % 6
+    transform_shift = max_range - bit_depth - ((floor_log2(w) + floor_log2(h)) >> 1)
+    needs_sqrt2 = (not is_ts) and (((floor_log2(w) + floor_log2(h)) & 1) == 1)
+    if needs_sqrt2:
+        transform_shift -= 1
+    shift = IQUANT_SHIFT + 1 - qp_per - transform_shift
+    inv_scale = rom.inv_quant_scale(qp_rem, needs_sqrt2)
+    add = 0 if shift < 0 else (1 << shift) >> 1
+    state = 0
+    for scan_idx in range(last, -1, -1):
+        pos = int(scan[scan_idx][0])
+        level = int(flat[pos])
+        if level:
+            if shift < 0 and scan_idx == last:
+                inv_scale <<= -shift
+            q_idx = (level << 1) + (-(state >> 1) if level > 0 else (state >> 1))
+            val = (q_idx * inv_scale + add) >> (0 if shift < 0 else shift)
+            out[pos] = max(tmin, min(tmax, val))
+        state = (32040 >> ((state << 2) + ((level & 1) << 1))) & 3
+    return out.reshape(h, w)
+
+
+def inv_transform_ict(mode: int, resi_cb: np.ndarray, resi_cr: np.ndarray):
+    """TrQuant::invTransformICT (TrQuant.cpp:627): joint Cb-Cr inverse.
+
+    mode from G_ICT_MODES[sign][jointCbCr]; input: the decoded residual in
+    the coded component; returns (resCb, resCr).
+    """
+    if mode == 0:
+        return resi_cb, resi_cr
+    if mode == 1:
+        return resi_cb, resi_cb >> 1
+    if mode == -1:
+        return resi_cb, (-resi_cb) >> 1
+    if mode == 2:
+        return resi_cb, resi_cb
+    if mode == -2:
+        # non-normative 16-bit clamp from the reference
+        return resi_cb, np.where(resi_cb == -32768, 32767, -resi_cb)
+    if mode == 3:
+        return resi_cr >> 1, resi_cr
+    if mode == -3:
+        return (-resi_cr) >> 1, resi_cr
+    raise ValueError(mode)
