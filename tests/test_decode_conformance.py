@@ -31,3 +31,17 @@ def test_bit_exact_decode(name):
     assert dec.hash_results, "no picture hashes found"
     for hr in dec.hash_results:
         assert hr.ok, f"hash mismatch at POC {hr.poc}"
+
+TOOL_STREAMS = ["ai_tools_tiny64_qp32", "ai_tools_small208_qp27"]
+
+
+@pytest.mark.parametrize("name", TOOL_STREAMS)
+def test_bit_exact_decode_tools(name):
+    path = os.path.join(TD, f"{name}.bit")
+    if not os.path.exists(path):
+        pytest.skip("golden streams not generated on this machine")
+    dec = Decoder()
+    dec.decode_stream(open(path, "rb").read())
+    assert dec.hash_results
+    for hr in dec.hash_results:
+        assert hr.ok, f"hash mismatch at POC {hr.poc}"

@@ -112,6 +112,21 @@ int main(int argc, char** argv)
     }
   }
 
+  // ---- LFNST 8x8 top-left diagonal scan (idx,x,y) per block width ----
+  for (uint32_t lw = 2; lw <= 6; lw++) {
+    const uint32_t w = 1u << lw;
+    const ScanElement* s = g_coefTopLeftDiagScan8x8[gp_sizeIdxInfo->idxFrom(w)];
+    std::vector<int32_t> buf;
+    for (int i = 0; i < 64; i++) {
+      buf.push_back((int32_t)s[i].idx);
+      buf.push_back((int32_t)s[i].x);
+      buf.push_back((int32_t)s[i].y);
+    }
+    char name[64];
+    snprintf(name, sizeof(name), "scanTL8x8_w%u", w);
+    dump(name, buf.data(), {64, 3});
+  }
+
   // ---- CABAC context init tables: [B, P, I, windowSizes] flattened ----
   for (unsigned id = 0; id < 4; id++) {
     const std::vector<uint8_t>& t = ContextSetCfg::getInitTable(id);

@@ -408,6 +408,7 @@ class SyntaxReader:
         )
         cu.qt_depth = part.cur_qt_depth
         cu.depth = part.cur_depth
+        cu.split_series = tuple(lvl.split for lvl in part.stack[1:])
         return self.cs.add_cu(cu)
 
     def mode_constraint(self, part: P.Partitioner, split_mode: int) -> int:
@@ -884,45 +885,38 @@ class SyntaxReader:
         cu.intra_dir[1] = modes[cand_id]
 
     def _cclm_allowed(self, cu: CU) -> bool:
-        """CU::checkCCLMAllowed — true unless dual-tree 64x64 splits forbid.
+        """CU::checkCCLMAllowed (Unit.cpp)."""
+        if not self.is_dual_itree:
+            return True
+        if self.sps.ctu_size <= 32:
+            return True
+        depth64 = 1 if self.sps.ctu_size == 128 else 0
 
-        Ref: UnitTools.cpp CU::checkCCLMAllowed; non-dual-tree always true.
-        """
-        if not cu.is_sep_tree or cu.ch_type != CH_C:
-            return True
-        # dual-tree: depends on the luma partitioning at the collocated 64x64
-        # region. Conservative re-derivation below mirrors VTM.
-        lx, ly = cu.lx, cu.ly
-        w64 = 64
-        # VTM checks the luma split at (lx & ~63, ly & ~63); allowed unless
-        # the 64x64 luma area was split beyond QT into small parts while the
-        # chroma tree stayed unsplit.  Rather than replicating the full rule
-        # here we follow it using the recorded luma CUs:
-        x0, y0 = lx & ~63, ly & ~63
-        luma_cu = self.cs.get_cu(x0, y0, CH_L)
-        if luma_cu is None:
-            return True
-        # allowed if collocated luma CU is 64x64 (no split) or the first
-        # split was QT into 32x32 with no further splits... (full rule in
-        # CU::checkCCLMAllowed).  Approximation: allowed when chroma CU is
-        # 32x32-aligned whole-region or luma 64x64 region not deeply split.
-        if cu.blocks[1].w == 32 and cu.blocks[1].h == 32:
-            return True
-        if luma_cu.lwidth == 64 and luma_cu.lheight == 64:
-            return True
-        return self._cclm_deep_check(x0, y0)
+        def split_at(series: tuple, d: int) -> int:
+            return series[d] if d < len(series) else P.CU_DONT_SPLIT
 
-    def _cclm_deep_check(self, x0: int, y0: int) -> bool:
-        """Check luma 64x64 area: CCLM allowed if all luma CUs inside are
-        >= 32x32 at QT depth or region coded with only first QT split."""
-        # Matches VTM behavior for the common cases; refined with tests.
-        sizes = set()
-        for yy in range(y0, min(y0 + 64, self.cs.pic_h), 32):
-            for xx in range(x0, min(x0 + 64, self.cs.pic_w), 32):
-                c = self.cs.get_cu(xx, yy, CH_L)
-                if c is not None:
-                    sizes.add((c.lwidth, c.lheight))
-        return all(w >= 32 and h >= 32 for (w, h) in sizes) if sizes else True
+        s1 = split_at(cu.split_series, depth64)
+        s2 = split_at(cu.split_series, depth64 + 1)
+        allow = False
+        if s1 == P.CU_QUAD_SPLIT or (s1 == P.CU_HORZ_SPLIT and s2 == P.CU_VERT_SPLIT):
+            allow = True
+        elif s1 == P.CU_DONT_SPLIT:
+            allow = True
+        elif s1 == P.CU_HORZ_SPLIT and s2 == P.CU_DONT_SPLIT:
+            allow = True
+        if allow:
+            fmt = self.cs.chroma_format
+            lx = cu.blocks[1].x << fmt.scale_x
+            ly = cu.blocks[1].y << fmt.scale_y
+            col = self.cs.get_cu(lx, ly, CH_L)
+            if col is None:
+                return allow
+            if col.lwidth < 64 or col.lheight < 64:
+                if split_at(col.split_series, depth64) != P.CU_QUAD_SPLIT:
+                    allow = False
+            elif col.lwidth == 64 and col.lheight == 64 and col.isp_mode:
+                allow = False
+        return allow
 
     def _chroma_cand_modes(self, cu: CU) -> list[int]:
         modes = [PLANAR_IDX, VER_IDX, HOR_IDX, DC_IDX]
@@ -947,6 +941,9 @@ class SyntaxReader:
         return self.cs.get_cu(cx, cy, CH_L)
 
     def _is_dm_chroma_mip(self, cu: CU) -> bool:
+        """PU::isDMChromaMIP — 4:4:4 single-tree only."""
+        if cu.is_sep_tree or self.sps.chroma_format_idc != 3:
+            return False
         luma = self._co_located_luma_pu(cu)
         return luma is not None and luma.mip_flag
 
@@ -966,13 +963,98 @@ class SyntaxReader:
         cu_ctx.violates_mts = False
         cu_ctx.mts_last_scan_pos = False
         if cu.isp_mode and part.ch_type == CH_L:
-            raise NotImplementedError("ISP transform tree")
-        self.transform_tree(cu, part, cu_ctx)
+            self._isp_transform_tree(cu, part, cu_ctx)
+        else:
+            self.transform_tree(cu, part, cu_ctx)
         self.residual_lfnst_mode(cu, cu_ctx)
         self.mts_idx(cu, cu_ctx)
-        # apply selected MTS to all TUs' luma (only first TU exists w/o split)
-        for tu in cu.tus:
-            pass
+
+    @staticmethod
+    def isp_split_dim(w: int, h: int, horizontal: bool) -> int:
+        """CU::getISPSplitDim (UnitTools.cpp:433)."""
+        split_size = h if horizontal else w
+        non_split = w if horizontal else h
+        min_samples = 16
+        factor = (min_samples >> (non_split.bit_length() - 1)) if non_split < min_samples else 1
+        return max(split_size >> 2, factor)
+
+    def isp_partitions(self, cu: CU) -> list[Rect]:
+        b = cu.blocks[0]
+        horizontal = cu.isp_mode == 1
+        dim = self.isp_split_dim(b.w, b.h, horizontal)
+        parts = []
+        if horizontal:
+            n = b.h // dim
+            for i in range(n):
+                parts.append(Rect(b.x, b.y + i * dim, b.w, dim))
+        else:
+            n = b.w // dim
+            for i in range(n):
+                parts.append(Rect(b.x + i * dim, b.y, dim, b.h))
+        return parts
+
+    def _isp_transform_tree(self, cu: CU, part: P.Partitioner, cu_ctx: CuCtx):
+        parts = self.isp_partitions(cu)
+        n = len(parts)
+        has_chroma = (not cu.is_sep_tree) and cu.blocks[1] is not None
+        for idx, sub in enumerate(parts):
+            is_last = idx == n - 1
+            blocks = [sub, None, None]
+            if is_last and has_chroma:
+                blocks[1] = Rect(cu.blocks[1].x, cu.blocks[1].y, cu.blocks[1].w, cu.blocks[1].h)
+                blocks[2] = Rect(cu.blocks[2].x, cu.blocks[2].y, cu.blocks[2].w, cu.blocks[2].h)
+            tu = TU(blocks=blocks, cu=cu, depth=1)
+            for c in range(3):
+                if blocks[c] is not None:
+                    tu.coeffs[c] = np.zeros((blocks[c].h, blocks[c].w), dtype=np.int32)
+            cu.tus.append(tu)
+            self._isp_transform_unit(tu, cu_ctx, part, idx, n)
+
+    def _isp_transform_unit(self, tu: TU, cu_ctx: CuCtx, part: P.Partitioner,
+                            sub_idx: int, n_tus: int):
+        """transform_unit specialization for ISP sub-TUs."""
+        cu = tu.cu
+        tr_depth = tu.depth
+        chroma_cbfs = [False, False]
+        has_chroma = tu.blocks[1] is not None
+        if has_chroma:
+            chroma_cbfs[0] = bool(self.cbf_comp(tu.blocks[1], 1, False, False, cu))
+            chroma_cbfs[1] = bool(self.cbf_comp(tu.blocks[2], 2, chroma_cbfs[0], False, cu))
+            tu.cbf[1] = int(chroma_cbfs[0])
+            tu.cbf[2] = int(chroma_cbfs[1])
+        # luma cbf with inference on last sub-TU
+        last_cbf_inferred = False
+        prev_cbf = False
+        if sub_idx == n_tus - 1:
+            root_cbf_so_far = any(t.cbf[0] for t in cu.tus[:-1])
+            if not root_cbf_so_far:
+                last_cbf_inferred = True
+        if not last_cbf_inferred:
+            prev_cbf = bool(cu.tus[sub_idx - 1].cbf[0]) if sub_idx > 0 else False
+        cbf_y = True if last_cbf_inferred else bool(
+            self.cbf_comp(tu.blocks[0], 0, prev_cbf, True, cu)
+        )
+        tu.cbf[0] = int(cbf_y)
+        cbf_chroma = chroma_cbfs[0] or chroma_cbfs[1]
+        if (cu.lwidth > 64 or cu.lheight > 64 or cbf_y or cbf_chroma) and (
+            not cu.is_sep_tree or part.ch_type == CH_L
+        ):
+            if self.pps.cu_qp_delta_enabled and not cu_ctx.is_dqp_coded:
+                cu.qp = self.cu_qp_delta(cu, cu_ctx.qp)
+                cu_ctx.qp = cu.qp
+                cu_ctx.is_dqp_coded = True
+        if not cu.is_sep_tree or part.ch_type == CH_C:
+            if self.sh.use_chroma_qp_adj and cbf_chroma and not cu_ctx.is_chroma_qp_adj_coded:
+                self._cu_chroma_qp_offset(cu)
+                cu_ctx.is_chroma_qp_adj_coded = True
+        if has_chroma:
+            self.joint_cb_cr(tu, (2 if tu.cbf[1] else 0) + (1 if tu.cbf[2] else 0))
+        if cbf_y:
+            self.residual_coding(tu, 0, cu_ctx)
+        if has_chroma:
+            for comp in (1, 2):
+                if tu.cbf[comp]:
+                    self.residual_coding(tu, comp, cu_ctx)
 
     def transform_tree(self, cu: CU, part: P.Partitioner, cu_ctx: CuCtx):
         split = part.can_split(P.TU_MAX_TR_SPLIT)
@@ -1247,7 +1329,14 @@ class SyntaxReader:
         cu.lfnst_idx = idx
 
     def _can_lfnst_with_isp(self, cu: CU) -> bool:
-        return min(cu.lwidth, cu.lheight) >= 4  # CU::canUseLfnstWithISP approx
+        """CU::canUseLfnstWithISP (UnitTools.cpp:410)."""
+        comp = 0 if cu.ch_type == CH_L else 1
+        b = cu.blocks[comp]
+        if cu.isp_mode == 1:  # horizontal
+            tw, th = b.w, self.isp_split_dim(b.w, b.h, True)
+        else:
+            tw, th = self.isp_split_dim(b.w, b.h, False), b.h
+        return tw >= 4 and th >= 4
 
     # -- residual coefficients ---------------------------------------------
 
@@ -1436,7 +1525,95 @@ class SyntaxReader:
         return state
 
     def residual_coding_ts(self, tu: TU, comp: int):
-        raise NotImplementedError("transform-skip residual coding")
+        """residual_codingTS (CABACReader.cpp:3358)."""
+        cu = tu.cu
+        bdpcm = cu.bdpcm_mode if comp == 0 else cu.bdpcm_mode_chroma
+        cctx = CoeffCtx(tu, comp, False, self.sps, bdpcm=bdpcm)
+        coeff = tu.coeffs[comp].ravel()
+        cctx.num_ctx_bins = (cctx.max_num_coeff * 7) >> 2
+        for subset in range(((cctx.max_num_coeff - 1) >> cctx.log2_cg_size) + 1):
+            cctx.init_subblock(subset)
+            self._residual_coding_subblock_ts(cctx, coeff)
+
+    def _residual_coding_subblock_ts(self, cctx: "CoeffCtx", coeff: np.ndarray):
+        d = self.d
+        min_sub_pos = cctx.max_sub_pos  # NB: reversed roles vs regular RC
+        first_sig_pos = cctx.min_sub_pos
+        next_sig = first_sig_pos
+        sign_pattern = 0
+        is_last_subset = cctx.sub_set_id == (cctx.max_num_coeff - 1) >> cctx.log2_cg_size
+        sig_group = is_last_subset and not cctx.sig_group_flags.any()
+        if not sig_group:
+            sig_group = bool(d.decode_bin(cctx.sig_group_ctx_id_ts()))
+        if sig_group:
+            cctx.sig_group_flags[cctx.sub_set_pos] = True
+        else:
+            return
+        infer_sig_pos = min_sub_pos
+        num_nonzero = 0
+        sig_blk_pos = [0] * 16
+        last_pass1 = -1
+        last_pass2 = -1
+        pos = next_sig
+        while pos <= min_sub_pos and cctx.num_ctx_bins >= 4:
+            blk_pos = cctx.blockpos(pos)
+            sig = int(num_nonzero == 0 and pos == infer_sig_pos)
+            if not sig:
+                sig = d.decode_bin(cctx.sig_ctx_id_ts(pos, coeff))
+                cctx.num_ctx_bins -= 1
+            if sig:
+                sign = d.decode_bin(cctx.sign_ctx_id_ts(pos, coeff))
+                cctx.num_ctx_bins -= 1
+                sign_pattern += sign << num_nonzero
+                sig_blk_pos[num_nonzero] = blk_pos
+                num_nonzero += 1
+                gt1 = d.decode_bin(cctx.lrg1_ctx_id_ts(pos, coeff))
+                cctx.num_ctx_bins -= 1
+                par = 0
+                if gt1:
+                    par = d.decode_bin(cctx.par_ctx_id_ts())
+                    cctx.num_ctx_bins -= 1
+                coeff[blk_pos] = (-1 if sign else 1) * (1 + par + gt1)
+            last_pass1 = pos
+            pos += 1
+        # 2nd pass: gt2 bins
+        pos = first_sig_pos
+        while pos <= min_sub_pos and cctx.num_ctx_bins >= 4:
+            blk_pos = cctx.blockpos(pos)
+            cutoff = 2
+            for i in range(4):
+                if coeff[blk_pos] < 0:
+                    coeff[blk_pos] = -coeff[blk_pos]
+                if coeff[blk_pos] >= cutoff:
+                    gt2 = d.decode_bin(cctx.gtx_ctx_id_ts(cutoff >> 1))
+                    coeff[blk_pos] += gt2 << 1
+                    cctx.num_ctx_bins -= 1
+                cutoff += 2
+            last_pass2 = pos
+            pos += 1
+        # 3rd pass: rice remainders + trailing sig/sign
+        for pos in range(first_sig_pos, min_sub_pos + 1):
+            blk_pos = cctx.blockpos(pos)
+            cutoff = 10 if pos <= last_pass2 else (2 if pos <= last_pass1 else 0)
+            if coeff[blk_pos] < 0:
+                coeff[blk_pos] = -coeff[blk_pos]
+            if coeff[blk_pos] >= cutoff:
+                rice = 1  # templateAbsSumTS returns 1
+                rem = d.decode_rem_abs_ep(rice, COEF_REMAIN_BIN_REDUCTION, 15)
+                coeff[blk_pos] += (rem << 1) if pos <= last_pass1 else rem
+                if coeff[blk_pos] and pos > last_pass1:
+                    sign = d.decode_bin_ep()
+                    sign_pattern += sign << num_nonzero
+                    sig_blk_pos[num_nonzero] = blk_pos
+                    num_nonzero += 1
+            if not cctx.bdpcm and cutoff:
+                if coeff[blk_pos] > 0:
+                    right, below = cctx.neigh_ts(pos, coeff)
+                    coeff[blk_pos] = cctx.dec_derive_mod_coeff(right, below, int(coeff[blk_pos]))
+        for k in range(num_nonzero):
+            abs_c = int(coeff[sig_blk_pos[k]])
+            coeff[sig_blk_pos[k]] = -abs_c if (sign_pattern & 1) else abs_c
+            sign_pattern >>= 1
 
     # -- primitive codes ----------------------------------------------------
 
@@ -1480,7 +1657,9 @@ class SyntaxReader:
 class CoeffCtx:
     """CoeffCodingContext equivalent (ContextModelling.h:51)."""
 
-    def __init__(self, tu: TU, comp: int, sign_hiding: bool, sps):
+    def __init__(self, tu: TU, comp: int, sign_hiding: bool, sps, bdpcm: int = 0):
+        self.bdpcm = bdpcm
+        self.num_ctx_bins = 0
         b = tu.blocks[comp]
         self.comp = comp
         self.ch = 0 if comp == 0 else 1
@@ -1624,6 +1803,83 @@ class CoeffCtx:
 
     def gt2_ctx_id(self, offset: int) -> int:
         return self.gtx_flag_sets[0] + offset
+
+    # -- transform-skip context helpers ------------------------------------
+
+    def sig_group_ctx_id_ts(self) -> int:
+        sig_left = (
+            bool(self.sig_group_flags[self.sub_set_pos - 1]) if self.cg_pos_x > 0 else False
+        )
+        sig_above = (
+            bool(self.sig_group_flags[self.sub_set_pos - self.width_in_groups])
+            if self.cg_pos_y > 0
+            else False
+        )
+        return _CTXOFF["TsSigCoeffGroup"][0] + int(sig_left) + int(sig_above)
+
+    def sig_ctx_id_ts(self, scan_pos: int, coeff: np.ndarray) -> int:
+        y = int(self.scan[scan_pos][2])
+        x = int(self.scan[scan_pos][1])
+        base = x + y * self.width
+        num_pos = 0
+        if x > 0:
+            num_pos += 1 if coeff[base - 1] else 0
+        if y > 0:
+            num_pos += 1 if coeff[base - self.width] else 0
+        return _CTXOFF["TsSigFlag"][0] + num_pos
+
+    def sign_ctx_id_ts(self, scan_pos: int, coeff: np.ndarray) -> int:
+        y = int(self.scan[scan_pos][2])
+        x = int(self.scan[scan_pos][1])
+        base = x + y * self.width
+        right = int(np.sign(coeff[base - 1])) if x > 0 else 0
+        below = int(np.sign(coeff[base - self.width])) if y > 0 else 0
+        if (right == 0 and below == 0) or right * below < 0:
+            c = 0
+        elif right >= 0 and below >= 0:
+            c = 1
+        else:
+            c = 2
+        if self.bdpcm:
+            c += 3
+        return _CTXOFF["TsResidualSign"][0] + c
+
+    def lrg1_ctx_id_ts(self, scan_pos: int, coeff: np.ndarray) -> int:
+        if self.bdpcm:
+            num_pos = 3
+        else:
+            y = int(self.scan[scan_pos][2])
+            x = int(self.scan[scan_pos][1])
+            base = x + y * self.width
+            num_pos = 0
+            if x > 0:
+                num_pos += 1 if coeff[base - 1] else 0
+            if y > 0:
+                num_pos += 1 if coeff[base - self.width] else 0
+        return _CTXOFF["TsLrg1Flag"][0] + num_pos
+
+    def par_ctx_id_ts(self) -> int:
+        return _CTXOFF["TsParFlag"][0]
+
+    def gtx_ctx_id_ts(self, offset: int) -> int:
+        return _CTXOFF["TsGtxFlag"][0] + offset
+
+    def neigh_ts(self, scan_pos: int, coeff: np.ndarray) -> tuple[int, int]:
+        y = int(self.scan[scan_pos][2])
+        x = int(self.scan[scan_pos][1])
+        base = x + y * self.width
+        right = int(coeff[base - 1]) if x > 0 else 0
+        below = int(coeff[base - self.width]) if y > 0 else 0
+        return right, below
+
+    @staticmethod
+    def dec_derive_mod_coeff(right: int, below: int, abs_coeff: int) -> int:
+        if abs_coeff == 0:
+            return 0
+        pred1 = max(abs(below), abs(right))
+        if abs_coeff == 1 and pred1 > 0:
+            return pred1
+        return abs_coeff - (1 if abs_coeff <= pred1 else 0)
 
     def template_abs_sum(self, scan_pos: int, coeff: np.ndarray, base_level: int) -> int:
         y = int(self.scan[scan_pos][2])

@@ -98,6 +98,7 @@ class CU:
     tile_idx: int = 0
     slice_idx: int = 0
     sep_tree: bool = False  # treeType != TREE_D || CS::isDualITree
+    split_series: tuple = ()  # split type per depth on the path from the CTU
     tus: list[TU] = field(default_factory=list)
 
     @property

@@ -64,10 +64,135 @@ class CuReconstructor:
             self.recon_intra_cu(cu)
 
     def recon_intra_cu(self, cu: CU):
+        if cu.isp_mode and cu.blocks[0] is not None:
+            self._recon_isp_luma(cu)
+            last = cu.tus[-1]
+            for comp in (1, 2):
+                if last.blocks[comp] is not None:
+                    self.intra_rec_blk(last, comp)
+            return
         for tu in cu.tus:
             for comp in range(3):
                 if tu.blocks[comp] is not None:
                     self.intra_rec_blk(tu, comp)
+
+    def _recon_isp_luma(self, cu: CU):
+        """ISP luma reconstruction with incremental reference updates
+        (DecCu.cpp xIntraRecBlk ISP paths + initIntraPatternChTypeISP:802)."""
+        cb = cu.blocks[0]
+        horizontal = cu.isp_mode == 1
+        maxv = (1 << self.bit_depth) - 1
+        mode = self._final_intra_mode(cu, 0)
+        pred_reg_diff = (not horizontal) and (
+            (cb.w == 8 and cb.h > 4) or cb.w == 4
+        )
+        top = left = None
+        pred_cache: np.ndarray | None = None  # (h, 4) for current pred region
+        pred_cache_x0 = -1
+        for tu in cu.tus:
+            b = tu.blocks[0]
+            if b is None:
+                continue
+            area_w, area_h = b.w, b.h
+            if pred_reg_diff:
+                first_in_reg = ((b.x - cb.x) % 4) == 0
+                adj_w = max(4, area_w)
+            else:
+                first_in_reg = True
+                adj_w = area_w
+            do_ref_update = first_in_reg
+            if do_ref_update:
+                pred_w = adj_w if pred_reg_diff else area_w
+                top_len = cb.w + pred_w
+                left_len = cb.h + area_h
+                if b.x == cb.x and b.y == cb.y:
+                    # first sub-TU: fetch all CU reference samples at once
+                    if horizontal:
+                        fill_top_len, fill_left_len = cb.w + area_w, cb.h * 2
+                    else:
+                        fill_top_len, fill_left_len = cb.w * 2, cb.h + area_h
+                    top, left = self._fill_ref_lengths(
+                        cb, cu, 0, 0, fill_top_len, fill_left_len
+                    )
+                else:
+                    is_left_avail = (
+                        self.cs.get_cu_restricted(b.x - 1, b.y, b.x, b.y, 0) is not None
+                        and self.is_decomp(0, b.x - 1, b.y)
+                    )
+                    is_above_avail = (
+                        self.cs.get_cu_restricted(b.x, b.y - 1, b.x, b.y, 0) is not None
+                        and self.is_decomp(0, b.x, b.y - 1)
+                    )
+                    plane = self.planes[0]
+                    if horizontal:
+                        # shift left refs up by area_h, rebuild top from recon
+                        if is_left_avail:
+                            for i in range(2 * cb.h - area_h + 1):
+                                left[i] = left[i + area_h]
+                        else:
+                            fill = int(plane[b.y - 1, b.x])
+                            for i in range(left_len + 1):
+                                left[i] = fill
+                        top = np.zeros(top_len + 2, dtype=np.int64)
+                        top[0] = left[0]
+                        for i in range(area_w):
+                            top[1 + i] = int(plane[b.y - 1, b.x + i])
+                        sample = int(plane[b.y - 1, b.x + area_w - 1])
+                        for i in range(top_len - area_w):
+                            top[1 + area_w + i] = sample
+                    else:
+                        if is_above_avail:
+                            for i in range(2 * cb.w - pred_w + 1):
+                                top[i] = top[i + pred_w]
+                        else:
+                            fill = int(plane[b.y, b.x - 1])
+                            top = np.zeros(max(len(top), top_len + 2), dtype=np.int64)
+                            for i in range(top_len + 1):
+                                top[i] = fill
+                        left = np.zeros(left_len + 2, dtype=np.int64)
+                        left[0] = top[0]
+                        for i in range(area_h):
+                            left[1 + i] = int(plane[b.y + i, b.x - 1])
+                        sample = int(plane[b.y + area_h - 1, b.x - 1])
+                        for i in range(left_len - area_h):
+                            left[1 + area_h + i] = sample
+                # prediction over (pred_w x area_h)
+                pred_w = adj_w
+                p = I.IntraParams(
+                    dir_mode=mode, pu_w=pred_w, pu_h=area_h, cu_w=cb.w, cu_h=cb.h,
+                    is_luma=True, multi_ref_idx=0, use_isp=True, bdpcm=bool(cu.bdpcm_mode),
+                )
+                if cu.bdpcm_mode:
+                    pred = I.pred_bdpcm(top, left, pred_w, area_h, cu.bdpcm_mode, self.bit_depth)
+                elif mode == D.PLANAR_IDX:
+                    pred = I.pred_planar(top, left, pred_w, area_h)
+                    if p.apply_pdpc:
+                        pred = I.pdpc_planar_dc(pred, top, left)
+                elif mode == D.DC_IDX:
+                    dc = I.pred_dc(top, left, pred_w, area_h, 0)
+                    pred = np.full((area_h, pred_w), dc, dtype=np.int64)
+                    if p.apply_pdpc:
+                        pred = I.pdpc_planar_dc(pred, top, left)
+                else:
+                    pred = I.pred_angular(
+                        top, left, pred_w, area_h, p, True, self.bit_depth,
+                        top_ref_len=cb.w + pred_w, left_ref_len=cb.h + area_h,
+                    )
+                pred_cache = pred
+                pred_cache_x0 = b.x
+            # residual + recon for this TB
+            if tu.cbf[0]:
+                resi = self._inv_tx_one(tu, 0)
+            else:
+                resi = np.zeros((b.h, b.w), dtype=np.int32)
+            off = b.x - pred_cache_x0
+            pred_tb = pred_cache[:, off : off + b.w]
+            recon = np.clip(pred_tb + resi, 0, maxv).astype(np.int32)
+            self.planes[0][b.y : b.y1, b.x : b.x1] = recon
+            self.set_decomp(0, b)
+            self.cs.qp_map_l[b.y >> 2 : b.y1 >> 2, b.x >> 2 : b.x1 >> 2] = cu.qp
+        # whole-CU decomp (reference marks full CU luma on first ISP TU)
+        self.set_decomp(0, cb)
 
     # -- per-block ----------------------------------------------------------
 
@@ -90,14 +215,20 @@ class CuReconstructor:
 
     def fill_reference_samples(self, tu_b: Rect, cu: CU, comp: int, mrl: int):
         """xFillReferenceSamples → (top, left) arrays (see ops.intra docs)."""
+        return self._fill_ref_lengths(tu_b, cu, comp, mrl, tu_b.w * 2, tu_b.h * 2)
+
+    def _fill_ref_lengths(self, tu_b: Rect, cu: CU, comp: int, mrl: int,
+                          pred_size: int, pred_hsize: int):
         plane = self.planes[comp]
         ph, pw = plane.shape
         w, h = tu_b.w, tu_b.h
-        pred_size = w * 2
-        pred_hsize = h * 2
         fmt = self.cs.chroma_format
         unit_w = 4 >> (fmt.scale_x if comp else 0)
         unit_h = 4 >> (fmt.scale_y if comp else 0)
+        if w <= 2 and cu.isp_mode and comp == 0:
+            unit_w = w
+        if h <= 2 and cu.isp_mode and comp == 0:
+            unit_h = h
         total_above = (pred_size + unit_w - 1) // unit_w
         total_left = (pred_hsize + unit_h - 1) // unit_h
         total_units = total_above + total_left + 1
@@ -256,9 +387,26 @@ class CuReconstructor:
         if cu.isp_mode and is_luma:
             raise NotImplementedError("ISP recon")
         if cu.mip_flag and is_luma:
-            raise NotImplementedError("MIP recon")
+            top, left = self.fill_reference_samples(b, cu, comp, 0)
+            pred = I.pred_mip(
+                top[1 : b.w + 1], left[1 : b.h + 1], b.w, b.h,
+                cu.intra_dir[0], cu.mip_transposed, self.bit_depth,
+            )
+            resi = self.inv_transform(tu, comp)
+            maxv = (1 << self.bit_depth) - 1
+            recon = np.clip(pred + resi, 0, maxv).astype(np.int32)
+            self.planes[comp][b.y : b.y1, b.x : b.x1] = recon
+            self.set_decomp(comp, b)
+            self.cs.qp_map_l[b.y >> 2 : b.y1 >> 2, b.x >> 2 : b.x1 >> 2] = cu.qp
+            return
         if not is_luma and mode in (D.LM_CHROMA_IDX, D.MDLM_L_IDX, D.MDLM_T_IDX):
-            raise NotImplementedError("CCLM recon")
+            pred = self._pred_cclm(tu, comp, mode)
+            resi = self.inv_transform(tu, comp)
+            maxv = (1 << self.bit_depth) - 1
+            recon = np.clip(pred + resi, 0, maxv).astype(np.int32)
+            self.planes[comp][b.y : b.y1, b.x : b.x1] = recon
+            self.set_decomp(comp, b)
+            return
         mrl = cu.multi_ref_idx if is_luma else 0
         p = I.IntraParams(
             dir_mode=mode,
@@ -301,6 +449,70 @@ class CuReconstructor:
         # record qp for deblocking
         if comp == 0:
             self.cs.qp_map_l[b.y >> 2 : b.y1 >> 2, b.x >> 2 : b.x1 >> 2] = cu.qp
+
+    def _avail_units(self, comp: int, b: Rect, direction: str, num_units: int,
+                     unit: int) -> tuple[int, list[bool]]:
+        """is{Left,Above,BelowLeft,AboveRight}Available — contiguous-decomp
+        walk; returns (count, flags)."""
+        ch = 0 if comp == 0 else 1
+        flags = []
+        count = 0
+        for i in range(num_units):
+            if direction == "left":
+                px, py = b.x - 1, b.y + i * unit
+            elif direction == "above":
+                px, py = b.x + i * unit, b.y - 1
+            elif direction == "belowleft":
+                px, py = b.x - 1, b.y1 + i * unit
+            else:  # aboveright
+                px, py = b.x1 + i * unit, b.y - 1
+            if not self.is_decomp(comp, px, py):
+                break
+            ok = self.cs.get_cu_restricted(px, py, b.x, b.y, ch) is not None
+            flags.append(ok)
+            count += int(ok)
+        return count, flags
+
+    def _pred_cclm(self, tu: TU, comp: int, mode: int) -> np.ndarray:
+        cu = tu.cu
+        b = tu.blocks[comp]
+        fmt = self.cs.chroma_format
+        sx, sy = fmt.scale_x, fmt.scale_y
+        lx, ly = b.x << sx, b.y << sy
+        unit_w = 4 >> sx
+        unit_h = 4 >> sy
+        n_above = b.w // unit_w
+        n_left = b.h // unit_h
+        total_above = (2 * b.w + unit_w - 1) // unit_w
+        total_left = (2 * b.h + unit_h - 1) // unit_h
+        cnt_above, _ = self._avail_units(comp, b, "above", n_above, unit_w)
+        above_avail = cnt_above == n_above
+        cnt_left, _ = self._avail_units(comp, b, "left", n_left, unit_h)
+        left_avail = cnt_left == n_left
+        avai_ar = 0
+        avai_bl = 0
+        if above_avail:
+            avai_ar, _ = self._avail_units(comp, b, "aboveright", total_above - n_above, unit_w)
+        if left_avail:
+            avai_bl, _ = self._avail_units(comp, b, "belowleft", total_left - n_left, unit_h)
+        mdlm = mode in (D.MDLM_L_IDX, D.MDLM_T_IDX)
+        added_ar = avai_ar * unit_w if mdlm else 0
+        added_bl = avai_bl * unit_h if mdlm else 0
+        first_row = (ly & (self.sps.ctu_size - 1)) == 0
+        collocated = self.sps.chroma_ver_collocated if fmt.value == 1 else True
+        inner, l_top, l_left = I.cclm_downsample_luma(
+            self.planes[0], lx, ly, b.w, b.h, sx, sy,
+            above_avail, left_avail, first_row, collocated, added_ar, added_bl,
+        )
+        # chroma reference samples (unfiltered)
+        c_top, c_left = self.fill_reference_samples(b, cu, comp, 0)
+        mode_name = {D.LM_CHROMA_IDX: "lm", D.MDLM_L_IDX: "mdlm_l", D.MDLM_T_IDX: "mdlm_t"}[mode]
+        a, off, shift = I.cclm_parameters(
+            mode_name, b.w, b.h, l_top, l_left, c_top, c_left,
+            above_avail, left_avail, avai_ar, avai_bl, unit_w, unit_h, self.bit_depth,
+        )
+        maxv = (1 << self.bit_depth) - 1
+        return np.clip(((a * inner) >> shift) + off, 0, maxv)
 
     # -- residual -----------------------------------------------------------
 
@@ -379,9 +591,20 @@ class CuReconstructor:
         cu = tu.cu
         b = tu.blocks[comp]
         qp = self._qp_for(tu, comp)
-        if tu.mts_idx[comp] == D.MTS_SKIP:
-            raise NotImplementedError("transform skip recon")
         sh = self.cs.sh
+        if tu.mts_idx[comp] == D.MTS_SKIP:
+            # TS path: QpPrimeTsMin clamp, per-mode dequant, no transform
+            bdpcm = cu.bdpcm_mode if comp == 0 else cu.bdpcm_mode_chroma
+            coeffs = tu.coeffs[comp]
+            if bdpcm:
+                coeffs = self._inv_res_dpcm(coeffs, bdpcm)
+            qp_ts_v = max(qp[0], 4 + 6 * self.sps.internal_minus_input_bd)
+            qp_ts = (qp_ts_v, qp_ts_v // 6, qp_ts_v % 6)
+            use_regular_ts = sh.ts_residual_coding_disabled
+            if sh.dep_quant and use_regular_ts:
+                scan = rom.scan(1, b.w, b.h)
+                return Q.dequant_dep(coeffs, qp_ts, self.bit_depth, scan, is_ts=True)
+            return Q.dequant(coeffs, qp_ts, self.bit_depth, is_ts=True)
         use_regular = sh.ts_residual_coding_disabled or tu.mts_idx[comp] != D.MTS_SKIP
         if sh.dep_quant and use_regular:
             scan = rom.scan(1, b.w, b.h)
@@ -393,5 +616,112 @@ class CuReconstructor:
         tr_h, tr_v = self._tr_types(tu, comp)
         return TX.inv_transform_2d_np(deq, self.bit_depth, tr_h, tr_v)
 
+    @staticmethod
+    def _inv_res_dpcm(coeffs: np.ndarray, bdpcm_mode: int) -> np.ndarray:
+        """Quant::invResDPCM (Quant.cpp:143): cumulative sum along the BDPCM
+        direction with 16-bit-range clamping."""
+        out = coeffs.astype(np.int64).copy()
+        h, w = out.shape
+        if bdpcm_mode == 1:  # horizontal
+            for x in range(1, w):
+                out[:, x] = np.clip(out[:, x - 1] + out[:, x], -32768, 32767)
+        else:
+            for y in range(1, h):
+                out[y, :] = np.clip(out[y - 1, :] + out[y, :], -32768, 32767)
+        return out.astype(np.int32)
+
     def inv_lfnst(self, tu: TU, comp: int, coeffs: np.ndarray) -> np.ndarray:
-        raise NotImplementedError("LFNST inverse")
+        """TrQuant::xInvLfnst (TrQuant.cpp) — low-frequency non-separable
+        secondary transform inverse on the top-left 4x4/8x8 region."""
+        cu = tu.cu
+        b = tu.blocks[comp]
+        w, h = b.w, b.h
+        if not (cu.lfnst_idx and tu.mts_idx[comp] != D.MTS_SKIP and (
+            True if cu.is_sep_tree else comp == 0
+        )):
+            return coeffs
+        whge3 = w >= 8 and h >= 8
+        if whge3:
+            scan = rom.get(f"scanTL8x8_w{w}")
+        else:
+            scan = rom.scan(1, w, h)
+        # intra mode for transform-set selection
+        ch = 0 if comp == 0 else 1
+        mode = cu.intra_dir[ch]
+        if ch == 1 and mode in (D.LM_CHROMA_IDX, D.MDLM_L_IDX, D.MDLM_T_IDX):
+            luma = self._colocated_luma(cu)
+            mode = D.PLANAR_IDX if (luma is None or luma.mip_flag) else luma.intra_dir[0]
+        else:
+            mode = self._final_intra_mode(cu, comp)
+        if (comp == 0 and cu.mip_flag) or (
+            ch == 1 and False
+        ):
+            mode = D.PLANAR_IDX
+        # wide angle (PU::getWideAngle — ISP uses CU dims)
+        if mode >= 2:
+            if cu.isp_mode and comp == 0:
+                aw, ah = cu.blocks[0].w, cu.blocks[0].h
+            else:
+                aw, ah = w, h
+            mode_shift = [0, 6, 10, 12, 14, 15]
+            delta = abs(I.floor_log2(aw) - I.floor_log2(ah))
+            if aw > ah and mode < 2 + mode_shift[delta]:
+                mode += D.VDIA_IDX - 1
+            elif ah > aw and mode > D.VDIA_IDX - mode_shift[delta]:
+                mode -= D.VDIA_IDX + 1
+        # getLFNSTIntraMode
+        if mode < 0:
+            intra_mode = mode + 14 + D.NUM_LUMA_MODE  # NUM_EXT_LUMA_MODE>>1 = 14
+        elif mode >= D.NUM_LUMA_MODE:
+            intra_mode = mode + 14
+        else:
+            intra_mode = mode
+        transpose = (intra_mode >= D.NUM_LUMA_MODE + 14) or (
+            intra_mode < D.NUM_LUMA_MODE and intra_mode > 34
+        )
+        sb_size = 8 if whge3 else 4
+        tu4x4 = w == 4 and h == 4
+        tu8x8 = w == 8 and h == 8
+        zero_out = 8 if (tu4x4 or tu8x8) else 16
+        # gather the 16 input coefficients in scan order
+        flat = coeffs.ravel().astype(np.int64)
+        src = np.array([flat[int(scan[i][0])] for i in range(16)], dtype=np.int64)
+        mode_group = int(rom.lfnst_lut()[intra_mode])
+        mat = rom.lfnst_matrix(mode_group, cu.lfnst_idx - 1, sb_size).astype(np.int64)
+        # invLfnstNxN: out[j] = clip((sum_i src[i] * mat[i][j] + 64) >> 7)
+        tr_size = 48 if sb_size > 4 else 16
+        out_v = np.clip(
+            (src[:zero_out] @ mat[:zero_out, :] + 64) >> 7, -32768, 32767
+        )
+        result = coeffs.astype(np.int64).copy()
+        if transpose:
+            if sb_size == 4:
+                for y in range(4):
+                    for x in range(4):
+                        result[y, x] = out_v[x * 4 + y]
+            else:
+                for y in range(8):
+                    for x in range(4):
+                        result[y, x] = out_v[x * 8 + y]
+                    if y < 4:
+                        for x in range(4, 8):
+                            result[y, x] = out_v[32 + (x - 4) * 4 + y]
+        else:
+            pos = 0
+            for y in range(sb_size):
+                stride = sb_size if y < 4 else 4
+                for x in range(stride):
+                    result[y, x] = out_v[pos]
+                    pos += 1
+        return result.astype(np.int32)
+
+    def _colocated_luma(self, cu: CU):
+        b = cu.blocks[1]
+        fmt = self.cs.chroma_format
+        if cu.is_sep_tree:
+            lx = (b.x + (b.w >> 1)) << fmt.scale_x
+            ly = (b.y + (b.h >> 1)) << fmt.scale_y
+        else:
+            lx = b.x << fmt.scale_x
+            ly = b.y << fmt.scale_y
+        return self.cs.get_cu(lx, ly, 0)

@@ -156,9 +156,14 @@ def pred_angular(
     p: IntraParams,
     is_luma: bool,
     bit_depth: int,
+    top_ref_len: int | None = None,
+    left_ref_len: int | None = None,
 ) -> np.ndarray:
     """xPredIntraAng — returns (h, w) int array (no PDPC; applied by caller
-    for angular modes inside, matching reference placement)."""
+    for angular modes inside, matching reference placement).
+
+    top_ref_len/left_ref_len default to 2w/2h; ISP passes cuW+tbW / cuH+tbH.
+    """
     mrl = p.multi_ref_idx
     angle = p.intra_pred_angle
     inv_angle = p.inv_angle
@@ -188,8 +193,10 @@ def pred_angular(
             idx = min((-k * inv_angle + 256) >> 9, size_side)
             ref_main[ref_main_base + k] = ref_side[side_off + idx]
     else:
-        top_ref_len = w * 2
-        left_ref_len = h * 2
+        if top_ref_len is None:
+            top_ref_len = w * 2
+        if left_ref_len is None:
+            left_ref_len = h * 2
         ref_above = np.zeros(1400, dtype=np.int64)
         ref_left = np.zeros_like(ref_above)
         for x in range(top_ref_len + mrl + 1):
@@ -284,6 +291,347 @@ def pdpc_planar_dc(pred: np.ndarray, top: np.ndarray, left: np.ndarray) -> np.nd
     top_row = top[1 : w + 1].astype(np.int64)[None, :]
     out = out + ((wl * (left_col - out) + wt * (top_row - out) + 32) >> 6)
     return out
+
+
+def cclm_downsample_luma(
+    luma: np.ndarray,
+    lx: int,
+    ly: int,
+    cw: int,
+    ch: int,
+    scale_x: int,
+    scale_y: int,
+    above_avail: bool,
+    left_avail: bool,
+    first_row_of_ctu: bool,
+    collocated: bool,
+    added_above_right: int,
+    added_left_below: int,
+):
+    """xGetLumaRecPixels (IntraPrediction.cpp): 6-tap / 5-tap / 3-tap luma
+    downsampling for CCLM.  Returns (inner (ch,cw), top row, left col) in the
+    CCLM temp-buffer layout (top[i] = pDst0[-stride + i], left[j] =
+    pDst0[-1 + j*stride])."""
+    H, W = luma.shape
+
+    def rec(y, x):
+        return int(luma[min(max(y, 0), H - 1), min(max(x, 0), W - 1)])
+
+    inner = np.zeros((ch, cw), dtype=np.int64)
+    top = np.zeros(cw + added_above_right, dtype=np.int64)
+    left = np.zeros(ch + added_left_below, dtype=np.int64)
+    if scale_x == 0 and scale_y == 0:  # 444
+        for j in range(ch):
+            for i in range(cw):
+                inner[j, i] = rec(ly + j, lx + i)
+        if above_avail:
+            for i in range(len(top)):
+                top[i] = rec(ly - 1, lx + i)
+        if left_avail:
+            for j in range(len(left)):
+                left[j] = rec(ly + j, lx - 1)
+        return inner, top, left
+    is422 = scale_y == 0
+    if above_avail:
+        for i in range(len(top)):
+            left_pad = i == 0 and not left_avail
+            x2 = lx + 2 * i
+            if first_row_of_ctu:
+                top[i] = (rec(ly - 1, x2) * 2 + rec(ly - 1, x2 - (0 if left_pad else 1))
+                          + rec(ly - 1, x2 + 1) + 2) >> 2
+            elif is422:
+                top[i] = (rec(ly - 2, x2) * 2 + rec(ly - 2, x2 - (0 if left_pad else 1))
+                          + rec(ly - 2, x2 + 1) + 2) >> 2
+            elif collocated:
+                s = 4
+                s += rec(ly - 3, x2)
+                s += rec(ly - 2, x2) * 4
+                s += rec(ly - 2, x2 - (0 if left_pad else 1))
+                s += rec(ly - 2, x2 + 1)
+                s += rec(ly - 1, x2)
+                top[i] = s >> 3
+            else:
+                s = 4
+                s += rec(ly - 2, x2) * 2
+                s += rec(ly - 2, x2 + 1)
+                s += rec(ly - 2, x2 - (0 if left_pad else 1))
+                s += rec(ly - 1, x2) * 2
+                s += rec(ly - 1, x2 + 1)
+                s += rec(ly - 1, x2 - (0 if left_pad else 1))
+                top[i] = s >> 3
+    if left_avail:
+        for j in range(len(left)):
+            y2 = ly + (j << scale_y)
+            xs = lx - 1 - scale_x
+            if is422:
+                left[j] = (rec(y2, xs) * 2 + rec(y2, xs - 1) + rec(y2, xs + 1) + 2) >> 2
+            elif collocated:
+                above_pad = j == 0 and not above_avail
+                s = 4
+                s += rec(y2 - (0 if above_pad else 1), xs)
+                s += rec(y2, xs) * 4
+                s += rec(y2, xs - 1)
+                s += rec(y2, xs + 1)
+                s += rec(y2 + 1, xs)
+                left[j] = s >> 3
+            else:
+                s = 4
+                s += rec(y2, xs) * 2
+                s += rec(y2, xs + 1)
+                s += rec(y2, xs - 1)
+                s += rec(y2 + 1, xs) * 2
+                s += rec(y2 + 1, xs + 1)
+                s += rec(y2 + 1, xs - 1)
+                left[j] = s >> 3
+    for j in range(ch):
+        for i in range(cw):
+            left_pad = i == 0 and not left_avail
+            x2 = lx + 2 * i
+            y2 = ly + (j << scale_y)
+            if is422:
+                inner[j, i] = (rec(y2, x2) * 2 + rec(y2, x2 - (0 if left_pad else 1))
+                               + rec(y2, x2 + 1) + 2) >> 2
+            elif collocated:
+                above_pad = j == 0 and not above_avail
+                s = 4
+                s += rec(y2 - (0 if above_pad else 1), x2)
+                s += rec(y2, x2) * 4
+                s += rec(y2, x2 - (0 if left_pad else 1))
+                s += rec(y2, x2 + 1)
+                s += rec(y2 + 1, x2)
+                inner[j, i] = s >> 3
+            else:
+                s = 4
+                s += rec(y2, x2) * 2
+                s += rec(y2, x2 + 1)
+                s += rec(y2, x2 - (0 if left_pad else 1))
+                s += rec(y2 + 1, x2) * 2
+                s += rec(y2 + 1, x2 + 1)
+                s += rec(y2 + 1, x2 - (0 if left_pad else 1))
+                inner[j, i] = s >> 3
+    return inner, top, left
+
+
+MIP_SHIFT_MATRIX = 6
+MIP_OFFSET_MATRIX = 32
+
+
+def mip_size_id(w: int, h: int) -> int:
+    if w == 4 and h == 4:
+        return 0
+    if w == 4 or h == 4 or (w == 8 and h == 8):
+        return 1
+    return 2
+
+
+def _mip_boundary_downsample(full: np.ndarray, dst_len: int) -> np.ndarray:
+    src_len = len(full)
+    if dst_len < src_len:
+        factor = src_len // dst_len
+        log2f = floor_log2(factor)
+        off = 1 << (log2f - 1)
+        return (full.reshape(dst_len, factor).sum(axis=1) + off) >> log2f
+    return full[:dst_len].copy()
+
+
+def _mip_upsample_1d(dst, src, bndry, src_size_up, src_size_orth, src_step,
+                     src_stride, dst_step, dst_stride, bndry_step, factor):
+    """predictionUpsampling1D on flat int arrays."""
+    log2f = floor_log2(factor)
+    off = 1 << (log2f - 1)
+    src_line = 0
+    dst_line = 0
+    bndry_line = bndry_step - 1
+    for _ in range(src_size_orth):
+        before_arr, before_idx = bndry, bndry_line
+        behind_idx = src_line
+        cur = dst_line
+        for _k in range(src_size_up):
+            before_v = int(before_arr[before_idx])
+            behind_v = int(src[behind_idx])
+            scaled_before = before_v << log2f
+            scaled_behind = 0
+            for _pos in range(factor):
+                scaled_before -= before_v
+                scaled_behind += behind_v
+                dst[cur] = (scaled_before + scaled_behind + off) >> log2f
+                cur += dst_step
+            before_arr, before_idx = src, behind_idx
+            behind_idx += src_step
+        bndry_line += bndry_step
+        src_line += src_stride
+        dst_line += dst_stride
+
+
+def pred_mip(
+    top_row: np.ndarray,  # refs top[1..w]
+    left_col: np.ndarray,  # refs left[1..h]
+    w: int,
+    h: int,
+    mode_idx: int,
+    transpose: bool,
+    bit_depth: int,
+) -> np.ndarray:
+    """Matrix intra prediction (MatrixIntraPrediction.cpp)."""
+    size_id = mip_size_id(w, h)
+    bdry_size = 2 if size_id == 0 else 4
+    red_pred = 4 if size_id < 2 else 8
+    up_h = w // red_pred
+    up_v = h // red_pred
+    top_red = _mip_boundary_downsample(top_row.astype(np.int64), bdry_size)
+    left_red = _mip_boundary_downsample(left_col.astype(np.int64), bdry_size)
+    input_size = 2 * bdry_size
+    red = np.concatenate([top_red, left_red])
+    red_t = np.concatenate([left_red, top_red])
+    off0 = int(red[0])
+    off0_t = int(red_t[0])
+    has_first = size_id < 2
+    red = red.copy()
+    red_t = red_t.copy()
+    red[1:] -= off0
+    red_t[1:] -= off0_t
+    red[0] = ((1 << (bit_depth - 1)) - off0) if has_first else 0
+    red_t[0] = ((1 << (bit_depth - 1)) - off0_t) if has_first else 0
+    inp = red_t if transpose else red
+    input_offset = off0_t if transpose else off0
+    matrix = rom.mip_matrix(size_id)[mode_idx].astype(np.int64)  # (redN^2, taps)
+    s = int(np.sum(inp))
+    offset = (1 << (MIP_SHIFT_MATRIX - 1)) - MIP_OFFSET_MATRIX * s
+    red_size = size_id == 2
+    res = np.zeros(red_pred * red_pred, dtype=np.int64)
+    wflat = matrix.ravel()
+    wpos = 0
+    maxv = (1 << bit_depth) - 1
+    for pos in range(red_pred * red_pred):
+        if red_size:
+            wpos -= 1
+        acc = 0 if red_size else int(inp[0]) * int(wflat[wpos])
+        for i in range(1, input_size):
+            acc += int(inp[i]) * int(wflat[wpos + i])
+        res[pos] = max(0, min(maxv, ((acc + offset) >> MIP_SHIFT_MATRIX) + input_offset))
+        wpos += input_size
+    if transpose:
+        res = res.reshape(red_pred, red_pred).T.ravel().copy()
+    if up_h > 1 or up_v > 1:
+        dst = np.zeros(w * h, dtype=np.int64)
+        ver_src = res
+        ver_src_step = w
+        ver_src_off = 0
+        if up_h > 1:
+            hor_off = (up_v - 1) * w
+            ver_src_step = w * up_v
+            _mip_upsample_1d(
+                dst[hor_off:], res, left_col.astype(np.int64),
+                red_pred, red_pred, 1, red_pred, 1, ver_src_step, up_v, up_h
+            )
+            ver_src = dst[hor_off:]
+        if up_v > 1:
+            _mip_upsample_1d(
+                dst, ver_src, top_row.astype(np.int64),
+                red_pred, w, ver_src_step if up_h > 1 else w, 1, w, 1, 1, up_v
+            )
+        return dst.reshape(h, w)
+    return res.reshape(h, w)
+
+
+DIV_SIG_TABLE = [0, 7, 6, 5, 5, 4, 4, 3, 3, 2, 2, 1, 1, 1, 1, 0]
+
+
+def cclm_parameters(
+    mode: str,  # 'lm', 'mdlm_l', 'mdlm_t'
+    cw: int,
+    ch: int,
+    luma_top: np.ndarray,
+    luma_left: np.ndarray,
+    chroma_top: np.ndarray,  # unfiltered chroma refs: top[1..], left[1..]
+    chroma_left: np.ndarray,
+    above_avail: bool,
+    left_avail: bool,
+    avai_above_right_units: int,
+    avai_left_below_units: int,
+    unit_w: int,
+    unit_h: int,
+    bit_depth: int,
+):
+    """xGetLMParameters — returns (a, b, shift)."""
+    if mode == "mdlm_t":
+        left_avail = False
+        aru = min(avai_above_right_units, ch // unit_w)
+        actual_top = unit_w * (cw // unit_w + aru) if above_avail else 0
+        actual_left = 0
+    elif mode == "mdlm_l":
+        above_avail = False
+        lbu = min(avai_left_below_units, cw // unit_h)
+        actual_left = unit_h * (ch // unit_h + lbu) if left_avail else 0
+        actual_top = 0
+    else:
+        actual_top = cw
+        actual_left = ch
+    above_is4 = 0 if left_avail else 1
+    left_is4 = 0 if above_avail else 1
+    start = [actual_top >> (2 + above_is4), actual_left >> (2 + left_is4)]
+    step = [max(1, actual_top >> (1 + above_is4)), max(1, actual_left >> (1 + left_is4))]
+    sel_luma = [0, 0, 0, 0]
+    sel_chroma = [0, 0, 0, 0]
+    cnt_t = cnt_l = 0
+    cnt = 0
+    if above_avail:
+        cnt_t = min(actual_top, (1 + above_is4) << 1)
+        pos = start[0]
+        while cnt < cnt_t:
+            sel_luma[cnt] = int(luma_top[pos])
+            sel_chroma[cnt] = int(chroma_top[1 + pos])
+            pos += step[0]
+            cnt += 1
+    if left_avail:
+        cnt_l = min(actual_left, (1 + left_is4) << 1)
+        pos = start[1]
+        k = 0
+        while k < cnt_l:
+            sel_luma[k + cnt_t] = int(luma_left[pos])
+            sel_chroma[k + cnt_t] = int(chroma_left[1 + pos])
+            pos += step[1]
+            k += 1
+    cnt = cnt_l + cnt_t
+    if cnt == 2:
+        sel_luma[3], sel_chroma[3] = sel_luma[0], sel_chroma[0]
+        sel_luma[2], sel_chroma[2] = sel_luma[1], sel_chroma[1]
+        sel_luma[0], sel_chroma[0] = sel_luma[1], sel_chroma[1]
+        sel_luma[1], sel_chroma[1] = sel_luma[3], sel_chroma[3]
+    min_grp = [0, 2]
+    max_grp = [1, 3]
+    if sel_luma[min_grp[0]] > sel_luma[min_grp[1]]:
+        min_grp = [min_grp[1], min_grp[0]]
+    if sel_luma[max_grp[0]] > sel_luma[max_grp[1]]:
+        max_grp = [max_grp[1], max_grp[0]]
+    if sel_luma[min_grp[0]] > sel_luma[max_grp[1]]:
+        min_grp, max_grp = max_grp, min_grp
+    if sel_luma[min_grp[1]] > sel_luma[max_grp[0]]:
+        min_grp[1], max_grp[0] = max_grp[0], min_grp[1]
+    min_l = (sel_luma[min_grp[0]] + sel_luma[min_grp[1]] + 1) >> 1
+    min_c = (sel_chroma[min_grp[0]] + sel_chroma[min_grp[1]] + 1) >> 1
+    max_l = (sel_luma[max_grp[0]] + sel_luma[max_grp[1]] + 1) >> 1
+    max_c = (sel_chroma[max_grp[0]] + sel_chroma[max_grp[1]] + 1) >> 1
+    if left_avail or above_avail:
+        diff = max_l - min_l
+        if diff > 0:
+            diff_c = max_c - min_c
+            x = floor_log2(diff)
+            norm_diff = ((diff << 4) >> x) & 15
+            v = DIV_SIG_TABLE[norm_diff] | 8
+            x += int(norm_diff != 0)
+            y = floor_log2(abs(diff_c)) + 1 if diff_c else 1
+            add = (1 << y) >> 1
+            a = (diff_c * v + add) >> y
+            shift = 3 + x - y
+            if shift < 1:
+                shift = 1
+                a = 0 if a == 0 else (-15 if a < 0 else 15)
+            b = min_c - ((a * min_l) >> shift)
+        else:
+            a, b, shift = 0, min_c, 0
+        return a, b, shift
+    return 0, 1 << (bit_depth - 1), 0
 
 
 def pred_bdpcm(top: np.ndarray, left: np.ndarray, w: int, h: int, dir_mode: int,
