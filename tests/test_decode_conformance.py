@@ -32,7 +32,12 @@ def test_bit_exact_decode(name):
     for hr in dec.hash_results:
         assert hr.ok, f"hash mismatch at POC {hr.poc}"
 
-TOOL_STREAMS = ["ai_tools_tiny64_qp32", "ai_tools_small208_qp27"]
+TOOL_STREAMS = [
+    "ai_tools_tiny64_qp32",
+    "ai_tools_small208_qp27",
+    "ai_full_tiny64_qp32",
+    "ai_full_small208_qp37",
+]
 
 
 @pytest.mark.parametrize("name", TOOL_STREAMS)

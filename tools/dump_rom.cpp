@@ -16,6 +16,7 @@
 #include "CommonLib/Contexts.h"
 #include "CommonLib/InterpolationFilter.h"
 #include "CommonLib/MipData.h"
+#include "CommonLib/AdaptiveLoopFilter.h"
 
 static FILE* g_out;
 
@@ -193,6 +194,18 @@ int main(int argc, char** argv)
   dump("lumaFilterRPR2",   &InterpolationFilter::m_lumaFilterRPR2[0][0],   {LUMA_INTERPOLATION_FILTER_SUB_SAMPLE_POSITIONS, NTAPS_LUMA});
   dump("chromaFilterRPR1", &InterpolationFilter::m_chromaFilterRPR1[0][0], {CHROMA_INTERPOLATION_FILTER_SUB_SAMPLE_POSITIONS, NTAPS_CHROMA});
   dump("chromaFilterRPR2", &InterpolationFilter::m_chromaFilterRPR2[0][0], {CHROMA_INTERPOLATION_FILTER_SUB_SAMPLE_POSITIONS, NTAPS_CHROMA});
+
+  // ---- ALF fixed filters (protected statics — expose via subclass) ----
+  {
+    struct AlfExpose : AdaptiveLoopFilter {
+      static const int* fixed() { return &m_fixedFilterSetCoeff[0][0]; }
+      static const int* mapping() { return &m_classToFilterMapping[0][0]; }
+    };
+    dump("alfFixedFilterCoeff", AlfExpose::fixed(),
+         {ALF_FIXED_FILTER_NUM, MAX_NUM_ALF_LUMA_COEFF});
+    dump("alfClassToFilterMapping", AlfExpose::mapping(),
+         {NUM_FIXED_FILTER_SETS, MAX_NUM_ALF_CLASSES});
+  }
 
   // ---- misc intra ----
   dump("chroma422IntraAngleMapping", g_chroma422IntraAngleMappingTable, {NUM_INTRA_MODE});

@@ -1008,6 +1008,7 @@ class SyntaxReader:
                 if blocks[c] is not None:
                     tu.coeffs[c] = np.zeros((blocks[c].h, blocks[c].w), dtype=np.int32)
             cu.tus.append(tu)
+            self.cs.add_tu(tu)
             self._isp_transform_unit(tu, cu_ctx, part, idx, n)
 
     def _isp_transform_unit(self, tu: TU, cu_ctx: CuCtx, part: P.Partitioner,
@@ -1080,6 +1081,7 @@ class SyntaxReader:
             if blocks[c] is not None:
                 tu.coeffs[c] = np.zeros((blocks[c].h, blocks[c].w), dtype=np.int32)
         cu.tus.append(tu)
+        self.cs.add_tu(tu)
         self.transform_unit(tu, cu_ctx, part)
 
     def cbf_comp(self, area: Rect, comp: int, prev_cbf: bool, use_isp: bool, cu: CU) -> int:

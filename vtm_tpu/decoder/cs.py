@@ -155,6 +155,11 @@ class DecCodingStructure:
             np.full(((ch + 1) >> 1, (cw + 1) >> 1), -1, dtype=np.int32)
             if cw else None
         )
+        self.tus: list[TU] = []
+        self.map_tu_l = np.full(((h + 3) >> 2, (w + 3) >> 2), -1, dtype=np.int32)
+        self.map_tu_c = (
+            np.full(((ch + 1) >> 1, (cw + 1) >> 1), -1, dtype=np.int32) if cw else None
+        )
         # per-CTU tile index and slice index (raster CTU addr)
         self.ctu_size = sps.ctu_size
         self.pic_w_ctu = pps.pic_width_in_ctu(sps.ctu_size)
@@ -194,6 +199,34 @@ class DecCodingStructure:
             b = cu.blocks[1]
             self.map_c[b.y >> 1 : b.y1 >> 1, b.x >> 1 : b.x1 >> 1] = idx
         return cu
+
+    def add_tu(self, tu: TU) -> TU:
+        idx = len(self.tus)
+        self.tus.append(tu)
+        if tu.blocks[0] is not None:
+            b = tu.blocks[0]
+            self.map_tu_l[b.y >> 2 : b.y1 >> 2, b.x >> 2 : b.x1 >> 2] = idx
+        if tu.blocks[1] is not None and self.map_tu_c is not None:
+            b = tu.blocks[1]
+            self.map_tu_c[b.y >> 1 : b.y1 >> 1, b.x >> 1 : b.x1 >> 1] = idx
+        return tu
+
+    def get_tu(self, x: int, y: int, ch_type: int) -> TU | None:
+        if x < 0 or y < 0:
+            return None
+        if ch_type == CH_L:
+            if y >= self.pic_h or x >= self.pic_w:
+                return None
+            idx = self.map_tu_l[y >> 2, x >> 2]
+        else:
+            if self.map_tu_c is None:
+                return None
+            cw = self.pic_w >> self.chroma_format.scale_x
+            chh = self.pic_h >> self.chroma_format.scale_y
+            if y >= chh or x >= cw:
+                return None
+            idx = self.map_tu_c[y >> 1, x >> 1]
+        return self.tus[idx] if idx >= 0 else None
 
     def get_cu(self, x: int, y: int, ch_type: int) -> CU | None:
         """Position in channel coords of ch_type."""

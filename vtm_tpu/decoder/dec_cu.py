@@ -402,6 +402,7 @@ class CuReconstructor:
         if not is_luma and mode in (D.LM_CHROMA_IDX, D.MDLM_L_IDX, D.MDLM_T_IDX):
             pred = self._pred_cclm(tu, comp, mode)
             resi = self.inv_transform(tu, comp)
+            resi = self._maybe_scale_chroma_resi(tu, comp, resi)
             maxv = (1 << self.bit_depth) - 1
             recon = np.clip(pred + resi, 0, maxv).astype(np.int32)
             self.planes[comp][b.y : b.y1, b.x : b.x1] = recon
@@ -442,6 +443,7 @@ class CuReconstructor:
             )
         # residual
         resi = self.inv_transform(tu, comp)
+        resi = self._maybe_scale_chroma_resi(tu, comp, resi)
         maxv = (1 << self.bit_depth) - 1
         recon = np.clip(pred + resi, 0, maxv).astype(np.int32)
         self.planes[comp][b.y : b.y1, b.x : b.x1] = recon
@@ -449,6 +451,72 @@ class CuReconstructor:
         # record qp for deblocking
         if comp == 0:
             self.cs.qp_map_l[b.y >> 2 : b.y1 >> 2, b.x >> 2 : b.x1 >> 2] = cu.qp
+
+    def _maybe_scale_chroma_resi(self, tu: TU, comp: int, resi: np.ndarray) -> np.ndarray:
+        """LMCS chroma residual scaling (DecCu xIntraRecBlk + Reshape)."""
+        if comp == 0:
+            return resi
+        sh = self.cs.sh
+        ph = self.cs.ph
+        lmcs = getattr(self.cs, "lmcs_model", None)
+        if lmcs is None or not sh.lmcs_enabled or not ph.lmcs_chroma_residual_scale:
+            return resi
+        if not (tu.cbf[1] or tu.cbf[2]):
+            return resi
+        if not hasattr(tu, "_chroma_adj"):
+            tu._chroma_adj = self._chroma_adj_vpdu(tu)
+        b = tu.blocks[comp]
+        if b.w * b.h > 4 and (tu.cbf[comp] or tu.joint_cbcr):
+            from vtm_tpu.ops import lmcs as L
+
+            return L.scale_signal_inverse(resi, tu._chroma_adj, self.bit_depth)
+        return resi
+
+    def _chroma_adj_vpdu(self, tu: TU) -> int:
+        """Reshape::calculateChromaAdjVpduNei (Reshape.cpp:106)."""
+        lmcs = self.cs.lmcs_model
+        fmt = self.cs.chroma_format
+        if tu.blocks[0] is not None:
+            ax, ay = tu.blocks[0].x, tu.blocks[0].y
+        else:
+            ax = tu.blocks[1].x << fmt.scale_x
+            ay = tu.blocks[1].y << fmt.scale_y
+        ctu = self.sps.ctu_size
+        num_neighbor = min(64, ctu)
+        nlog = num_neighbor.bit_length() - 1
+        grid = 64 if ctu == 128 else ctu
+        x_pos = ax // grid * grid
+        y_pos = ay // grid * grid
+        cache = getattr(self, "_vpdu_cache", None)
+        if cache is not None and cache[0] == x_pos and cache[1] == y_pos:
+            return cache[2]
+        top_left_luma = self.cs.get_cu(x_pos, y_pos, CH_L)
+        lx, ly = top_left_luma.lx, top_left_luma.ly
+        cu_above = self.cs.get_cu_restricted(lx, ly - 1, lx, ly, CH_L)
+        cu_left = self.cs.get_cu_restricted(lx - 1, ly, lx, ly, CH_L)
+        plane = self.planes[0]
+        pic_h, pic_w = plane.shape
+        rec_sum = 0
+        pelnum = 0
+        if cu_left is not None:
+            for i in range(num_neighbor):
+                k = (pic_h - ly - 1) if (ly + i) >= pic_h else i
+                rec_sum += int(plane[ly + k, lx - 1])
+                pelnum += 1
+        if cu_above is not None:
+            for i in range(num_neighbor):
+                k = (pic_w - lx - 1) if (lx + i) >= pic_w else i
+                rec_sum += int(plane[ly - 1, lx + k])
+                pelnum += 1
+        if pelnum == num_neighbor:
+            luma_value = (rec_sum + (1 << (nlog - 1))) >> nlog
+        elif pelnum == (num_neighbor << 1):
+            luma_value = (rec_sum + (1 << nlog)) >> (nlog + 1)
+        else:
+            luma_value = 1 << (self.bit_depth - 1)
+        adj = lmcs.chroma_adj(luma_value)
+        self._vpdu_cache = (x_pos, y_pos, adj)
+        return adj
 
     def _avail_units(self, comp: int, b: Rect, direction: str, num_units: int,
                      unit: int) -> tuple[int, list[bool]]:

@@ -32,7 +32,6 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
         n_ctu = pps.pic_width_in_ctu(sps.ctu_size) * pps.pic_height_in_ctu(sps.ctu_size)
         slice_idx_of_ctu = np.full(n_ctu, -1, dtype=np.int32)
         pic.dcs = D.DecCodingStructure(sps, pps, ph, sh, slice_idx_of_ctu)
-        pic.dcs.aps_map = dec.psm.aps
         pic.recon = CuReconstructor(pic.dcs, pic.planes)
         pic.sao_params = [SaoParams() for _ in range(n_ctu)]
         pic.alf_ctb_flag = [np.zeros(n_ctu, dtype=np.uint8) for _ in range(3)]
@@ -43,6 +42,22 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
     dcs = pic.dcs
     dcs.sh = sh
     dcs.ph = ph
+    # snapshot the parameter-set state at slice activation: later APS NALs
+    # (for following pictures) must not affect this picture's filters
+    dcs.aps_map = dict(dec.psm.aps)
+    dcs.__dict__.setdefault("_slice_headers", []).append(sh)
+    if sh.lmcs_enabled:
+        from vtm_tpu.ops.lmcs import LmcsModel
+
+        aps = dec.psm.aps[(1, ph.lmcs_aps_id)]
+        cache = dec.__dict__.setdefault("_lmcs_cache", {})
+        key = id(aps)
+        if key not in cache:
+            cache[key] = LmcsModel(aps, sps.bit_depth)
+        dcs.lmcs_model = cache[key]
+        pic.lmcs_model = cache[key]
+    else:
+        dcs.lmcs_model = None
     dcs.cur_slice_idx = pic.slice_count
     pic.slice_count += 1
     for addr in sh.ctu_addrs:
@@ -65,9 +80,9 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
 
     trace_file = None
     if os.environ.get("VTM_TPU_CABAC_TRACE"):
-        trace_file = dec.__dict__.setdefault(
-            "_trace_file", open(os.environ["VTM_TPU_CABAC_TRACE"], "w")
-        )
+        if "_trace_file" not in dec.__dict__:
+            dec._trace_file = open(os.environ["VTM_TPU_CABAC_TRACE"], "w")
+        trace_file = dec._trace_file
     ctx = ContextModels()
     cab = CabacDecoder(substreams[0], ctx)
     cab.trace = trace_file

@@ -1,0 +1,382 @@
+"""ALF + CC-ALF — exact integer reference implementation.
+
+Behavioral contract from CommonLib/AdaptiveLoopFilter.cpp: 4x4 gradient
+classification with virtual-boundary handling (deriveClassificationBlk:859),
+geometric transposes + clipped 7x7/5x5 diamond filtering (filterBlk),
+fixed/APS filter-set reconstruction (reconstructCoeff:~700), and the
+cross-component filter (filterBlkCcAlf).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vtm_tpu.common import rom
+
+MAX_NUM_ALF_CLASSES = 25
+MAX_NUM_ALF_LUMA_COEFF = 13
+NUM_FIXED_FILTER_SETS = 16
+NUM_BITS = 8
+SCALE_BITS_CC = 7
+PAD = 4
+ACT_TH = [0, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 4]
+TRANSPOSE_TABLE = [0, 1, 0, 2, 2, 3, 1, 3]
+
+
+def clip_values(bit_depth: int) -> list[int]:
+    vals = [1 << bit_depth]
+    shift = bit_depth - 8
+    for i in range(1, 4):
+        vals.append(1 << (7 - 2 * i + shift))
+    return vals
+
+
+def _clip3(lo, hi, v):
+    return max(lo, min(hi, v))
+
+
+def _clip_alf(clip, ref, v0, v1):
+    return _clip3(-clip, clip, v0 - ref) + _clip3(-clip, clip, v1 - ref)
+
+
+def reconstruct_luma_coeffs(alf_param, bit_depth: int):
+    """reconstructCoeff for luma: (25, 13) coeff + clip arrays."""
+    factor = 1 << (NUM_BITS - 1)
+    cvals = clip_values(bit_depth)
+    coeff = np.zeros((MAX_NUM_ALF_CLASSES, MAX_NUM_ALF_LUMA_COEFF), dtype=np.int64)
+    clipp = np.zeros_like(coeff)
+    for cls in range(MAX_NUM_ALF_CLASSES):
+        f = alf_param.filter_coeff_delta_idx[cls]
+        for i in range(12):
+            coeff[cls, i] = alf_param.luma_coeff[f][i]
+            ci = alf_param.luma_clip[f][i] if alf_param.nonlinear_luma else 0
+            clipp[cls, i] = cvals[ci]
+        coeff[cls, 12] = factor
+        clipp[cls, 12] = cvals[0]
+    return coeff, clipp
+
+
+def reconstruct_chroma_coeffs(alf_param, alt: int, bit_depth: int):
+    factor = 1 << (NUM_BITS - 1)
+    cvals = clip_values(bit_depth)
+    coeff = np.zeros(7, dtype=np.int64)
+    clipp = np.zeros(7, dtype=np.int64)
+    for i in range(6):
+        coeff[i] = alf_param.chroma_coeff[alt][i]
+        ci = alf_param.chroma_clip[alt][i] if alf_param.nonlinear_chroma else 0
+        clipp[i] = cvals[ci]
+    coeff[6] = factor
+    clipp[6] = cvals[0]
+    return coeff, clipp
+
+
+def fixed_filter_sets(bit_depth: int):
+    """m_fixedFilterSetCoeffDec + m_clipDefault."""
+    fixed = rom.get("alfFixedFilterCoeff").astype(np.int64)  # (64, 13)
+    mapping = rom.get("alfClassToFilterMapping").astype(np.int64)  # (16, 25)
+    cvals = clip_values(bit_depth)
+    sets = np.zeros((NUM_FIXED_FILTER_SETS, MAX_NUM_ALF_CLASSES, 13), dtype=np.int64)
+    for s in range(NUM_FIXED_FILTER_SETS):
+        for cls in range(MAX_NUM_ALF_CLASSES):
+            sets[s, cls] = fixed[mapping[s, cls]]
+    clip_default = np.full((MAX_NUM_ALF_CLASSES, 13), cvals[0], dtype=np.int64)
+    return sets, clip_default
+
+
+def classify_block(luma_pad: np.ndarray, x0: int, y0: int, w: int, h: int,
+                   bit_depth: int, vb_ctu_height: int, vb_pos: int):
+    """deriveClassificationBlk → (class_idx, transpose_idx) per 4x4 block.
+
+    luma_pad is the picture luma padded by PAD with edge replication;
+    (x0, y0) are picture coords of the block (blkDst == blk here).
+    """
+    shift = bit_depth + 4
+
+    def S(y, x):
+        return int(luma_pad[y + PAD, x + PAD])
+
+    hgt = h + 4
+    wdt = w + 4
+    lap = np.zeros((4, hgt, wdt), dtype=np.int64)  # VER, HOR, D0, D1
+    for i in range(0, hgt, 2):
+        y = y0 + i - 2  # row of pY
+        # VB-adjusted source rows
+        yd, yu, yu2 = y - 1, y + 1, y + 2
+        dst_y = y0 - 2 + i
+        if dst_y > 0 and (dst_y & (vb_ctu_height - 1)) == vb_pos - 2:
+            yu2 = yu
+        elif dst_y > 0 and (dst_y & (vb_ctu_height - 1)) == vb_pos:
+            yd = y
+        for j in range(0, wdt, 2):
+            x = x0 + j - 2
+            y0v = S(y, x) * 2
+            yup1 = S(yu, x + 1) * 2
+            lap[0, i, j] = abs(y0v - S(yd, x) - S(yu, x)) + abs(yup1 - S(y, x + 1) - S(yu2, x + 1))
+            lap[1, i, j] = abs(y0v - S(y, x + 1) - S(y, x - 1)) + abs(yup1 - S(yu, x + 2) - S(yu, x))
+            lap[2, i, j] = abs(y0v - S(yd, x - 1) - S(yu, x + 1)) + abs(yup1 - S(y, x) - S(yu2, x + 2))
+            lap[3, i, j] = abs(y0v - S(yu, x - 1) - S(yd, x + 1)) + abs(yup1 - S(yu2, x) - S(y, x + 2))
+            if j > 4 and (j - 6) % 4 == 0:
+                for d in range(4):
+                    lap[d, i, j - 6] += lap[d, i, j - 4] + lap[d, i, j - 2] + lap[d, i, j]
+    classes = np.zeros((h // 4, w // 4), dtype=np.int32)
+    transposes = np.zeros_like(classes)
+    for i in range(0, h, 4):
+        for j in range(0, w, 4):
+            yv = (i + y0) % vb_ctu_height
+            if yv == vb_pos - 4:
+                rows = (i, i + 2, i + 4)
+            elif yv == vb_pos:
+                rows = (i + 2, i + 4, i + 6)
+            else:
+                rows = (i, i + 2, i + 4, i + 6)
+            sum_v = sum(int(lap[0, r, j]) for r in rows)
+            sum_h = sum(int(lap[1, r, j]) for r in rows)
+            sum_d0 = sum(int(lap[2, r, j]) for r in rows)
+            sum_d1 = sum(int(lap[3, r, j]) for r in rows)
+            temp_act = sum_v + sum_h
+            yb = (i + y0) & (vb_ctu_height - 1)
+            mult = 96 if (yb == vb_pos - 4 or yb == vb_pos) else 64
+            activity = _clip3(0, 15, (temp_act * mult) >> shift)
+            class_idx = ACT_TH[activity]
+            if sum_v > sum_h:
+                hv1, hv0, dir_hv = sum_v, sum_h, 1
+            else:
+                hv1, hv0, dir_hv = sum_h, sum_v, 3
+            if sum_d0 > sum_d1:
+                d1, d0, dir_d = sum_d0, sum_d1, 0
+            else:
+                d1, d0, dir_d = sum_d1, sum_d0, 2
+            if d1 * hv0 > hv1 * d0:
+                hvd1, hvd0 = d1, d0
+                main_dir, sec_dir = dir_d, dir_hv
+            else:
+                hvd1, hvd0 = hv1, hv0
+                main_dir, sec_dir = dir_hv, dir_d
+            strength = 0
+            if hvd1 > 2 * hvd0:
+                strength = 1
+            if hvd1 * 2 > 9 * hvd0:
+                strength = 2
+            if strength:
+                class_idx += (((main_dir & 1) << 1) + strength) * 5
+            transposes[i // 4, j // 4] = TRANSPOSE_TABLE[main_dir * 2 + (sec_dir >> 1)]
+            classes[i // 4, j // 4] = class_idx
+    return classes, transposes
+
+
+_TR7 = {
+    0: [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12],
+    1: [9, 4, 10, 8, 1, 5, 11, 7, 3, 0, 2, 6, 12],
+    2: [0, 3, 2, 1, 8, 7, 6, 5, 4, 9, 10, 11, 12],
+    3: [9, 8, 10, 4, 3, 7, 11, 5, 1, 0, 2, 6, 12],
+}
+_TR5 = {
+    0: [0, 1, 2, 3, 4, 5, 6],
+    1: [4, 1, 5, 3, 0, 2, 6],
+    2: [0, 3, 2, 1, 4, 5, 6],
+    3: [4, 3, 5, 1, 0, 2, 6],
+}
+
+
+def filter_block(src_pad, dst, x0, y0, w, h, is_luma, classes, transposes,
+                 coeff_sets, clip_sets, bit_depth, vb_ctu_height, vb_pos):
+    """filterBlk (7x7 luma / 5x5 chroma diamond with clipping + VB).
+
+    src_pad: padded pre-ALF plane; dst: output plane (picture coords);
+    classes/transposes indexed per 4x4 of this block (luma only).
+    """
+    shift = NUM_BITS - 1
+    offset = 1 << (shift - 1)
+    maxv = (1 << bit_depth) - 1
+    cls_size = 4
+
+    def S(y, x):
+        return int(src_pad[y + PAD, x + PAD])
+
+    for i in range(0, h, cls_size):
+        for j in range(0, w, cls_size):
+            if is_luma:
+                cls = int(classes[i // 4, j // 4])
+                tr = int(transposes[i // 4, j // 4])
+                coef = [int(coeff_sets[cls][k]) for k in _TR7[tr]]
+                clip = [int(clip_sets[cls][k]) for k in _TR7[tr]]
+            else:
+                tr = 0
+                coef = [int(coeff_sets[k]) for k in _TR5[0]]
+                clip = [int(clip_sets[k]) for k in _TR5[0]]
+            for ii in range(cls_size):
+                y = y0 + i + ii
+                yvb = (y0 + i + ii) & (vb_ctu_height - 1)
+                # row offsets with VB clipping
+                o1, o2, o3, o4, o5, o6 = 1, -1, 2, -2, 3, -3
+                near = bit_depth and True
+                rng = 2 if not is_luma else 4
+                if yvb < vb_pos and yvb >= vb_pos - rng:  # above VB
+                    if yvb == vb_pos - 1:
+                        o1 = 0
+                    if yvb >= vb_pos - 2:
+                        o3 = o1
+                    if yvb >= vb_pos - 3:
+                        o5 = o3
+                    if yvb == vb_pos - 1:
+                        o2 = 0
+                    if yvb >= vb_pos - 2:
+                        o4 = o2
+                    if yvb >= vb_pos - 3:
+                        o6 = o4
+                elif yvb >= vb_pos and yvb <= vb_pos + (1 if not is_luma else 3):
+                    if yvb == vb_pos:
+                        o2 = 0
+                    if yvb <= vb_pos + 1:
+                        o4 = o2
+                    if yvb <= vb_pos + 2:
+                        o6 = o4
+                    if yvb == vb_pos:
+                        o1 = 0
+                    if yvb <= vb_pos + 1:
+                        o3 = o1
+                    if yvb <= vb_pos + 2:
+                        o5 = o3
+                near_vb = (yvb < vb_pos and yvb >= vb_pos - 1) or (
+                    yvb >= vb_pos and yvb <= vb_pos
+                )
+                for jj in range(cls_size):
+                    x = x0 + j + jj
+                    curr = S(y, x)
+                    s = 0
+                    if is_luma:
+                        s += coef[0] * _clip_alf(clip[0], curr, S(y + o5, x), S(y + o6, x))
+                        s += coef[1] * _clip_alf(clip[1], curr, S(y + o3, x + 1), S(y + o4, x - 1))
+                        s += coef[2] * _clip_alf(clip[2], curr, S(y + o3, x), S(y + o4, x))
+                        s += coef[3] * _clip_alf(clip[3], curr, S(y + o3, x - 1), S(y + o4, x + 1))
+                        s += coef[4] * _clip_alf(clip[4], curr, S(y + o1, x + 2), S(y + o2, x - 2))
+                        s += coef[5] * _clip_alf(clip[5], curr, S(y + o1, x + 1), S(y + o2, x - 1))
+                        s += coef[6] * _clip_alf(clip[6], curr, S(y + o1, x), S(y + o2, x))
+                        s += coef[7] * _clip_alf(clip[7], curr, S(y + o1, x - 1), S(y + o2, x + 1))
+                        s += coef[8] * _clip_alf(clip[8], curr, S(y + o1, x - 2), S(y + o2, x + 2))
+                        s += coef[9] * _clip_alf(clip[9], curr, S(y, x + 3), S(y, x - 3))
+                        s += coef[10] * _clip_alf(clip[10], curr, S(y, x + 2), S(y, x - 2))
+                        s += coef[11] * _clip_alf(clip[11], curr, S(y, x + 1), S(y, x - 1))
+                    else:
+                        s += coef[0] * _clip_alf(clip[0], curr, S(y + o3, x), S(y + o4, x))
+                        s += coef[1] * _clip_alf(clip[1], curr, S(y + o1, x + 1), S(y + o2, x - 1))
+                        s += coef[2] * _clip_alf(clip[2], curr, S(y + o1, x), S(y + o2, x))
+                        s += coef[3] * _clip_alf(clip[3], curr, S(y + o1, x - 1), S(y + o2, x + 1))
+                        s += coef[4] * _clip_alf(clip[4], curr, S(y, x + 2), S(y, x - 2))
+                        s += coef[5] * _clip_alf(clip[5], curr, S(y, x + 1), S(y, x - 1))
+                    if not near_vb:
+                        s = (s + offset) >> shift
+                    else:
+                        s = (s + (1 << (shift + 3 - 1))) >> (shift + 3)
+                    s += curr
+                    dst[y, x] = _clip3(0, maxv, s)
+
+
+def filter_block_ccalf(luma_pad, dst, x0c, y0c, wc, hc, scale_x, scale_y,
+                       coeffs, bit_depth, vb_ctu_height, vb_pos):
+    """filterBlkCcAlf: chroma block coords; luma from padded pre-ALF luma."""
+    maxv = (1 << bit_depth) - 1
+    half = (1 << bit_depth) >> 1
+
+    def L(y, x):
+        return int(luma_pad[y + PAD, x + PAD])
+
+    for i in range(hc):
+        yc = y0c + i
+        yl = yc << scale_y
+        pos = (yc << scale_y) & (vb_ctu_height - 1)
+        if scale_y == 0 and (pos == vb_pos or pos == vb_pos + 1):
+            continue
+        o1, o2, o3 = 1, -1, 2
+        if pos == vb_pos - 2 or pos == vb_pos + 1:
+            o3 = o1
+        elif pos == vb_pos - 1 or pos == vb_pos:
+            o1 = o2 = o3 = 0
+        for jx in range(wc):
+            xc = x0c + jx
+            xl = xc << scale_x
+            curr = L(yl, xl)
+            s = 0
+            s += coeffs[0] * (L(yl + o2, xl) - curr)
+            s += coeffs[1] * (L(yl, xl - 1) - curr)
+            s += coeffs[2] * (L(yl, xl + 1) - curr)
+            s += coeffs[3] * (L(yl + o1, xl - 1) - curr)
+            s += coeffs[4] * (L(yl + o1, xl) - curr)
+            s += coeffs[5] * (L(yl + o1, xl + 1) - curr)
+            s += coeffs[6] * (L(yl + o3, xl) - curr)
+            s = (s + ((1 << SCALE_BITS_CC) >> 1)) >> SCALE_BITS_CC
+            s = _clip3(-half, maxv - half, s + half) - half
+            v = s + int(dst[yc, xc])
+            dst[yc, xc] = _clip3(0, maxv, v)
+
+
+def alf_picture(dcs, pic) -> None:
+    """ALFProcess over the picture (no in-picture virtual boundaries)."""
+    sps = dcs.sps
+    bit_depth = sps.bit_depth
+    fmt = dcs.chroma_format
+    ctu = sps.ctu_size
+    vb_luma_pos = ctu - 4
+    vb_chroma_ctu = ctu >> (1 if fmt.value == 1 else 0)
+    vb_chroma_pos = vb_chroma_ctu - 2
+    # pre-ALF padded source planes
+    src_pads = [np.pad(p, PAD, mode="edge") for p in pic.planes]
+    fixed_sets, clip_default = fixed_filter_sets(bit_depth)
+    # per-slice-dependent APS coefficients — cache per aps id
+    aps_luma_cache = {}
+    chroma_cache = {}
+    n_comp = fmt.num_components
+    w_ctu = dcs.pic_w_ctu
+    for addr in range(w_ctu * dcs.pic_h_ctu):
+        cx, cy = addr % w_ctu, addr // w_ctu
+        x0, y0 = cx * ctu, cy * ctu
+        sl_idx = int(dcs.slice_idx_of_ctu[addr])
+        sh = dcs._slice_headers[sl_idx]
+        if not (sh.alf_enabled[0] or sh.alf_enabled[1] or sh.alf_enabled[2]
+                or sh.ccalf_cb_enabled or sh.ccalf_cr_enabled):
+            continue
+        w = min(ctu, dcs.pic_w - x0)
+        h = min(ctu, dcs.pic_h - y0)
+        if pic.alf_ctb_flag[0][addr] and sh.alf_enabled[0]:
+            classes, transposes = classify_block(
+                src_pads[0], x0, y0, w, h, bit_depth, ctu, vb_luma_pos
+            )
+            fset = int(pic.alf_ctb_filter_index[addr])
+            if fset >= NUM_FIXED_FILTER_SETS:
+                aps_id = sh.alf_aps_ids[fset - NUM_FIXED_FILTER_SETS]
+                if aps_id not in aps_luma_cache:
+                    aps = dcs.aps_map[(0, aps_id)]
+                    aps_luma_cache[aps_id] = reconstruct_luma_coeffs(aps.alf, bit_depth)
+                coeffs, clips = aps_luma_cache[aps_id]
+            else:
+                coeffs, clips = fixed_sets[fset], clip_default
+            filter_block(src_pads[0], pic.planes[0], x0, y0, w, h, True,
+                         classes, transposes, coeffs, clips, bit_depth, ctu, vb_luma_pos)
+        for comp in (1, 2):
+            if comp >= n_comp:
+                continue
+            sxc, syc = fmt.scale_x, fmt.scale_y
+            x0c, y0c = x0 >> sxc, y0 >> syc
+            wcc, hcc = w >> sxc, h >> syc
+            if pic.alf_ctb_flag[comp][addr] and sh.alf_enabled[comp]:
+                aps_id = sh.alf_aps_id_chroma
+                alt = int(pic.alf_ctb_alt[comp][addr])
+                key = (aps_id, alt)
+                if key not in chroma_cache:
+                    aps = dcs.aps_map[(0, aps_id)]
+                    chroma_cache[key] = reconstruct_chroma_coeffs(aps.alf, alt, bit_depth)
+                ccoef, cclip = chroma_cache[key]
+                filter_block(src_pads[comp], pic.planes[comp], x0c, y0c, wcc, hcc,
+                             False, None, None, ccoef, cclip, bit_depth,
+                             vb_chroma_ctu, vb_chroma_pos)
+            cc_enabled = sh.ccalf_cb_enabled if comp == 1 else sh.ccalf_cr_enabled
+            if cc_enabled:
+                idc = int(pic.ccalf_control[comp - 1][addr])
+                if idc:
+                    aps_id = sh.ccalf_cb_aps_id if comp == 1 else sh.ccalf_cr_aps_id
+                    aps = dcs.aps_map[(0, aps_id)]
+                    coeffs = aps.alf.ccalf_coeff[comp - 1][idc - 1]
+                    filter_block_ccalf(
+                        src_pads[0], pic.planes[comp], x0c, y0c, wcc, hcc,
+                        sxc, syc, coeffs, bit_depth, ctu, vb_luma_pos
+                    )

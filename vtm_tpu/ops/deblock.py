@@ -1,0 +1,768 @@
+"""VVC deblocking filter — exact integer reference implementation.
+
+Behavioral contract from CommonLib/LoopFilter.cpp: two picture sweeps
+(vertical then horizontal edges, loopFilterPic:144), per-CTU edge marking
+from TU/PU geometry (xDeblockCU:270, xSetEdgefilterMultiple,
+xSetMaxFilterLengthPQFromTransformSizes), boundary strengths
+(xGetBoundaryStrengthSingle:410), and the luma short/long and chroma
+filters (xEdgeFilterLuma:434, xEdgeFilterChroma, xPelFilterLuma/Chroma,
+xFilteringPandQ, xUseStrongFiltering).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vtm_tpu.decoder.cs import CH_C, CH_L, MODE_INTRA, TREE_C
+
+TC_TABLE = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 3, 4, 4, 4, 4, 5, 5,
+    5, 5, 7, 7, 8, 9, 10, 10, 11, 13, 14, 15, 17, 19, 21, 24, 25, 29, 33, 36,
+    41, 45, 51, 57, 64, 71, 80, 89, 100, 112, 125, 141, 157, 177, 198, 222,
+    250, 280, 314, 352, 395,
+]
+BETA_TABLE = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9, 10, 11, 12,
+    13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32, 34, 36, 38, 40, 42,
+    44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64, 66, 68, 70, 72, 74, 76, 78,
+    80, 82, 84, 86, 88,
+]
+DEFAULT_INTRA_TC_OFFSET = 2
+EDGE_VER, EDGE_HOR = 0, 1
+
+
+def _clip3(lo, hi, v):
+    return max(lo, min(hi, v))
+
+
+class _Line:
+    """1-D sample accessor along the filtering direction (Pel* + offset)."""
+
+    __slots__ = ("plane", "x", "y", "dx", "dy")
+
+    def __init__(self, plane, x, y, dx, dy):
+        self.plane = plane
+        self.x = x
+        self.y = y
+        self.dx = dx
+        self.dy = dy
+
+    def __getitem__(self, i):
+        # clamp: the reference reads from padded margins; out-of-range values
+        # are only ever read when unused by the active filter decision
+        y = min(max(self.y + i * self.dy, 0), self.plane.shape[0] - 1)
+        x = min(max(self.x + i * self.dx, 0), self.plane.shape[1] - 1)
+        return int(self.plane[y, x])
+
+    def __setitem__(self, i, v):
+        self.plane[self.y + i * self.dy, self.x + i * self.dx] = v
+
+
+def _calc_dp(s: _Line, chroma_hor_ctb: bool = False) -> int:
+    if chroma_hor_ctb:
+        return abs(s[-2] - 2 * s[-2] + s[-1])
+    return abs(s[-3] - 2 * s[-2] + s[-1])
+
+
+def _calc_dq(s: _Line) -> int:
+    return abs(s[0] - 2 * s[1] + s[2])
+
+
+def _use_strong(s: _Line, d: int, beta: int, tc: int, side_p_large=False,
+                side_q_large=False, max_p=7, max_q=7, chroma_hor_ctb=False) -> bool:
+    m4, m3, m7, m0, m2 = s[0], s[-1], s[3], s[-4], s[-2]
+    sp3 = abs(m2 - m3) if chroma_hor_ctb else abs(m0 - m3)
+    sq3 = abs(m7 - m4)
+    d_strong = sp3 + sq3
+    if side_p_large or side_q_large:
+        if side_p_large:
+            if max_p == 7:
+                mp5, mp6, mp7, mp4 = s[-5], s[-6], s[-7], s[-8]
+                sp3 = sp3 + abs(mp5 - mp6 - mp7 + mp4)
+            else:
+                mp4 = s[-6]
+            sp3 = (sp3 + abs(m0 - mp4) + 1) >> 1
+        if side_q_large:
+            if max_q == 7:
+                m8, m9, m10, m11 = s[4], s[5], s[6], s[7]
+                sq3 = sq3 + abs(m8 - m9 - m10 + m11)
+            else:
+                m11 = s[5]
+            sq3 = (sq3 + abs(m11 - m7) + 1) >> 1
+        return (
+            (sp3 + sq3) < (beta * 3 >> 5)
+            and d < (beta >> 4)
+            and abs(m3 - m4) < ((tc * 5 + 1) >> 1)
+        )
+    return (
+        d_strong < (beta >> 3) and d < (beta >> 2)
+        and abs(m3 - m4) < ((tc * 5 + 1) >> 1)
+    )
+
+
+def _bilinear(s: _Line, ref_middle, ref_p, ref_q, n_p, n_q, co_p, co_q, tc):
+    tc7 = [6, 5, 4, 3, 2, 1, 1]
+    tc3 = [6, 4, 2]
+    tc_p = tc3 if n_p == 3 else tc7
+    tc_q = tc3 if n_q == 3 else tc7
+    for pos in range(n_p):
+        src = s[-1 - pos]
+        cval = (tc * tc_p[pos]) >> 1
+        s[-1 - pos] = _clip3(
+            src - cval, src + cval,
+            (ref_middle * co_p[pos] + ref_p * (64 - co_p[pos]) + 32) >> 6,
+        )
+    for pos in range(n_q):
+        src = s[pos]
+        cval = (tc * tc_q[pos]) >> 1
+        s[pos] = _clip3(
+            src - cval, src + cval,
+            (ref_middle * co_q[pos] + ref_q * (64 - co_q[pos]) + 32) >> 6,
+        )
+
+
+def _filter_pq(s: _Line, n_p, n_q, tc):
+    db7 = [59, 50, 41, 32, 23, 14, 5]
+    db3 = [53, 32, 11]
+    db5 = [58, 45, 32, 19, 6]
+    co_p = db7 if n_p == 7 else (db5 if n_p == 5 else db3)
+    co_q = db7 if n_q == 7 else (db5 if n_q == 5 else db3)
+    # refP from P side samples: srcP = s at -1 offsets
+    if n_p == 7:
+        ref_p = (s[-7] + s[-8] + 1) >> 1
+    elif n_p == 3:
+        ref_p = (s[-3] + s[-4] + 1) >> 1
+    else:
+        ref_p = (s[-5] + s[-6] + 1) >> 1
+    if n_q == 7:
+        ref_q = (s[6] + s[7] + 1) >> 1
+    elif n_q == 3:
+        ref_q = (s[2] + s[3] + 1) >> 1
+    else:
+        ref_q = (s[4] + s[5] + 1) >> 1
+    if n_p == n_q:
+        if n_p == 5:
+            ref_middle = (2 * (s[-1] + s[0] + s[-2] + s[1] + s[-3] + s[2])
+                          + s[-4] + s[3] + s[-5] + s[4] + 8) >> 4
+        else:
+            ref_middle = (2 * (s[-1] + s[0]) + s[-2] + s[1] + s[-3] + s[2]
+                          + s[-4] + s[3] + s[-5] + s[4] + s[-6] + s[5]
+                          + s[-7] + s[6] + 8) >> 4
+    else:
+        if max(n_p, n_q) == 7 and min(n_p, n_q) == 5:
+            ref_middle = (2 * (s[-1] + s[0] + s[-2] + s[1]) + s[-3] + s[2]
+                          + s[-4] + s[3] + s[-5] + s[4] + s[-6] + s[5] + 8) >> 4
+        elif max(n_p, n_q) == 7 and min(n_p, n_q) == 3:
+            # asymmetric 7/3: formulated over swapped P/Q pointers
+            if n_q > n_p:  # P'=Q side (long), Q'=P side (short)
+                pt0, qt0 = s[0], s[-1]
+                qt = lambda i: s[-1 - i]
+                pt = lambda i: s[i]
+            else:
+                pt0, qt0 = s[-1], s[0]
+                qt = lambda i: s[i]
+                pt = lambda i: s[-1 - i]
+            ref_middle = (2 * (pt0 + qt0) + qt0 + 2 * (qt(1) + qt(2))
+                          + pt(1) + qt(1) + pt(2) + pt(3) + pt(4) + pt(5)
+                          + pt(6) + 8) >> 4
+        else:  # 5/3
+            ref_middle = (s[-1] + s[0] + s[-2] + s[1] + s[-3] + s[2]
+                          + s[-4] + s[3] + 4) >> 3
+    _bilinear(s, ref_middle, ref_p, ref_q, n_p, n_q, co_p, co_q, tc)
+
+
+def _pel_filter_luma(s: _Line, tc, sw, no_p, no_q, thr_cut, filter_p, filter_q,
+                     maxv, side_p_large=False, side_q_large=False,
+                     max_p=7, max_q=7):
+    m4, m3, m5, m2 = s[0], s[-1], s[1], s[-2]
+    m6, m1, m7, m0 = s[2], s[-3], s[3], s[-4]
+    # long-side samples only exist (and are only needed) for large sides
+    if side_p_large and no_p:
+        mp1, mp2, mp3 = s[-5], s[-6], s[-7]
+    if side_q_large and no_q:
+        m8, m9, m10 = s[4], s[5], s[6]
+    tc3 = [3, 2, 1]
+    if sw:
+        if side_p_large or side_q_large:
+            _filter_pq(s, max_p if side_p_large else 3, max_q if side_q_large else 3, tc)
+        else:
+            s[-1] = _clip3(m3 - tc3[0] * tc, m3 + tc3[0] * tc,
+                           (m1 + 2 * m2 + 2 * m3 + 2 * m4 + m5 + 4) >> 3)
+            s[0] = _clip3(m4 - tc3[0] * tc, m4 + tc3[0] * tc,
+                          (m2 + 2 * m3 + 2 * m4 + 2 * m5 + m6 + 4) >> 3)
+            s[-2] = _clip3(m2 - tc3[1] * tc, m2 + tc3[1] * tc,
+                           (m1 + m2 + m3 + m4 + 2) >> 2)
+            s[1] = _clip3(m5 - tc3[1] * tc, m5 + tc3[1] * tc,
+                          (m3 + m4 + m5 + m6 + 2) >> 2)
+            s[-3] = _clip3(m1 - tc3[2] * tc, m1 + tc3[2] * tc,
+                           (2 * m0 + 3 * m1 + m2 + m3 + m4 + 4) >> 3)
+            s[2] = _clip3(m6 - tc3[2] * tc, m6 + tc3[2] * tc,
+                          (m3 + m4 + m5 + 3 * m6 + 2 * m7 + 4) >> 3)
+    else:
+        delta = (9 * (m4 - m3) - 3 * (m5 - m2) + 8) >> 4
+        if abs(delta) < thr_cut:
+            delta = _clip3(-tc, tc, delta)
+            s[-1] = _clip3(0, maxv, m3 + delta)
+            s[0] = _clip3(0, maxv, m4 - delta)
+            tc2 = tc >> 1
+            if filter_p:
+                delta1 = _clip3(-tc2, tc2, (((m1 + m3 + 1) >> 1) - m2 + delta) >> 1)
+                s[-2] = _clip3(0, maxv, m2 + delta1)
+            if filter_q:
+                delta2 = _clip3(-tc2, tc2, (((m6 + m4 + 1) >> 1) - m5 - delta) >> 1)
+                s[1] = _clip3(0, maxv, m5 + delta2)
+    if no_p:
+        s[-1], s[-2], s[-3] = m3, m2, m1
+        if side_p_large:
+            s[-4], s[-5], s[-6], s[-7] = m0, mp1, mp2, mp3
+    if no_q:
+        s[0], s[1], s[2] = m4, m5, m6
+        if side_q_large:
+            s[3], s[4], s[5], s[6] = m7, m8, m9, m10
+
+
+def _pel_filter_chroma(s: _Line, tc, sw, no_p, no_q, maxv, large_boundary,
+                       chroma_hor_ctb):
+    m0, m1, m2, m3 = s[-4], s[-3], s[-2], s[-1]
+    m4, m5, m6, m7 = s[0], s[1], s[2], s[3]
+    if sw:
+        if chroma_hor_ctb:
+            s[-1] = _clip3(m3 - tc, m3 + tc, (3 * m2 + 2 * m3 + m4 + m5 + m6 + 4) >> 3)
+            s[0] = _clip3(m4 - tc, m4 + tc, (2 * m2 + m3 + 2 * m4 + m5 + m6 + m7 + 4) >> 3)
+            s[1] = _clip3(m5 - tc, m5 + tc, (m2 + m3 + m4 + 2 * m5 + m6 + 2 * m7 + 4) >> 3)
+            s[2] = _clip3(m6 - tc, m6 + tc, (m3 + m4 + m5 + 2 * m6 + 3 * m7 + 4) >> 3)
+        else:
+            s[-3] = _clip3(m1 - tc, m1 + tc, (3 * m0 + 2 * m1 + m2 + m3 + m4 + 4) >> 3)
+            s[-2] = _clip3(m2 - tc, m2 + tc, (2 * m0 + m1 + 2 * m2 + m3 + m4 + m5 + 4) >> 3)
+            s[-1] = _clip3(m3 - tc, m3 + tc, (m0 + m1 + m2 + 2 * m3 + m4 + m5 + m6 + 4) >> 3)
+            s[0] = _clip3(m4 - tc, m4 + tc, (m1 + m2 + m3 + 2 * m4 + m5 + m6 + m7 + 4) >> 3)
+            s[1] = _clip3(m5 - tc, m5 + tc, (m2 + m3 + m4 + 2 * m5 + m6 + 2 * m7 + 4) >> 3)
+            s[2] = _clip3(m6 - tc, m6 + tc, (m3 + m4 + m5 + 2 * m6 + 3 * m7 + 4) >> 3)
+    else:
+        delta = _clip3(-tc, tc, (((m4 - m3) * 4) + m2 - m5 + 4) >> 3)
+        s[-1] = _clip3(0, maxv, m3 + delta)
+        s[0] = _clip3(0, maxv, m4 - delta)
+    if no_p:
+        if large_boundary:
+            s[-3], s[-2] = m1, m2
+        s[-1] = m3
+    if no_q:
+        if large_boundary:
+            s[1], s[2] = m5, m6
+        s[0] = m4
+
+
+class DeblockState:
+    """Per-CTU edge maps (the m_aapucBS / maxFilterLength arrays)."""
+
+    def __init__(self, ctu_size: int):
+        n = ctu_size // 4
+        self.n = n
+        self.ctu_size = ctu_size
+        self.bs = [np.zeros((n, n), dtype=np.int32), np.zeros((n, n), dtype=np.int32)]
+        self.edge_filter = [np.zeros((n, n), dtype=bool), np.zeros((n, n), dtype=bool)]
+        self.max_len_p = np.zeros((3, ctu_size, ctu_size), dtype=np.int32)
+        self.max_len_q = np.zeros((3, ctu_size, ctu_size), dtype=np.int32)
+        self.transform_edge = np.zeros((3, ctu_size, ctu_size), dtype=bool)
+
+    def reset(self, edge_dir: int):
+        self.bs[edge_dir][:] = 0
+        self.edge_filter[edge_dir][:] = False
+        self.max_len_p[:] = 0
+        self.max_len_q[:] = 0
+        self.transform_edge[:] = False
+
+
+def deblock_picture(dcs, pic) -> None:
+    """loopFilterPic equivalent over the decode coding structure."""
+    ctu = dcs.sps.ctu_size
+    state = DeblockState(ctu)
+    is_dual = dcs.cus and any(c.blocks[0] is None for c in dcs.cus)
+    for edge_dir in (EDGE_VER, EDGE_HOR):
+        for cy in range(dcs.pic_h_ctu):
+            for cx in range(dcs.pic_w_ctu):
+                x0, y0 = cx * ctu, cy * ctu
+                state.reset(edge_dir)
+                luma_cus = [
+                    c for c in dcs.cus
+                    if c.blocks[0] is not None
+                    and x0 <= c.blocks[0].x < x0 + ctu and y0 <= c.blocks[0].y < y0 + ctu
+                ]
+                for cu in luma_cus:
+                    _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0)
+                if is_dual:
+                    state.reset(edge_dir)
+                    chroma_cus = [
+                        c for c in dcs.cus
+                        if c.blocks[0] is None and c.blocks[1] is not None
+                        and x0 <= (c.blocks[1].x << dcs.chroma_format.scale_x) < x0 + ctu
+                        and y0 <= (c.blocks[1].y << dcs.chroma_format.scale_y) < y0 + ctu
+                    ]
+                    for cu in chroma_cus:
+                        _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0)
+
+
+def _lf_params(dcs, cu):
+    """xSetLoopfilterParam: (internal, left, top)."""
+    sh = _slice_of(dcs, cu)
+    if sh.deblocking_disable:
+        return False, False, False
+    comp = 0 if cu.blocks[0] is not None else 1
+    b = cu.blocks[comp]
+    ch = CH_L if comp == 0 else CH_C
+    internal = True
+    left = top = False
+    if b.x > 0:
+        cu_left = dcs.get_cu(b.x - 1, b.y, ch)
+        left = _lf_available(dcs, cu, cu_left)
+    if b.y > 0:
+        cu_above = dcs.get_cu(b.x, b.y - 1, ch)
+        top = _lf_available(dcs, cu, cu_above)
+    return internal, left, top
+
+
+def _slice_of(dcs, cu):
+    return pic_slice(dcs, cu.slice_idx)
+
+
+def pic_slice(dcs, slice_idx):
+    # slice headers recorded on the picture in decode order
+    return dcs._slice_headers[slice_idx]
+
+
+def _lf_available(dcs, cu, cu2) -> bool:
+    if cu2 is None:
+        return False
+    pps = dcs.pps
+    if not pps.loop_filter_across_slices and cu.slice_idx != cu2.slice_idx:
+        return False
+    if not pps.loop_filter_across_tiles and cu.tile_idx != cu2.tile_idx:
+        return False
+    return True
+
+
+def _deblock_cu(dcs, pic, cu, edge_dir, state: DeblockState, ctu_x, ctu_y):
+    fmt = dcs.chroma_format
+    sps = dcs.sps
+    area_x, area_y = cu.lx, cu.ly
+    area_w, area_h = cu.lwidth, cu.lheight
+    internal, left_e, top_e = _lf_params(dcs, cu)
+    edge_idx_list = []
+    sx, sy = fmt.scale_x, fmt.scale_y
+    has_luma = cu.blocks[0] is not None
+    # --- TU edges ---
+    for tu in cu.tus:
+        if has_luma:
+            tb = tu.blocks[0]
+            t_x, t_y, t_w, t_h = tb.x, tb.y, tb.w, tb.h
+        else:
+            tb = tu.blocks[1]
+            t_x, t_y = tb.x << sx, tb.y << sy
+            t_w, t_h = tb.w << sx, tb.h << sy
+        ver_f = hor_f = internal
+        if edge_dir == EDGE_HOR and (t_y % 4) != 0:
+            continue
+        if edge_dir == EDGE_VER and (t_x % 4) != 0:
+            continue
+        _set_edge_multiple(state, EDGE_VER, t_x, t_y, t_w, t_h, ver_f, ctu_x, ctu_y, False)
+        _set_edge_multiple(state, EDGE_HOR, t_x, t_y, t_w, t_h, hor_f, ctu_x, ctu_y, False)
+        _set_max_filter_lengths(dcs, cu, tu, edge_dir, state, ctu_x, ctu_y,
+                                internal, left_e, top_e)
+        if has_luma:
+            edge_idx_list.append(
+                (tu.blocks[0].y - cu.blocks[0].y) // 4 if edge_dir == EDGE_HOR
+                else (tu.blocks[0].x - cu.blocks[0].x) // 4
+            )
+        else:
+            edge_idx_list.append(
+                ((tu.blocks[1].y - cu.blocks[1].y) << sy) // 4 if edge_dir == EDGE_HOR
+                else ((tu.blocks[1].x - cu.blocks[1].x) << sx) // 4
+            )
+    # --- PU edges (one PU per CU in VVC) ---
+    ver_f = left_e
+    hor_f = top_e
+    _set_edge_multiple(state, EDGE_VER, area_x, area_y, area_w, area_h, ver_f, ctu_x, ctu_y, False)
+    _set_edge_multiple(state, EDGE_HOR, area_x, area_y, area_w, area_h, hor_f, ctu_x, ctu_y, False)
+    edge_idx_list.append(0)
+    # --- boundary strengths ---
+    for y in range(0, area_h, 4):
+        for x in range(0, area_w, 4):
+            lx, ly = area_x + x, area_y + y
+            gx, gy = (lx - ctu_x) >> 2, (ly - ctu_y) >> 2
+            if not state.edge_filter[edge_dir][gy, gx]:
+                continue
+            bs = 0
+            if cu.tree_type != TREE_C and cu.blocks[0] is not None:
+                bs |= _bs_single(dcs, cu, edge_dir, lx, ly, CH_L)
+            if cu.blocks[1] is not None and fmt.num_components > 1:
+                bs |= _bs_single(dcs, cu, edge_dir, lx, ly, CH_C)
+            state.bs[edge_dir][gy, gx] = bs
+    # --- filter edges ---
+    maxv = (1 << sps.bit_depth) - 1
+    for edge in sorted(set(edge_idx_list)):
+        if cu.blocks[0] is not None:
+            _edge_filter_luma(dcs, pic, cu, edge_dir, edge, state, ctu_x, ctu_y, maxv)
+        if fmt.num_components > 1 and cu.blocks[1] is not None:
+            if not cu.isp_mode or edge == 0:
+                _edge_filter_chroma(dcs, pic, cu, edge_dir, edge, state, ctu_x, ctu_y, maxv)
+
+
+def _set_edge_multiple(state, edge_dir, x, y, w, h, value, ctu_x, ctu_y, edge_flag_only):
+    gx, gy = (x - ctu_x) >> 2, (y - ctu_y) >> 2
+    n = (h // 4) if edge_dir == EDGE_VER else (w // 4)
+    for i in range(n):
+        yy, xx = (gy + i, gx) if edge_dir == EDGE_VER else (gy, gx + i)
+        if yy >= state.n or xx >= state.n or yy < 0 or xx < 0:
+            continue
+        state.edge_filter[edge_dir][yy, xx] = value
+        if state.bs[edge_dir][yy, xx] and value:
+            state.bs[edge_dir][yy, xx] = 3
+        elif not edge_flag_only:
+            state.bs[edge_dir][yy, xx] = int(value)
+
+
+def _set_max_filter_lengths(dcs, cu, tu, edge_dir, state, ctu_x, ctu_y,
+                            internal, left_e, top_e):
+    """xSetMaxFilterLengthPQFromTransformSizes."""
+    fmt = dcs.chroma_format
+    ncomp = fmt.num_components
+    for comp in range(ncomp):
+        tb = tu.blocks[comp]
+        if tb is None:
+            continue
+        cu_b = cu.blocks[comp]
+        ch = CH_L if comp == 0 else CH_C
+        shift_h = 0 if comp == 0 else fmt.scale_x
+        shift_v = 0 if comp == 0 else fmt.scale_y
+        ctu_x_off = tb.x - (ctu_x >> shift_h)
+        ctu_y_off = tb.y - (ctu_y >> shift_v)
+        if edge_dir == EDGE_HOR:
+            min_cu_w = 4 >> shift_h
+            edge_enabled = top_e if (cu_b is not None and tb.y == cu_b.y) else internal
+            if not edge_enabled:
+                continue
+            for x in range(0, tb.w, min_cu_w):
+                tu_p = dcs.get_tu(tb.x + x, tb.y - 1, ch)
+                if tu_p is None:
+                    continue
+                size_q = tb.h
+                size_p = tu_p.blocks[comp].h
+                xi, yi = ctu_x_off + x, ctu_y_off
+                if xi < 0 or yi < 0:
+                    continue
+                state.transform_edge[comp, xi, yi] = True
+                if comp == 0:
+                    if size_p <= 4 or size_q <= 4:
+                        state.max_len_q[comp, xi, yi] = 1
+                        state.max_len_p[comp, xi, yi] = 1
+                    else:
+                        state.max_len_q[comp, xi, yi] = 7 if size_q >= 32 else 3
+                        state.max_len_p[comp, xi, yi] = 7 if size_p >= 32 else 3
+                else:
+                    v = 3 if (size_q >= 8 and size_p >= 8) else 1
+                    state.max_len_q[comp, xi, yi] = v
+                    state.max_len_p[comp, xi, yi] = v
+        else:
+            min_cu_h = 4 >> shift_v
+            edge_enabled = left_e if (cu_b is not None and tb.x == cu_b.x) else internal
+            if not edge_enabled:
+                continue
+            for y in range(0, tb.h, min_cu_h):
+                tu_p = dcs.get_tu(tb.x - 1, tb.y + y, ch)
+                if tu_p is None:
+                    continue
+                size_q = tb.w
+                size_p = tu_p.blocks[comp].w
+                xi, yi = ctu_x_off, ctu_y_off + y
+                if xi < 0 or yi < 0:
+                    continue
+                state.transform_edge[comp, xi, yi] = True
+                if comp == 0:
+                    if size_p <= 4 or size_q <= 4:
+                        state.max_len_q[comp, xi, yi] = 1
+                        state.max_len_p[comp, xi, yi] = 1
+                    else:
+                        state.max_len_q[comp, xi, yi] = 7 if size_q >= 32 else 3
+                        state.max_len_p[comp, xi, yi] = 7 if size_p >= 32 else 3
+                else:
+                    v = 3 if (size_q >= 8 and size_p >= 8) else 1
+                    state.max_len_q[comp, xi, yi] = v
+                    state.max_len_p[comp, xi, yi] = v
+
+
+def _bs_single(dcs, cu, edge_dir, lx, ly, ch) -> int:
+    """xGetBoundaryStrengthSingle (intra paths; inter extends later)."""
+    fmt = dcs.chroma_format
+    if cu.blocks[0] is not None:
+        shift_h = shift_v = 0
+    else:
+        shift_h, shift_v = fmt.scale_x, fmt.scale_y
+    qx, qy = lx >> shift_h, ly >> shift_v
+    px, py = (qx - 1, qy) if edge_dir == EDGE_VER else (qx, qy - 1)
+    cu_ch = CH_L if cu.blocks[0] is not None else CH_C
+    if ch == CH_C and cu_ch == CH_L:
+        cu_p = dcs.get_cu(px >> fmt.scale_x, py >> fmt.scale_y, CH_C)
+    else:
+        cu_p = dcs.get_cu(px, py, cu_ch)
+    if cu_p is None:
+        return 0
+    cu_q = cu
+    if cu_p.pred_mode == MODE_INTRA or cu_q.pred_mode == MODE_INTRA:
+        if ch == CH_L:
+            bs_y = 0 if (
+                cu_p.pred_mode == MODE_INTRA and cu_p.bdpcm_mode
+                and cu_q.pred_mode == MODE_INTRA and cu_q.bdpcm_mode
+            ) else 2
+            return bs_y  # BsSet(bsY, Y) = bsY << 0
+        bs_c = 0 if (
+            cu_p.pred_mode == MODE_INTRA and cu_p.bdpcm_mode_chroma
+            and cu_q.pred_mode == MODE_INTRA and cu_q.bdpcm_mode_chroma
+        ) else 2
+        return (bs_c << 2) + (bs_c << 4)
+    raise NotImplementedError("inter boundary strength")
+
+
+def _edge_filter_luma(dcs, pic, cu, edge_dir, edge, state, ctu_x, ctu_y, maxv):
+    plane = pic.planes[0]
+    b = cu.blocks[0]
+    sps = dcs.sps
+    sh_q = _slice_of(dcs, cu)
+    beta_off2 = sh_q.beta_offset_div2
+    tc_off2 = sh_q.tc_offset_div2
+    bit_depth = sps.bit_depth
+    bd_scale = 1 << (bit_depth - 8)
+    num_parts = b.h // 4 if edge_dir == EDGE_VER else b.w // 4
+    for idx in range(num_parts):
+        if edge_dir == EDGE_VER:
+            px = b.x + edge * 4
+            py = b.y + idx * 4
+        else:
+            px = b.x + idx * 4
+            py = b.y + edge * 4
+        if edge_dir == EDGE_HOR and py % 4 != 0:
+            continue
+        if edge_dir == EDGE_VER and px % 4 != 0:
+            continue
+        gx, gy = (px - ctu_x) >> 2, (py - ctu_y) >> 2
+        bs = state.bs[edge_dir][gy, gx] & 3
+        if not bs:
+            continue
+        cu_p = dcs.get_cu(px - (1 if edge_dir == EDGE_VER else 0),
+                          py - (1 if edge_dir == EDGE_HOR else 0), CH_L)
+        if cu_p is None or not _lf_available(dcs, cu, cu_p):
+            state.bs[edge_dir][gy, gx] = 0
+            continue
+        qp = (cu_p.qp + cu.qp + 1) >> 1
+        side_p_large = side_q_large = False
+        max_p = int(state.max_len_p[0, px - ctu_x, py - ctu_y])
+        max_q = int(state.max_len_q[0, px - ctu_x, py - ctu_y])
+        if max_p > 3:
+            side_p_large = True
+        if max_q > 3:
+            side_q_large = True
+        if edge_dir == EDGE_HOR and py % sps.ctu_size == 0:
+            side_p_large = False
+        idx_tc = _clip3(0, 63 + DEFAULT_INTRA_TC_OFFSET,
+                        qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + (tc_off2 << 1))
+        idx_b = _clip3(0, 63, qp + (beta_off2 << 1))
+        tc = (
+            (TC_TABLE[idx_tc] + (1 << (9 - bit_depth))) >> (10 - bit_depth)
+            if bit_depth < 10 else TC_TABLE[idx_tc] << (bit_depth - 10)
+        )
+        beta = BETA_TABLE[idx_b] * bd_scale
+        side_thresh = (beta + (beta >> 1)) >> 3
+        thr_cut = tc * 10
+        # the 4 lines in this part (block of 4)
+        def line(i):
+            if edge_dir == EDGE_VER:
+                return _Line(plane, px, py + i, 1, 0)
+            return _Line(plane, px + i, py, 0, 1)
+
+        s0, s3 = line(0), line(3)
+        dp0, dq0 = _calc_dp(s0), _calc_dq(s0)
+        dp3, dq3 = _calc_dp(s3), _calc_dq(s3)
+        dp0l, dq0l, dp3l, dq3l = dp0, dq0, dp3, dq3
+        if side_p_large:
+            if edge_dir == EDGE_VER:
+                dp0l = (dp0l + _calc_dp(_Line(plane, px - 3, py, 1, 0)) + 1) >> 1
+                dp3l = (dp3l + _calc_dp(_Line(plane, px - 3, py + 3, 1, 0)) + 1) >> 1
+            else:
+                dp0l = (dp0l + _calc_dp(_Line(plane, px, py - 3, 0, 1)) + 1) >> 1
+                dp3l = (dp3l + _calc_dp(_Line(plane, px + 3, py - 3, 0, 1)) + 1) >> 1
+        if side_q_large:
+            if edge_dir == EDGE_VER:
+                dq0l = (dq0l + _calc_dq(_Line(plane, px + 3, py, 1, 0)) + 1) >> 1
+                dq3l = (dq3l + _calc_dq(_Line(plane, px + 3, py + 3, 1, 0)) + 1) >> 1
+            else:
+                dq0l = (dq0l + _calc_dq(_Line(plane, px, py + 3, 0, 1)) + 1) >> 1
+                dq3l = (dq3l + _calc_dq(_Line(plane, px + 3, py + 3, 0, 1)) + 1) >> 1
+        use_long = False
+        no_p = no_q = False  # PLT not supported yet
+        if side_p_large and max_p > 5 and False:
+            pass
+        if side_p_large or side_q_large:
+            d0l = dp0l + dq0l
+            d3l = dp3l + dq3l
+            dpl = dp0l + dp3l
+            dql = dq0l + dq3l
+            dl = d0l + d3l
+            if dl < beta:
+                filter_p = dpl < side_thresh
+                filter_q = dql < side_thresh
+                swl = _use_strong(s0, 2 * d0l, beta, tc, side_p_large, side_q_large,
+                                  max_p, max_q) and _use_strong(
+                    s3, 2 * d3l, beta, tc, side_p_large, side_q_large, max_p, max_q)
+                if swl:
+                    use_long = True
+                    for i in range(4):
+                        _pel_filter_luma(line(i), tc, True, no_p, no_q, thr_cut,
+                                         filter_p, filter_q, maxv,
+                                         side_p_large, side_q_large, max_p, max_q)
+        if not use_long:
+            d0 = dp0 + dq0
+            d3 = dp3 + dq3
+            dp = dp0 + dp3
+            dq = dq0 + dq3
+            d = d0 + d3
+            if d < beta:
+                filter_p = filter_q = False
+                if max_p > 1 and max_q > 1:
+                    filter_p = dp < side_thresh
+                    filter_q = dq < side_thresh
+                sw = False
+                if max_p > 2 and max_q > 2:
+                    sw = _use_strong(s0, 2 * d0, beta, tc) and _use_strong(
+                        s3, 2 * d3, beta, tc)
+                for i in range(4):
+                    _pel_filter_luma(line(i), tc, sw, no_p, no_q, thr_cut,
+                                     filter_p, filter_q, maxv)
+
+
+def _edge_filter_chroma(dcs, pic, cu, edge_dir, edge, state, ctu_x, ctu_y, maxv):
+    fmt = dcs.chroma_format
+    sps = dcs.sps
+    sx, sy = fmt.scale_x, fmt.scale_y
+    if cu.blocks[0] is not None:
+        luma_x, luma_y = cu.blocks[0].x, cu.blocks[0].y
+        luma_w, luma_h = cu.blocks[0].w, cu.blocks[0].h
+    else:
+        luma_x, luma_y = cu.blocks[1].x << sx, cu.blocks[1].y << sy
+        luma_w, luma_h = cu.blocks[1].w << sx, cu.blocks[1].h << sy
+    pels_chroma_h = 4 >> sx
+    pels_chroma_v = 4 >> sy
+    edge_num_ver = ((luma_x - ctu_x) >> 2) + edge
+    edge_num_hor = ((luma_y - ctu_y) >> 2) + edge
+    if pels_chroma_h < 8 and pels_chroma_v < 8:
+        if edge_dir == EDGE_VER and (edge_num_ver % (8 // pels_chroma_h)):
+            return
+        if edge_dir == EDGE_HOR and (edge_num_hor % (8 // pels_chroma_v)):
+            return
+    sh_q = _slice_of(dcs, cu)
+    tc_off2 = [sh_q.cb_tc_offset_div2, sh_q.cr_tc_offset_div2]
+    beta_off2 = [sh_q.cb_beta_offset_div2, sh_q.cr_beta_offset_div2]
+    num_parts = luma_h // 4 if edge_dir == EDGE_VER else luma_w // 4
+    loop_length = pels_chroma_v if edge_dir == EDGE_VER else pels_chroma_h
+    bit_depth = sps.bit_depth
+    bd_scale = 1 << (bit_depth - 8)
+    for idx in range(num_parts):
+        if edge_dir == EDGE_VER:
+            lpx = luma_x + edge * 4
+            lpy = luma_y + idx * 4
+        else:
+            lpx = luma_x + idx * 4
+            lpy = luma_y + edge * 4
+        gx, gy = (lpx - ctu_x) >> 2, (lpy - ctu_y) >> 2
+        tmp_bs = int(state.bs[edge_dir][gy, gx])
+        bs_cb = (tmp_bs >> 2) & 3
+        bs_cr = (tmp_bs >> 4) & 3
+        if bs_cb == 0 and bs_cr == 0:
+            continue
+        # P-side CU (chroma tree if sep)
+        ppx = lpx - (4 if edge_dir == EDGE_VER else 0)
+        ppy = lpy - (4 if edge_dir == EDGE_HOR else 0)
+        cu_p1 = dcs.get_cu(ppx, ppy, CH_L)
+        if cu_p1 is not None and not cu_p1.is_sep_tree:
+            cu_p = cu_p1
+        else:
+            cu_p = dcs.get_cu(ppx >> sx, ppy >> sy, CH_C)
+        if cu_p is None:
+            continue
+        max_p = int(state.max_len_p[1, (lpx - ctu_x) >> sx, (lpy - ctu_y) >> sy])
+        max_q = int(state.max_len_q[1, (lpx - ctu_x) >> sx, (lpy - ctu_y) >> sy])
+        large_boundary = max_p >= 3 and max_q >= 3
+        chroma_hor_ctb = edge_dir == EDGE_HOR and lpy % sps.ctu_size == 0
+        for c_idx in range(2):
+            bs = bs_cb if c_idx == 0 else bs_cr
+            if not (bs == 2 or (large_boundary and bs == 1)):
+                continue
+            comp = c_idx + 1
+            plane = pic.planes[comp]
+            cpx = lpx >> sx
+            cpy = lpy >> sy
+            tu_q = dcs.get_tu(cpx, cpy, CH_C)
+            tu_p = dcs.get_tu(
+                cpx - (1 if edge_dir == EDGE_VER else 0),
+                cpy - (1 if edge_dir == EDGE_HOR else 0), CH_C)
+            qp_p = _chroma_base_qp(dcs, tu_p, comp)
+            qp_q = _chroma_base_qp(dcs, tu_q, comp)
+            qp = (qp_p + qp_q + 1) >> 1
+            idx_tc = _clip3(0, 63 + DEFAULT_INTRA_TC_OFFSET,
+                            qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + (tc_off2[c_idx] << 1))
+            tc = (
+                (TC_TABLE[idx_tc] + (1 << (9 - bit_depth))) >> (10 - bit_depth)
+                if bit_depth < 10 else TC_TABLE[idx_tc] << (bit_depth - 10)
+            )
+            use_long = False
+            no_p = no_q = False
+
+            def cline(step):
+                if edge_dir == EDGE_VER:
+                    return _Line(plane, cpx, cpy + step, 1, 0)
+                return _Line(plane, cpx + step, cpy, 0, 1)
+
+            if large_boundary:
+                idx_b = _clip3(0, 63, qp + (beta_off2[c_idx] << 1))
+                beta = BETA_TABLE[idx_b] * bd_scale
+                sub_shift = sy if edge_dir == EDGE_VER else sx
+                s0 = cline(0)
+                s3 = cline(1 if sub_shift == 1 else 3)
+                dp0 = _calc_dp(s0, chroma_hor_ctb)
+                dq0 = _calc_dq(s0)
+                dp3 = _calc_dp(s3, chroma_hor_ctb)
+                dq3 = _calc_dq(s3)
+                d0 = dp0 + dq0
+                d3 = dp3 + dq3
+                d = d0 + d3
+                if d < beta:
+                    use_long = True
+                    sw = _use_strong(s0, 2 * d0, beta, tc, False, False, 7, 7,
+                                     chroma_hor_ctb) and _use_strong(
+                        s3, 2 * d3, beta, tc, False, False, 7, 7, chroma_hor_ctb)
+                    for step in range(loop_length):
+                        _pel_filter_chroma(cline(step), tc, sw, no_p, no_q, maxv,
+                                           large_boundary, chroma_hor_ctb)
+            if not use_long:
+                for step in range(loop_length):
+                    _pel_filter_chroma(cline(step), tc, False, no_p, no_q, maxv,
+                                       large_boundary, chroma_hor_ctb)
+
+
+def _chroma_base_qp(dcs, tu, comp) -> int:
+    """QpParam(tu, comp).Qp(0) - qpBdOffset (deblock chroma QP)."""
+    from vtm_tpu.ops.quant import G_ICT_MODES, qp_param
+
+    cu = tu.cu
+    sh = pic_slice(dcs, cu.slice_idx)
+    mode = 0
+    if tu.joint_cbcr:
+        sign = 1 if dcs.ph.joint_cbcr_sign else 0
+        mode = G_ICT_MODES[sign][tu.joint_cbcr]
+    use_jqp = abs(mode) == 2
+    adj_offsets = (0, 0, 0)
+    if cu.chroma_qp_adj and dcs.pps.chroma_qp_offset_list:
+        adj_offsets = dcs.pps.chroma_qp_offset_list[cu.chroma_qp_adj - 1]
+    qp, _, _ = qp_param(
+        cu.qp, comp, dcs.sps, sh.cb_qp_offset, sh.cr_qp_offset,
+        sh.joint_cbcr_qp_offset, adj_offsets, use_jqp,
+    )
+    return qp - dcs.sps.qp_bd_offset
