@@ -1,0 +1,48 @@
+"""End-to-end All-Intra encoder round-trip tests.
+
+The encoder (vtm_tpu.encoder.enc_lib.IntraEncoder) must produce a stream
+that our own (VTM-conformance-verified) decoder parses fully and whose
+decoded-picture-hash SEI verifies — the same oracle VTM uses
+(DecLib.cpp:751-756). VTM DecoderApp conformance for the same streams is
+exercised out-of-band (see .claude/skills/verify).
+"""
+
+import numpy as np
+import pytest
+
+from vtm_tpu.common.types import ChromaFormat
+from vtm_tpu.decoder.declib import Decoder
+from vtm_tpu.encoder.enc_lib import EncoderConfig, IntraEncoder
+from vtm_tpu.utils.yuv_io import YuvFormat, read_yuv
+
+TESTDATA = "testdata"
+
+
+def _roundtrip(name, w, h, qp, min_psnr_y):
+    fmt = YuvFormat(w, h, ChromaFormat.YUV420, 8)
+    frames = read_yuv(f"{TESTDATA}/{name}.yuv", fmt, 1)
+    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=qp))
+    bits = enc.encode(frames)
+    dec = Decoder()
+    pics = dec.decode_stream(bits)
+    assert len(pics) == 1
+    assert dec.hash_results, "no hash SEI verified"
+    for hr in dec.hash_results:
+        assert hr.ok, f"decoded-picture-hash mismatch at POC {hr.poc}"
+    # decoded recon must equal encoder recon exactly
+    for c in range(3):
+        assert np.array_equal(pics[0].planes[c], enc.last_recon[c]), f"comp {c}"
+    mse = np.mean(
+        (frames[0][0].astype(np.float64) - enc.last_recon[0].astype(np.float64)) ** 2
+    )
+    psnr = 10 * np.log10(255 * 255 / mse)
+    assert psnr >= min_psnr_y, f"Y-PSNR {psnr:.2f} below {min_psnr_y}"
+
+
+def test_roundtrip_tiny64_qp32():
+    _roundtrip("tiny64_64x64_420_8", 64, 64, 32, 30.0)
+
+
+@pytest.mark.slow
+def test_roundtrip_small208_qp32():
+    _roundtrip("small208_208x120_420_8", 208, 120, 32, 34.0)

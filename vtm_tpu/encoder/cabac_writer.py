@@ -1,0 +1,318 @@
+"""CTU-level CABAC syntax writing (v1 intra feature set).
+
+Mirror of EncoderLib/CABACWriter.cpp for the encoder's current toolset
+(single tree, QT-only or QTBT, 67-mode intra, DCT2, no secondary tools).
+Context derivations are shared with the decoder's SyntaxReader so the
+encoder and decoder stay bin-exact by construction.  The `engine` is
+either a BinEncoder (real bits) or BitEstimator (RD search).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vtm_tpu.common import rom
+from vtm_tpu.decoder import cs as D
+from vtm_tpu.decoder import partitioner as P
+from vtm_tpu.decoder.cabac_reader import (
+    CoeffCtx,
+    CuCtx,
+    NUM_MPM,
+    SyntaxReader,
+    ctx,
+    _GROUP_IDX,
+    _MIN_IN_GROUP,
+    _GO_RICE_PARS,
+    COEF_REMAIN_BIN_REDUCTION,
+    MAX_CTX_BIN_RATIO_LUMA,
+    MAX_CTX_BIN_RATIO_CHROMA,
+)
+from vtm_tpu.decoder.cs import CH_C, CH_L, CU, MODE_INTRA, TU
+
+
+class SyntaxWriter:
+    def __init__(self, dcs, engine):
+        self.cs = dcs
+        self.e = engine
+        self.sps = dcs.sps
+        self.pps = dcs.pps
+        self.helper = SyntaxReader(dcs, None)  # ctx derivations only
+
+    # ------------------------------------------------------------------
+    def coding_tree_unit(self, ctu_rect, ctus_cus):
+        """Write the chosen coding tree for one CTU (cus already in cs)."""
+        part = P.Partitioner(self.cs)
+        part.init_ctu(ctu_rect, CH_L)
+        cu_ctx = CuCtx(0)
+        self.coding_tree(part, cu_ctx)
+
+    def coding_tree(self, part: P.Partitioner, cu_ctx: CuCtx):
+        b = part.cur_block()
+        cu = self.cs.get_cu(b.x, b.y, part.ch_type)
+        a = part.cur_area()
+        is_leaf = (
+            cu is not None
+            and cu.blocks[0] is not None
+            and cu.blocks[0].x == a.x and cu.blocks[0].y == a.y
+            and cu.blocks[0].w == a.w and cu.blocks[0].h == a.h
+        )
+        split_mode = P.CU_DONT_SPLIT if is_leaf else P.CU_QUAD_SPLIT
+        self.split_cu_mode(split_mode, part)
+        if split_mode != P.CU_DONT_SPLIT:
+            part.split_cur_area(split_mode)
+            while True:
+                if self.helper._area_in_pic(part):
+                    self.coding_tree(part, cu_ctx)
+                if not part.next_part():
+                    break
+            part.exit_cur_split()
+            return
+        self.coding_unit(cu, part, cu_ctx)
+
+    def split_cu_mode(self, split_mode: int, part: P.Partitioner):
+        """Mirror of reader split_cu_mode for the chosen mode."""
+        can_no, can_qt, can_bh, can_bv, can_th, can_tv = part.can_split_flags()
+        ctx_spl, ctx_qt, ctx_hv, ctx_h12, ctx_v12 = self.helper._ctx_split(
+            part, (can_no, can_qt, can_bh, can_bv, can_th, can_tv)
+        )
+        can_split_any = can_bh or can_bv or can_th or can_tv or can_qt
+        is_split = split_mode != P.CU_DONT_SPLIT
+        if can_no and can_split_any:
+            self.e.encode_bin(int(is_split), ctx("SplitFlag", ctx_spl))
+        if not is_split:
+            return
+        can_btt = can_bh or can_bv or can_th or can_tv
+        is_qt = split_mode == P.CU_QUAD_SPLIT
+        if can_qt and can_btt:
+            self.e.encode_bin(int(is_qt), ctx("SplitQtFlag", ctx_qt))
+        if is_qt:
+            return
+        can_hor = can_bh or can_th
+        can_ver = can_bv or can_tv
+        is_ver = split_mode in (P.CU_VERT_SPLIT, P.CU_TRIV_SPLIT)
+        if can_ver and can_hor:
+            self.e.encode_bin(int(is_ver), ctx("SplitHvFlag", ctx_hv))
+        can14 = can_tv if is_ver else can_th
+        can12 = can_bv if is_ver else can_bh
+        is12 = split_mode in (P.CU_VERT_SPLIT, P.CU_HORZ_SPLIT)
+        if can12 and can14:
+            self.e.encode_bin(int(is12), ctx("Split12Flag", ctx_v12 if is_ver else ctx_h12))
+
+    # ------------------------------------------------------------------
+    def coding_unit(self, cu: CU, part: P.Partitioner, cu_ctx: CuCtx):
+        # v1: I-slice, no IBC/PLT → no skip/pred_mode/bdpcm/mip/mrl/isp bins
+        self.intra_luma_pred_mode(cu)
+        self.intra_chroma_pred_mode(cu)
+        for tu in cu.tus:
+            self.transform_unit(tu, cu_ctx, part)
+
+    def intra_luma_pred_mode(self, cu: CU):
+        if cu.blocks[0] is None:
+            return
+        mode = cu.intra_dir[0]
+        mpm = self.helper._get_intra_mpms(cu)
+        if mode in mpm:
+            idx = mpm.index(mode)
+            self.e.encode_bin(1, ctx("IntraLumaMpmFlag"))
+            c = 0 if cu.isp_mode else 1
+            self.e.encode_bin(int(idx > 0), ctx("IntraLumaPlanarFlag", c))
+            if idx > 0:
+                self.e.encode_bin_ep(int(idx > 1))
+            if idx > 1:
+                self.e.encode_bin_ep(int(idx > 2))
+            if idx > 2:
+                self.e.encode_bin_ep(int(idx > 3))
+            if idx > 3:
+                self.e.encode_bin_ep(int(idx > 4))
+        else:
+            self.e.encode_bin(0, ctx("IntraLumaMpmFlag"))
+            srt = sorted(mpm)
+            code = mode
+            for m in reversed(srt):
+                if code > m:
+                    code -= 1
+            self._write_trunc_bin(code, D.NUM_LUMA_MODE - NUM_MPM)
+
+    def _write_trunc_bin(self, symbol: int, max_symbol: int):
+        thresh = max_symbol.bit_length() - 1
+        val = 1 << thresh
+        b = max_symbol - val
+        if symbol < val - b:
+            self.e.encode_bins_ep(symbol, thresh)
+        else:
+            s2 = symbol + (val - b)
+            self.e.encode_bins_ep(s2 >> 1, thresh)
+            self.e.encode_bin_ep(s2 & 1)
+
+    def intra_chroma_pred_mode(self, cu: CU):
+        if self.sps.chroma_format_idc == 0 or (cu.is_sep_tree and cu.ch_type == CH_L):
+            return
+        if cu.blocks[1] is None:
+            return
+        mode = cu.intra_dir[1]
+        # no CCLM in v1 SPS
+        if mode == D.DM_CHROMA_IDX:
+            self.e.encode_bin(0, ctx("IntraChromaPredMode"))
+            return
+        self.e.encode_bin(1, ctx("IntraChromaPredMode"))
+        modes = self.helper._chroma_cand_modes(cu)
+        cand = modes.index(mode)
+        self.e.encode_bins_ep(cand, 2)
+
+    # ------------------------------------------------------------------
+    def transform_unit(self, tu: TU, cu_ctx: CuCtx, part: P.Partitioner):
+        cu = tu.cu
+        has_chroma = self.sps.chroma_format_idc != 0 and tu.blocks[1] is not None
+        if has_chroma and (not cu.is_sep_tree or part.ch_type == CH_C):
+            self.e.encode_bin(tu.cbf[1], self._cbf_ctx(1, False, cu))
+            self.e.encode_bin(tu.cbf[2], self._cbf_ctx(2, bool(tu.cbf[1]), cu))
+        if part.ch_type == CH_L and tu.blocks[0] is not None:
+            self.e.encode_bin(tu.cbf[0], self._cbf_ctx(0, False, cu))
+        if tu.cbf[0]:
+            self.residual_coding(tu, 0)
+        if has_chroma:
+            for comp in (1, 2):
+                if tu.cbf[comp]:
+                    self.residual_coding(tu, comp)
+
+    def _cbf_ctx(self, comp: int, prev_cbf: bool, cu) -> int:
+        if comp == 2:
+            c = 1 if prev_cbf else 0
+        else:
+            c = 0
+        return ctx(f"QtCbf_{comp}", c)
+
+    def residual_coding(self, tu: TU, comp: int):
+        cctx = CoeffCtx(tu, comp, False, self.sps)
+        coeff = tu.coeffs[comp].ravel()
+        # last significant position
+        last_scan_pos = -1
+        for sp in range(cctx.max_num_coeff - 1, -1, -1):
+            if coeff[cctx.blockpos(sp)]:
+                last_scan_pos = sp
+                break
+        assert last_scan_pos >= 0, "residual_coding called with all-zero block"
+        cctx.scan_pos_last = last_scan_pos
+        self._write_last_pos(cctx, last_scan_pos)
+        ratio = MAX_CTX_BIN_RATIO_LUMA if comp == 0 else MAX_CTX_BIN_RATIO_CHROMA
+        w = min(32, tu.blocks[comp].w)
+        h = min(32, tu.blocks[comp].h)
+        cctx.reg_bin_limit = (w * h * ratio) >> 4
+        state = 0
+        for subset in range(last_scan_pos >> cctx.log2_cg_size, -1, -1):
+            cctx.init_subblock(subset)
+            state = self._write_subblock(cctx, coeff, state)
+
+    def _write_last_pos(self, cctx: CoeffCtx, last_scan_pos: int):
+        pos_x = int(cctx.scan[last_scan_pos][1])
+        pos_y = int(cctx.scan[last_scan_pos][2])
+        gx = int(_GROUP_IDX[pos_x])
+        gy = int(_GROUP_IDX[pos_y])
+        max_x = cctx.max_last_pos_x
+        max_y = cctx.max_last_pos_y
+        for i in range(gx):
+            self.e.encode_bin(1, cctx.last_x_ctx_id(i))
+        if gx < max_x:
+            self.e.encode_bin(0, cctx.last_x_ctx_id(gx))
+        for i in range(gy):
+            self.e.encode_bin(1, cctx.last_y_ctx_id(i))
+        if gy < max_y:
+            self.e.encode_bin(0, cctx.last_y_ctx_id(gy))
+        if gx > 3:
+            n = (gx - 2) >> 1
+            self.e.encode_bins_ep(pos_x - int(_MIN_IN_GROUP[gx]), n)
+        if gy > 3:
+            n = (gy - 2) >> 1
+            self.e.encode_bins_ep(pos_y - int(_MIN_IN_GROUP[gy]), n)
+
+    def _write_subblock(self, cctx: CoeffCtx, coeff: np.ndarray, state: int) -> int:
+        e = self.e
+        min_sub_pos = cctx.min_sub_pos
+        is_last = cctx.is_last()
+        first_sig_pos = cctx.scan_pos_last if is_last else cctx.max_sub_pos
+        # significant group flag
+        sig_group = any(
+            coeff[cctx.blockpos(sp)] for sp in range(min_sub_pos, cctx.max_sub_pos + 1)
+        )
+        if not (is_last or cctx.sub_set_id == 0):
+            e.encode_bin(int(sig_group), cctx.sig_group_ctx_id())
+        if sig_group:
+            cctx.sig_group_flags[cctx.sub_set_pos] = True
+        else:
+            return state
+        infer_sig_pos = (
+            (min_sub_pos if cctx.sub_set_id != 0 else -1)
+            if first_sig_pos != cctx.scan_pos_last
+            else first_sig_pos
+        )
+        num_nonzero = 0
+        rem_reg_bins = cctx.reg_bin_limit
+        pos = first_sig_pos
+        remainders = []  # (scan_pos, remainder)
+        ctx_off = {}
+        while pos >= min_sub_pos and rem_reg_bins >= 4:
+            blk_pos = cctx.blockpos(pos)
+            level = abs(int(coeff[blk_pos]))
+            sig = int(level != 0)
+            inferred = num_nonzero == 0 and pos == infer_sig_pos
+            if not inferred:
+                sig_ctx = cctx.sig_ctx_id_abs(pos, coeff, state)
+                e.encode_bin(sig, sig_ctx)
+                rem_reg_bins -= 1
+            elif pos != cctx.scan_pos_last:
+                cctx.sig_ctx_id_abs(pos, coeff, state)
+            if sig:
+                off = cctx.ctx_offset_abs()
+                ctx_off[pos] = off
+                num_nonzero += 1
+                gt1 = int(level > 1)
+                e.encode_bin(gt1, cctx.gt1_ctx_id(off))
+                rem_reg_bins -= 1
+                if gt1:
+                    par = (level - 2) & 1
+                    e.encode_bin(par, cctx.par_ctx_id(off))
+                    rem_reg_bins -= 1
+                    gt2 = int(level > 3)
+                    e.encode_bin(gt2, cctx.gt2_ctx_id(off))
+                    rem_reg_bins -= 1
+            pos -= 1
+        first_pos_mode2 = pos
+        cctx.reg_bin_limit = rem_reg_bins
+        # remainder pass (>= 4)
+        for sp in range(first_sig_pos, first_pos_mode2, -1):
+            blk_pos = cctx.blockpos(sp)
+            level = abs(int(coeff[blk_pos]))
+            sum_all = cctx.template_abs_sum(sp, coeff, 4)
+            rice = int(_GO_RICE_PARS[sum_all])
+            if level >= 4:
+                rem = (level - 4) >> 1
+                e.encode_rem_abs_ep(rem, rice, COEF_REMAIN_BIN_REDUCTION, 15)
+        # bypass pass
+        for sp in range(first_pos_mode2, min_sub_pos - 1, -1):
+            blk_pos = cctx.blockpos(sp)
+            level = abs(int(coeff[blk_pos]))
+            sum_all = cctx.template_abs_sum(sp, coeff, 0)
+            rice = int(_GO_RICE_PARS[sum_all])
+            pos0 = (1 if state < 2 else 2) << rice
+            if level == 0:
+                rem = pos0
+            elif level <= pos0:
+                rem = level - 1
+            else:
+                rem = level
+            e.encode_rem_abs_ep(rem, rice, COEF_REMAIN_BIN_REDUCTION, 15)
+            if level:
+                num_nonzero += 1
+        # signs
+        sign_bits = []
+        for sp in range(first_sig_pos, min_sub_pos - 1, -1):
+            v = int(coeff[cctx.blockpos(sp)])
+            if v:
+                sign_bits.append(1 if v < 0 else 0)
+        num_signs = len(sign_bits)
+        if num_signs:
+            pattern = 0
+            for s in sign_bits:
+                pattern = (pattern << 1) | s
+            e.encode_bins_ep(pattern, num_signs)
+        return state

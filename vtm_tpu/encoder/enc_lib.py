@@ -1,0 +1,476 @@
+"""All-Intra encoder v1 (SURVEY §7 phase 4 'minimum end-to-end slice').
+
+Architecture: the encoder builds the SAME decode-side coding structure the
+decoder uses (CUs committed into DecCodingStructure, reconstruction through
+the exact-integer ops), so every context derivation and prediction is
+bit-consistent with decoding by construction.  RD search runs on
+BitEstimator copies of the live CABAC contexts (the reference's
+TBitEstimator approach, BinEncoder.h:226) with full state
+checkpoint/rollback; the final CTU bins are written by replaying the chosen
+tree with the real arithmetic encoder.
+
+v1 toolset: CTU 64, single tree, QT-only partitioning to 8x8, 67-mode luma
+intra (coarse+refine SATD preselection, exact RD on finalists), chroma DM,
+DCT2, flat quant, IDR every frame, picture hash SEI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from vtm_tpu.bitstream import reader as nalio
+from vtm_tpu.bitstream.writer import BitWriter, make_nal
+from vtm_tpu.common.types import SliceType
+from vtm_tpu.decoder import cs as D
+from vtm_tpu.decoder import partitioner as P
+from vtm_tpu.decoder import vlc
+from vtm_tpu.decoder.cabac import ContextModels
+from vtm_tpu.decoder.cabac_reader import CuCtx
+from vtm_tpu.decoder.cs import CU, Rect, TU
+from vtm_tpu.decoder.dec_cu import CuReconstructor
+from vtm_tpu.encoder.bin_encoder import BinEncoder, BitEstimator
+from vtm_tpu.encoder.cabac_writer import SyntaxWriter
+from vtm_tpu.encoder import vlc_writer as W
+from vtm_tpu.ops import intra as I
+from vtm_tpu.ops import quant as Q
+from vtm_tpu.ops import transform as TX
+from vtm_tpu.utils import pic_hash
+
+
+@dataclass
+class EncoderConfig:
+    width: int
+    height: int
+    qp: int = 32
+    bit_depth: int = 8
+    chroma_format_idc: int = 1
+    ctu_size: int = 64
+    log2_ctu_size: int = 6
+    log2_min_cb_size: int = 3  # min CU 8 (QT-only leaf)
+    log2_min_qt_intra: int = 3
+    log2_min_qt_inter: int = 3
+    max_mtt_depth_intra: int = 0
+    max_mtt_depth_inter: int = 0
+    log2_max_bt_intra: int = 5
+    log2_max_tt_intra: int = 5
+    log2_max_bt_inter: int = 5
+    log2_max_tt_inter: int = 5
+    log2_max_tb_size: int = 6
+    init_qp: int = 26
+    num_rd_modes: int = 3  # finalists for full RD
+
+
+class IntraEncoder:
+    def __init__(self, cfg: EncoderConfig):
+        self.cfg = cfg
+        # build SPS/PPS objects by parsing our own written headers — this
+        # guarantees the encoder's view matches any conforming decoder's
+        self.sps_nal = W.write_sps(cfg)
+        self.pps_nal = W.write_pps(cfg)
+        sps_rbsp = nalio.parse_nal(nalio.split_annexb(self.sps_nal)[0]).rbsp
+        pps_rbsp = nalio.parse_nal(nalio.split_annexb(self.pps_nal)[0]).rbsp
+        self.sps = vlc.parse_sps(sps_rbsp)
+        self.pps = vlc.parse_pps(pps_rbsp)
+        self.lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+
+    # ------------------------------------------------------------------
+    def encode(self, frames: list[list[np.ndarray]]) -> bytes:
+        out = bytearray()
+        out += self.sps_nal
+        out += self.pps_nal
+        for poc, planes in enumerate(frames):
+            out += self.encode_frame(planes, poc)
+        return bytes(out)
+
+    def encode_frame(self, src_planes, poc: int) -> bytes:
+        cfg = self.cfg
+        sps, pps = self.sps, self.pps
+        # picture-header fixups (normally done at PH parse)
+        from vtm_tpu.common.params import PicHeader, SliceHeader
+
+        vlc.derive_pps_partitioning(pps, sps)
+        ph = PicHeader()
+        ph.inter_slice_allowed = False
+        ph.min_qt_size = list(sps.min_qt_size)
+        ph.max_mtt_depth = list(sps.max_mtt_depth)
+        ph.max_bt_size = list(sps.max_bt_size)
+        ph.max_tt_size = list(sps.max_tt_size)
+        sh = SliceHeader()
+        sh.slice_type = SliceType.I
+        sh.qp = cfg.qp
+        n_ctu = pps.pic_width_in_ctu(sps.ctu_size) * pps.pic_height_in_ctu(sps.ctu_size)
+        dcs = D.DecCodingStructure(sps, pps, ph, sh, np.zeros(n_ctu, dtype=np.int32))
+        dcs._slice_headers = [sh]
+        dcs.lmcs_model = None
+        self.dcs = dcs
+        self.src = src_planes
+        planes = [np.zeros_like(p) for p in src_planes]
+        self.recon = CuReconstructor(dcs, planes)
+        # CABAC state
+        ctx = ContextModels()
+        ctx.init(cfg.qp, int(SliceType.I))
+        slice_bw = BitWriter()
+        enc = BinEncoder(slice_bw, ctx)
+        enc.start()
+        import os
+        tr_path = os.environ.get("VTM_TPU_ENC_TRACE")
+        if tr_path:
+            if not hasattr(self, "_trace_f"):
+                self._trace_f = open(tr_path, "w")
+            enc.trace = self._trace_f
+        w_ctu = dcs.pic_w_ctu
+        h_ctu = dcs.pic_h_ctu
+        for cy in range(h_ctu):
+            for cx in range(w_ctu):
+                ctu_rect = Rect(cx * cfg.ctu_size, cy * cfg.ctu_size,
+                                cfg.ctu_size, cfg.ctu_size)
+                # RD search with estimator seeded from live contexts
+                est = BitEstimator(ctx.copy())
+                part = P.Partitioner(dcs)
+                part.init_ctu(ctu_rect, D.CH_L)
+                self._rd_node(part, est)
+                # final write: replay chosen tree with the real encoder
+                writer = SyntaxWriter(dcs, enc)
+                wpart = P.Partitioner(dcs)
+                wpart.init_ctu(ctu_rect, D.CH_L)
+                self._replay_node(writer, wpart)
+                # VVC: terminating bin only at slice/tile/WPP-row end
+                # (DecSlice.cpp:141-234); v1 has one slice, no tiles/WPP.
+                if cy == h_ctu - 1 and cx == w_ctu - 1:
+                    enc.encode_bin_trm(1)
+        enc.finish()
+        slice_bw.write_byte_alignment()
+        # slice NAL = header + slice data
+        hdr = W.write_slice_header_head(cfg, poc, cfg.qp)
+        rbsp = bytes(hdr.bytes) + slice_bw.data()
+        nal = make_nal(nalio.NAL_IDR_N_LP, rbsp)
+        # in-loop filters on reconstruction (DecLib::executeLoopFilters order);
+        # v1 signals deblocking on, SAO/ALF/LMCS off.
+        from vtm_tpu.ops import deblock as DB
+
+        class _PicShim:
+            pass
+
+        shim = _PicShim()
+        shim.planes = planes
+        if not sh.deblocking_disable:
+            DB.deblock_picture(dcs, shim)
+        # hash SEI (computed on the filtered reconstruction, like VTM)
+        digest = pic_hash.pic_md5(planes, [cfg.bit_depth] * len(planes))
+        sei = W.write_hash_sei(digest)
+        self.last_recon = planes
+        return nal + sei
+
+    # ------------------------------------------------------------------
+    # state checkpointing
+    def _snapshot(self, a: Rect):
+        dcs = self.dcs
+        r = self.recon
+        sx, sy = dcs.chroma_format.scale_x, dcs.chroma_format.scale_y
+        ca = Rect(a.x >> sx, a.y >> sy, a.w >> sx, a.h >> sy)
+        snap = {
+            "n_cus": len(dcs.cus),
+            "n_tus": len(dcs.tus),
+            "map_l": dcs.map_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2].copy(),
+            "map_tu_l": dcs.map_tu_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2].copy(),
+            "qp_l": dcs.qp_map_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2].copy(),
+            "plane0": r.planes[0][a.y : a.y1, a.x : a.x1].copy(),
+            "dec_l": r.decomp_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2].copy(),
+        }
+        if dcs.map_c is not None:
+            snap["map_c"] = dcs.map_c[ca.y >> 1 : ca.y1 >> 1, ca.x >> 1 : ca.x1 >> 1].copy()
+            snap["map_tu_c"] = dcs.map_tu_c[ca.y >> 1 : ca.y1 >> 1, ca.x >> 1 : ca.x1 >> 1].copy()
+            snap["plane1"] = r.planes[1][ca.y : ca.y1, ca.x : ca.x1].copy()
+            snap["plane2"] = r.planes[2][ca.y : ca.y1, ca.x : ca.x1].copy()
+            snap["dec_c"] = r.decomp_c[ca.y >> 1 : ca.y1 >> 1, ca.x >> 1 : ca.x1 >> 1].copy()
+        return snap
+
+    def _restore(self, a: Rect, snap):
+        dcs = self.dcs
+        r = self.recon
+        sx, sy = dcs.chroma_format.scale_x, dcs.chroma_format.scale_y
+        ca = Rect(a.x >> sx, a.y >> sy, a.w >> sx, a.h >> sy)
+        del dcs.cus[snap["n_cus"]:]
+        del dcs.tus[snap["n_tus"]:]
+        dcs.map_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2] = snap["map_l"]
+        dcs.map_tu_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2] = snap["map_tu_l"]
+        dcs.qp_map_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2] = snap["qp_l"]
+        r.planes[0][a.y : a.y1, a.x : a.x1] = snap["plane0"]
+        r.decomp_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2] = snap["dec_l"]
+        if dcs.map_c is not None:
+            dcs.map_c[ca.y >> 1 : ca.y1 >> 1, ca.x >> 1 : ca.x1 >> 1] = snap["map_c"]
+            dcs.map_tu_c[ca.y >> 1 : ca.y1 >> 1, ca.x >> 1 : ca.x1 >> 1] = snap["map_tu_c"]
+            r.planes[1][ca.y : ca.y1, ca.x : ca.x1] = snap["plane1"]
+            r.planes[2][ca.y : ca.y1, ca.x : ca.x1] = snap["plane2"]
+            r.decomp_c[ca.y >> 1 : ca.y1 >> 1, ca.x >> 1 : ca.x1 >> 1] = snap["dec_c"]
+
+    # ------------------------------------------------------------------
+    def _rd_node(self, part: P.Partitioner, est: BitEstimator) -> float:
+        """Decide split-vs-CU at this node; leaves chosen state applied.
+
+        Returns the RD cost of the subtree.
+        """
+        dcs = self.dcs
+        a = part.cur_area()
+        clipped = Rect(a.x, a.y,
+                       min(a.w, dcs.pic_w - a.x), min(a.h, dcs.pic_h - a.y))
+        can_no, can_qt, can_bh, can_bv, can_th, can_tv = part.can_split_flags()
+        best = None  # (cost, capture_after, est_after)
+        snap0 = self._snapshot(clipped)
+
+        def capture():
+            cap = self._snapshot(clipped)
+            cap["n_cus"] = snap0["n_cus"]
+            cap["n_tus"] = snap0["n_tus"]
+            cap["cus_tail"] = dcs.cus[snap0["n_cus"]:]
+            cap["tus_tail"] = dcs.tus[snap0["n_tus"]:]
+            return cap
+
+        if can_no:
+            est_ns = est.copy()
+            bits0 = est_ns.frac_bits
+            w = SyntaxWriter(dcs, est_ns)
+            w.split_cu_mode(P.CU_DONT_SPLIT, part)
+            dist = self._rd_cu(a, part, est_ns)
+            cost = dist + self.lam * ((est_ns.frac_bits - bits0) / 32768.0)
+            best = (cost, capture(), est_ns)
+            self._restore(clipped, snap0)
+        if can_qt:
+            est_sp = est.copy()
+            bits0 = est_sp.frac_bits
+            w = SyntaxWriter(dcs, est_sp)
+            w.split_cu_mode(P.CU_QUAD_SPLIT, part)
+            split_cost = self.lam * ((est_sp.frac_bits - bits0) / 32768.0)
+            part.split_cur_area(P.CU_QUAD_SPLIT)
+            total = split_cost
+            while True:
+                sub = part.cur_area()
+                if sub.x < dcs.pic_w and sub.y < dcs.pic_h:
+                    total += self._rd_node(part, est_sp)
+                if not part.next_part():
+                    break
+            part.exit_cur_split()
+            if best is None or total < best[0]:
+                best = (total, capture(), est_sp)
+            self._restore(clipped, snap0)
+        cost, cap_after, est_after = best
+        self._restore_region(clipped, cap_after)
+        est.ctx = est_after.ctx
+        est.frac_bits = est_after.frac_bits
+        return cost
+
+    def _restore_from_capture(self, a: Rect, snap):
+        """Apply a captured (post-branch) snapshot: list lengths grow back."""
+        dcs = self.dcs
+        # the capture contains the region state AND implies cus/tus lists
+        # up to the captured lengths; branches only append, so re-extend
+        # is impossible after truncation — instead keep the captured list
+        # tails inside the snapshot.
+        self._restore_region(a, snap)
+
+    def _restore_region(self, a: Rect, snap):
+        dcs = self.dcs
+        r = self.recon
+        sx, sy = dcs.chroma_format.scale_x, dcs.chroma_format.scale_y
+        ca = Rect(a.x >> sx, a.y >> sy, a.w >> sx, a.h >> sy)
+        dcs.map_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2] = snap["map_l"]
+        dcs.map_tu_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2] = snap["map_tu_l"]
+        dcs.qp_map_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2] = snap["qp_l"]
+        r.planes[0][a.y : a.y1, a.x : a.x1] = snap["plane0"]
+        r.decomp_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2] = snap["dec_l"]
+        if dcs.map_c is not None:
+            dcs.map_c[ca.y >> 1 : ca.y1 >> 1, ca.x >> 1 : ca.x1 >> 1] = snap["map_c"]
+            dcs.map_tu_c[ca.y >> 1 : ca.y1 >> 1, ca.x >> 1 : ca.x1 >> 1] = snap["map_tu_c"]
+            r.planes[1][ca.y : ca.y1, ca.x : ca.x1] = snap["plane1"]
+            r.planes[2][ca.y : ca.y1, ca.x : ca.x1] = snap["plane2"]
+            r.decomp_c[ca.y >> 1 : ca.y1 >> 1, ca.x >> 1 : ca.x1 >> 1] = snap["dec_c"]
+        if "cus_tail" in snap:
+            del dcs.cus[snap["n_cus"]:]
+            dcs.cus.extend(snap["cus_tail"])
+            del dcs.tus[snap["n_tus"]:]
+            dcs.tus.extend(snap["tus_tail"])
+
+    # ------------------------------------------------------------------
+    def _rd_cu(self, a: Rect, part: P.Partitioner, est: BitEstimator) -> float:
+        """Search intra modes for CU at area a; commit best; return dist and
+        add bits to est."""
+        dcs = self.dcs
+        fmt = dcs.chroma_format
+        src_y = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
+        # ---- luma candidate preselection by SATD-like cost on prediction
+        cand_modes = self._preselect_modes(a, src_y)
+        best = None  # (cost, dist, snap_after, est_after)
+        clipped = a
+        snap0 = self._snapshot(clipped)
+        for mode in cand_modes:
+            est_c = est.copy()
+            bits0 = est_c.frac_bits
+            dist = self._encode_cu_with_mode(a, part, mode, est_c)
+            cost = dist + self.lam * ((est_c.frac_bits - bits0) / 32768.0)
+            if best is None or cost < best[0]:
+                cap = self._snapshot(clipped)
+                cap["n_cus"] = snap0["n_cus"]
+                cap["n_tus"] = snap0["n_tus"]
+                cap["cus_tail"] = dcs.cus[snap0["n_cus"]:]
+                cap["tus_tail"] = dcs.tus[snap0["n_tus"]:]
+                best = (cost, dist, cap, est_c)
+            self._restore(clipped, snap0)
+        cost, dist, cap, est_c = best
+        self._restore_region(clipped, cap)
+        est.ctx = est_c.ctx
+        est.frac_bits = est_c.frac_bits
+        return dist
+
+    def _preselect_modes(self, a: Rect, src_y: np.ndarray) -> list[int]:
+        """Coarse angular sweep + refinement, SAD cost on luma prediction."""
+        cu_probe = self._make_cu(a)  # temporary for ref fetch (not committed)
+        top, left = self.recon.fill_reference_samples(
+            Rect(a.x, a.y, a.w, a.h), cu_probe, 0, 0
+        )
+        ftop, fleft = I.filter_reference_samples(top, left, a.w * 2, a.h * 2, 0)
+        sad = {}
+        coarse = [0, 1, 2, 10, 18, 26, 34, 42, 50, 58, 66]
+        for m in coarse:
+            sad[m] = self._pred_cost(m, a, src_y, top, left, ftop, fleft)
+        best_ang = min((m for m in coarse if m > 1), key=lambda m: sad[m])
+        for m in (best_ang - 4, best_ang - 2, best_ang - 1, best_ang + 1,
+                  best_ang + 2, best_ang + 4):
+            if 2 <= m <= 66 and m not in sad:
+                sad[m] = self._pred_cost(m, a, src_y, top, left, ftop, fleft)
+        ranked = sorted(sad, key=lambda m: sad[m])
+        finalists = []
+        for m in (0, 1):
+            finalists.append(m)
+        for m in ranked:
+            if m not in finalists:
+                finalists.append(m)
+            if len(finalists) >= 2 + self.cfg.num_rd_modes:
+                break
+        return finalists
+
+    def _pred_cost(self, mode, a, src_y, top, left, ftop, fleft) -> float:
+        pred = self._predict_luma(mode, a, top, left, ftop, fleft)
+        return float(np.abs(src_y - pred).sum())
+
+    def _predict_luma(self, mode, a, top, left, ftop, fleft) -> np.ndarray:
+        p = I.IntraParams(mode, a.w, a.h, a.w, a.h, True, 0, False, False)
+        if mode == D.PLANAR_IDX:
+            use_t, use_l = (ftop, fleft) if p.ref_filter_flag else (top, left)
+            pred = I.pred_planar(use_t, use_l, a.w, a.h)
+            if p.apply_pdpc:
+                pred = I.pdpc_planar_dc(pred, use_t, use_l)
+        elif mode == D.DC_IDX:
+            dc = I.pred_dc(top, left, a.w, a.h, 0)
+            pred = np.full((a.h, a.w), dc, dtype=np.int64)
+            if p.apply_pdpc:
+                pred = I.pdpc_planar_dc(pred, top, left)
+        else:
+            use_t, use_l = (ftop, fleft) if p.ref_filter_flag else (top, left)
+            pred = I.pred_angular(use_t, use_l, a.w, a.h, p, True,
+                                  self.cfg.bit_depth)
+        return pred
+
+    def _make_cu(self, a: Rect) -> CU:
+        fmt = self.dcs.chroma_format
+        ca = Rect(a.x >> fmt.scale_x, a.y >> fmt.scale_y,
+                  a.w >> fmt.scale_x, a.h >> fmt.scale_y)
+        blocks = [Rect(a.x, a.y, a.w, a.h), ca, Rect(ca.x, ca.y, ca.w, ca.h)]
+        cu = CU(ch_type=D.CH_L, tree_type=D.TREE_D, mode_type=D.MODE_TYPE_ALL,
+                blocks=blocks, chroma_format=fmt)
+        cu.qp = self.cfg.qp
+        return cu
+
+    def _encode_cu_with_mode(self, a: Rect, part: P.Partitioner, mode: int,
+                             est: BitEstimator) -> float:
+        """Commit a CU with the given luma mode (chroma DM); returns SSD."""
+        dcs = self.dcs
+        fmt = dcs.chroma_format
+        cu = self._make_cu(a)
+        cu.intra_dir = [mode, D.DM_CHROMA_IDX]
+        cu.qt_depth = part.cur_qt_depth
+        cu.depth = part.cur_depth
+        cu.split_series = tuple(lvl.split for lvl in part.stack[1:])
+        dcs.add_cu(cu)
+        tu = TU(blocks=[Rect(b.x, b.y, b.w, b.h) if b else None for b in cu.blocks],
+                cu=cu, depth=0)
+        cu.tus.append(tu)
+        dcs.add_tu(tu)
+        dist = 0.0
+        maxv = (1 << self.cfg.bit_depth) - 1
+        for comp in range(fmt.num_components):
+            b = tu.blocks[comp]
+            src = self.src[comp][b.y : b.y1, b.x : b.x1].astype(np.int64)
+            # prediction via the shared reconstructor path
+            if comp == 0:
+                top, left = self.recon.fill_reference_samples(b, cu, 0, 0)
+                ftop, fleft = I.filter_reference_samples(top, left, b.w * 2, b.h * 2, 0)
+                pred = self._predict_luma(mode, b, top, left, ftop, fleft)
+            else:
+                pred = self._predict_chroma(cu, tu, comp)
+            resi = src - pred
+            coeffs = TX.fwd_transform_2d_np(resi.astype(np.int32), self.cfg.bit_depth)
+            qp = self.recon._qp_for(tu, comp)
+            lev = Q.quant_fwd(coeffs, qp, self.cfg.bit_depth, is_irap=True)
+            tu.coeffs[comp] = lev
+            tu.cbf[comp] = int(np.any(lev))
+            if tu.cbf[comp]:
+                deq = Q.dequant(lev, qp, self.cfg.bit_depth)
+                rec_resi = TX.inv_transform_2d_np(deq, self.cfg.bit_depth)
+            else:
+                rec_resi = np.zeros_like(src)
+            recon = np.clip(pred + rec_resi, 0, maxv).astype(np.int32)
+            self.recon.planes[comp][b.y : b.y1, b.x : b.x1] = recon
+            self.recon.set_decomp(comp, b)
+            if comp == 0:
+                dcs.qp_map_l[b.y >> 2 : b.y1 >> 2, b.x >> 2 : b.x1 >> 2] = cu.qp
+            w = 1.0
+            dist += w * float(np.sum((src - recon.astype(np.int64)) ** 2))
+        # bits
+        writer = SyntaxWriter(dcs, est)
+        writer.coding_unit(cu, part, CuCtx(self.cfg.qp))
+        return dist
+
+    def _predict_chroma(self, cu: CU, tu: TU, comp: int) -> np.ndarray:
+        b = tu.blocks[comp]
+        mode = self.recon._final_intra_mode(cu, comp)
+        top, left = self.recon.fill_reference_samples(b, cu, comp, 0)
+        p = I.IntraParams(mode, b.w, b.h, b.w, b.h, False, 0, False, False)
+        if mode == D.PLANAR_IDX:
+            pred = I.pred_planar(top, left, b.w, b.h)
+            if p.apply_pdpc:
+                pred = I.pdpc_planar_dc(pred, top, left)
+        elif mode == D.DC_IDX:
+            dc = I.pred_dc(top, left, b.w, b.h, 0)
+            pred = np.full((b.h, b.w), dc, dtype=np.int64)
+            if p.apply_pdpc:
+                pred = I.pdpc_planar_dc(pred, top, left)
+        else:
+            pred = I.pred_angular(top, left, b.w, b.h, p, False, self.cfg.bit_depth)
+        return pred
+
+    # ------------------------------------------------------------------
+    def _replay_node(self, writer: SyntaxWriter, part: P.Partitioner):
+        """Write final bins for the chosen tree (walk cs CU layout)."""
+        dcs = self.dcs
+        a = part.cur_area()
+        cu = dcs.get_cu(a.x, a.y, D.CH_L)
+        is_leaf = (
+            cu is not None and cu.blocks[0] is not None
+            and cu.blocks[0].x == a.x and cu.blocks[0].y == a.y
+            and cu.blocks[0].w == a.w and cu.blocks[0].h == a.h
+        )
+        split_mode = P.CU_DONT_SPLIT if is_leaf else P.CU_QUAD_SPLIT
+        writer.split_cu_mode(split_mode, part)
+        if split_mode != P.CU_DONT_SPLIT:
+            part.split_cur_area(P.CU_QUAD_SPLIT)
+            while True:
+                sub = part.cur_area()
+                if sub.x < dcs.pic_w and sub.y < dcs.pic_h:
+                    self._replay_node(writer, part)
+                if not part.next_part():
+                    break
+            part.exit_cur_split()
+            return
+        writer.coding_unit(cu, part, CuCtx(self.cfg.qp))

@@ -1,0 +1,202 @@
+"""High-level syntax writers (SPS/PPS/slice header/SEI) for the encoder.
+
+Mirror of EncoderLib/VLCWriter.cpp for the v1 All-Intra feature set:
+single tree, CTU 64, DCT2-only, no loop filters, single slice per picture,
+picture header in slice header, IDR every frame.  Field order mirrors
+vtm_tpu.decoder.vlc exactly (which is bit-exact against the reference).
+"""
+
+from __future__ import annotations
+
+from vtm_tpu.bitstream.writer import BitWriter, make_nal
+from vtm_tpu.bitstream import reader as nalio
+
+
+def write_constraint_info(w: BitWriter):
+    # general constraint flags: all zero except frame-only
+    w.flag(0)  # non_packed
+    w.flag(1)  # frame_only
+    for _ in range(3):
+        w.flag(0)  # non_projected, one_picture_only, intra_only
+    w.u(2, 4)  # max_bitdepth_constraint_idc (10-bit − 8)
+    w.u(1, 2)  # max_chroma_format_constraint_idc (4:2:0)
+    w.flag(0)  # single_layer
+    w.flag(1)  # all_layers_independent (must be 1 only if single_layer; 0 ok)
+    for _ in range(45):
+        w.flag(0)
+
+
+def write_ptl(w: BitWriter, level_idc: int = 51):
+    w.u(1, 7)  # general_profile_idc: Main10
+    w.flag(0)  # tier
+    write_constraint_info(w)
+    w.u(level_idc, 8)
+    w.u(0, 8)  # num_sub_profiles
+    # no sub layers → no flags; ptl alignment
+    while not w.byte_aligned():
+        w.u(0, 1)
+
+
+def write_sps(cfg) -> bytes:
+    w = BitWriter()
+    w.u(0, 4)  # sps id
+    w.u(0, 4)  # vps id
+    w.u(0, 3)  # max_sub_layers_minus1
+    w.u(0, 4)  # reserved
+    w.flag(1)  # ptl_dpb_hrd_present
+    write_ptl(w)
+    w.flag(0)  # gdr_enabled
+    w.u(cfg.chroma_format_idc, 2)
+    w.flag(0)  # ref_pic_resampling
+    w.ue(cfg.width)
+    w.ue(cfg.height)
+    w.flag(0)  # conformance window
+    w.u(cfg.log2_ctu_size - 5, 2)
+    w.flag(0)  # subpic_info_present
+    w.ue(cfg.bit_depth - 8)
+    w.flag(0)  # entropy_coding_sync
+    w.flag(0)  # entry_point_offsets_present
+    w.u(4, 4)  # log2_max_pic_order_cnt_lsb_minus4 → 8 bits
+    w.flag(0)  # poc_msb_flag
+    w.u(0, 2)  # num_extra_ph_bits_bytes
+    w.u(0, 2)  # num_extra_sh_bits_bytes
+    # dpb (ptl present, single sublayer)
+    w.ue(0)  # max_dec_pic_buffering_minus1
+    w.ue(0)  # max_num_reorder_pics
+    w.ue(0)  # max_latency_increase_plus1
+    w.flag(0)  # qtbtt_dual_tree_intra (chroma 420 present)
+    w.ue(cfg.log2_min_cb_size - 2)
+    w.flag(0)  # partition_constraints_override
+    w.ue(cfg.log2_min_qt_intra - cfg.log2_min_cb_size)
+    w.ue(cfg.max_mtt_depth_intra)
+    if cfg.max_mtt_depth_intra:
+        w.ue(cfg.log2_max_bt_intra - cfg.log2_min_qt_intra)
+        w.ue(cfg.log2_max_tt_intra - cfg.log2_min_qt_intra)
+    w.ue(cfg.log2_min_qt_inter - cfg.log2_min_cb_size)
+    w.ue(cfg.max_mtt_depth_inter)
+    if cfg.max_mtt_depth_inter:
+        w.ue(cfg.log2_max_bt_inter - cfg.log2_min_qt_inter)
+        w.ue(cfg.log2_max_tt_inter - cfg.log2_min_qt_inter)
+    if cfg.ctu_size > 32:
+        w.flag(1 if cfg.log2_max_tb_size == 6 else 0)
+    # chroma QP table: identity
+    w.flag(0)  # joint_cbcr
+    w.flag(1)  # same_qp_table_for_chroma
+    w.se(0)  # qp_table_start_minus26
+    w.ue(0)  # num_points_minus1
+    w.ue(0)  # delta_qp_in_val_minus1[0]
+    w.ue(1)  # delta_qp_diff_val[0] → deltaOut = 1^0 = 1 (identity table)
+    w.flag(0)  # sao
+    w.flag(0)  # alf
+    w.flag(0)  # transform_skip
+    w.flag(0)  # weighted_pred
+    w.flag(0)  # weighted_bipred
+    w.flag(0)  # long_term_ref_pics
+    w.flag(0)  # idr_rpl_present
+    w.flag(1)  # rpl1_copy_from_rpl0
+    w.ue(0)  # num_ref_pic_lists_in_sps[0]
+    w.flag(0)  # ref_wraparound
+    w.flag(0)  # temporal_mvp
+    w.flag(0)  # amvr
+    w.flag(0)  # bdof
+    w.flag(0)  # smvd
+    w.flag(0)  # dmvr
+    w.flag(0)  # mmvd
+    w.ue(1)  # six_minus_max_num_merge_cand → 5
+    w.flag(0)  # sbt
+    w.flag(0)  # affine
+    w.flag(0)  # bcw
+    w.flag(0)  # ciip
+    w.flag(0)  # gpm (max merge cand >= 2)
+    w.ue(0)  # log2_parallel_merge_level_minus2
+    w.flag(0)  # isp
+    w.flag(0)  # mrl
+    w.flag(0)  # mip
+    w.flag(0)  # cclm
+    if cfg.chroma_format_idc == 1:
+        w.flag(1)  # chroma_horizontal_collocated
+        w.flag(0)  # chroma_vertical_collocated
+    w.flag(0)  # mts
+    w.flag(0)  # palette
+    w.flag(0)  # ibc
+    w.flag(0)  # lmcs
+    w.flag(0)  # lfnst
+    w.flag(0)  # ladf
+    w.flag(0)  # explicit_scaling_list
+    w.flag(0)  # dep_quant
+    w.flag(0)  # sign_data_hiding
+    w.flag(0)  # virtual_boundaries_enabled
+    w.flag(0)  # general_hrd_params_present
+    w.flag(0)  # field_seq
+    w.flag(0)  # vui_present
+    w.flag(0)  # sps_extension
+    w.write_rbsp_trailing()
+    return make_nal(nalio.NAL_SPS, w.data())
+
+
+def write_pps(cfg) -> bytes:
+    w = BitWriter()
+    w.u(0, 6)  # pps id
+    w.u(0, 4)  # sps id
+    w.flag(0)  # mixed_nalu_types
+    w.ue(cfg.width)
+    w.ue(cfg.height)
+    w.flag(0)  # conformance window
+    w.flag(0)  # scaling window
+    w.flag(0)  # output_flag_present
+    w.flag(1)  # no_pic_partition
+    w.flag(0)  # subpic_id_mapping_in_pps
+    w.flag(0)  # cabac_init_present
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1
+    w.ue(0)  # num_ref_idx_l1_default_active_minus1
+    w.flag(0)  # rpl1_idx_present
+    w.se(cfg.init_qp - 26)
+    w.flag(0)  # cu_qp_delta_enabled
+    w.flag(0)  # chroma_tool_offsets_present
+    w.flag(0)  # weighted_pred
+    w.flag(0)  # weighted_bipred
+    w.flag(0)  # deblocking_filter_control_present
+    w.flag(0)  # pps_ref_wraparound
+    w.flag(0)  # picture_header_extension
+    w.flag(0)  # slice_header_extension
+    w.flag(0)  # pps_extension
+    w.write_rbsp_trailing()
+    return make_nal(nalio.NAL_PPS, w.data())
+
+
+def write_picture_header(w: BitWriter, cfg, poc: int):
+    """PH embedded in slice header (gdr_or_irap IDR path)."""
+    w.flag(1)  # gdr_or_irap
+    w.flag(0)  # gdr_pic
+    w.flag(0)  # ph_inter_slice_allowed
+    w.flag(0)  # non_reference_picture
+    w.ue(0)  # pps id
+    w.u(poc & 0xFF, 8)  # poc lsb
+    w.flag(0)  # no_output_of_prior_pics
+    # nothing else for our SPS/PPS feature set (no alf/lmcs/scaling/dqp/sao
+    # in PH, no partition override, no deblocking control)
+
+
+def write_slice_header_head(cfg, poc: int, qp: int) -> BitWriter:
+    """Slice header up to (and including) byte alignment before slice data."""
+    w = BitWriter()
+    w.flag(1)  # picture_header_in_slice_header
+    write_picture_header(w, cfg, poc)
+    # no subpics, rect slice single → no address; no extra bits
+    # inter_slice_allowed=0 → slice_type inferred I
+    w.se(qp - cfg.init_qp)  # slice_qp_delta
+    # no sao, no deblocking override, no dep quant / sdh / ts flags
+    # no entry points (entry_point_offsets_present=0)
+    w.write_byte_alignment()
+    return w
+
+
+def write_hash_sei(digest: bytes, hash_type: int = 0) -> bytes:
+    w = BitWriter()
+    w.u(132, 8)  # payload type: decoded_picture_hash
+    w.u(1 + len(digest), 8)  # payload size
+    w.u(hash_type, 8)
+    for b in digest:
+        w.u(b, 8)
+    w.write_rbsp_trailing()
+    return make_nal(nalio.NAL_SUFFIX_SEI, w.data())

@@ -80,6 +80,33 @@ def dequant(
     return np.clip(out, tmin, tmax).astype(np.int32)
 
 
+QUANT_SHIFT = 14
+
+
+def quant_fwd(
+    coeff: np.ndarray,
+    qp: tuple[int, int, int],
+    bit_depth: int,
+    is_irap: bool,
+    is_ts: bool = False,
+) -> np.ndarray:
+    """Quant::quant scalar path (RDOQ off, flat lists)."""
+    h, w = coeff.shape
+    max_range = 15
+    transform_shift = max_range - bit_depth - ((floor_log2(w) + floor_log2(h)) >> 1)
+    needs_sqrt2 = (not is_ts) and (((floor_log2(w) + floor_log2(h)) & 1) == 1)
+    if needs_sqrt2:
+        transform_shift -= 1
+    _, qp_per, qp_rem = qp
+    qbits = QUANT_SHIFT + qp_per + (0 if is_ts else transform_shift)
+    scale = rom.quant_scale(qp_rem, needs_sqrt2)
+    add = (171 if is_irap else 85) << (qbits - 9)
+    c = coeff.astype(np.int64)
+    sign = np.where(c < 0, -1, 1)
+    mag = (np.abs(c) * scale + add) >> qbits
+    return np.clip(sign * mag, -(1 << max_range), (1 << max_range) - 1).astype(np.int32)
+
+
 def dequant_dep(
     coeff: np.ndarray,
     qp: tuple[int, int, int],
