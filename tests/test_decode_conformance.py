@@ -50,3 +50,27 @@ def test_bit_exact_decode_tools(name):
     assert dec.hash_results
     for hr in dec.hash_results:
         assert hr.ok, f"hash mismatch at POC {hr.poc}"
+
+
+INTER_STREAMS = [
+    "ld_min_tiny64_qp32",
+    "ld_min_small208_qp32",
+    "ld_db_small208_qp32",
+    "ld_tmvp_small208_qp32",
+    "ld_imv_small208_qp32",
+    "ld_sbt_small208_qp32",
+    "ldb_min_small208_qp32",
+    "ra_min_small208_qp32",
+]
+
+
+@pytest.mark.parametrize("name", INTER_STREAMS)
+def test_bit_exact_decode_inter(name):
+    path = os.path.join(TD, f"{name}.bit")
+    if not os.path.exists(path):
+        pytest.skip("golden streams not generated on this machine")
+    dec = Decoder()
+    dec.decode_stream(open(path, "rb").read())
+    assert dec.hash_results
+    for hr in dec.hash_results:
+        assert hr.ok, f"hash mismatch at POC {hr.poc}"

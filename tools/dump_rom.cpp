@@ -210,6 +210,39 @@ int main(int argc, char** argv)
   // ---- misc intra ----
   dump("chroma422IntraAngleMapping", g_chroma422IntraAngleMappingTable, {NUM_INTRA_MODE});
 
+  // ---- inter tables (private members: bind by mangled symbol) ----
+  {
+    extern const TFilterCoeff lf4x4[16][8] __asm__("_ZN19InterpolationFilter15m_lumaFilter4x4E");
+    extern const TFilterCoeff lfAltH[8] __asm__("_ZN19InterpolationFilter20m_lumaAltHpelIFilterE");
+    extern const TFilterCoeff bilin4[16][2] __asm__("_ZN19InterpolationFilter21m_bilinearFilterPrec4E");
+    dump("lumaFilter4x4", &lf4x4[0][0],
+         {LUMA_INTERPOLATION_FILTER_SUB_SAMPLE_POSITIONS, NTAPS_LUMA});
+    dump("lumaAltHpelIFilter", &lfAltH[0], {NTAPS_LUMA});
+    dump("bilinearFilterPrec4", &bilin4[0][0],
+         {LUMA_INTERPOLATION_FILTER_SUB_SAMPLE_POSITIONS, NTAPS_BILINEAR});
+  }
+  {
+    initGeoTemplate();
+    // g_GeoParams: [GEO_NUM_PARTITION_MODE][2] = (angleIdx, distanceIdx)
+    std::vector<int16_t> gp;
+    for (int i = 0; i < GEO_NUM_PARTITION_MODE; i++) {
+      gp.push_back(g_GeoParams[i][0]);
+      gp.push_back(g_GeoParams[i][1]);
+    }
+    dump("geoParams", gp.data(), {GEO_NUM_PARTITION_MODE, 2});
+    dump("geoWeights0", g_globalGeoWeights[0], {GEO_WEIGHT_MASK_SIZE, GEO_WEIGHT_MASK_SIZE});
+    dump("geoWeights1", g_globalGeoWeights[1], {GEO_WEIGHT_MASK_SIZE, GEO_WEIGHT_MASK_SIZE});
+    dump("geoWeightOffset", &g_weightOffset[0][0][0][0],
+         {GEO_NUM_PARTITION_MODE, GEO_NUM_CU_SIZE, GEO_NUM_CU_SIZE, 2});
+    std::vector<int32_t> a2m(GEO_NUM_ANGLES), dis(GEO_NUM_ANGLES), a2mir(GEO_NUM_ANGLES);
+    for (int i = 0; i < GEO_NUM_ANGLES; i++) {
+      a2m[i] = g_angle2mask[i]; dis[i] = g_Dis[i]; a2mir[i] = g_angle2mirror[i];
+    }
+    dump("geoAngle2mask", a2m.data(), {GEO_NUM_ANGLES});
+    dump("geoDis", dis.data(), {GEO_NUM_ANGLES});
+    dump("geoAngle2mirror", a2mir.data(), {GEO_NUM_ANGLES});
+  }
+
   fclose(g_out);
   fprintf(stderr, "rom dump complete\n");
   return 0;

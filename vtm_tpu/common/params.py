@@ -406,6 +406,30 @@ class SliceHeader:
     # for reference management
     nal_unit_type: int = 0
     temporal_id: int = 0
+    # ---- runtime state derived at slice activation (not parsed) ----
+    independent_slice_idx: int = 0
+    ref_pics: list = field(default_factory=lambda: [[], []])  # Picture refs
+    ref_pocs: list = field(default_factory=lambda: [[], []])
+    ref_longterm: list = field(default_factory=lambda: [[], []])
+    check_ldc: bool = False
+    bi_dir_pred: bool = False
+    sym_ref_idx: list[int] = field(default_factory=lambda: [-1, -1])
+    temporal_mvp: bool = False
+
+    def wp_present(self, ref_idx) -> bool:
+        """True if explicit WP weights are present for either used ref
+        (CU::isBcwIdxCoded check)."""
+        if self.wp_scaling is None:
+            return False
+        for lst in range(2):
+            ri = ref_idx[lst]
+            if ri is None or ri < 0:
+                continue
+            for comp in range(3):
+                w = self.wp_scaling[lst][ri][comp]
+                if w.get("present", False) if isinstance(w, dict) else getattr(w, "present", False):
+                    return True
+        return False
 
     @property
     def is_intra(self) -> bool:

@@ -23,6 +23,7 @@ from vtm_tpu.common import rom
 from vtm_tpu.common.types import SliceType
 from vtm_tpu.decoder import cs as D
 from vtm_tpu.decoder import partitioner as P
+from vtm_tpu.decoder import motion as M
 from vtm_tpu.decoder.cabac import CabacDecoder
 from vtm_tpu.decoder.cs import (
     CH_C,
@@ -543,18 +544,38 @@ class SyntaxReader:
         if (self.sh.slice_type != SliceType.I or self.sps.ibc) and cu.blocks[0] is not None:
             self.cu_skip_flag(cu)
         if cu.skip:
-            raise NotImplementedError("inter/IBC skip not implemented")
+            cu.color_transform = False
+            self._add_empty_tus(cu, part)
+            self.prediction_unit(cu)
+            self.end_of_ctu(cu, cu_ctx)
+            return
         self.pred_mode(cu)
         if cu.pred_mode == D.MODE_PLT:
             raise NotImplementedError("palette mode")
-        if cu.pred_mode != MODE_INTRA:
-            raise NotImplementedError("inter/IBC CU")
+        if cu.pred_mode == D.MODE_IBC:
+            raise NotImplementedError("IBC CU")
         # ACT (requires sps.act)
-        if self.sps.act and not cu.is_sep_tree:
+        if cu.pred_mode == MODE_INTRA and self.sps.act and not cu.is_sep_tree:
             cu.color_transform = bool(self.d.decode_bin(ctx("ACTFlag")))
         self.cu_pred_data(cu)
         self.cu_residual(cu, part, cu_ctx)
         self.end_of_ctu(cu, cu_ctx)
+
+    def _add_empty_tus(self, cu: CU, part: P.Partitioner):
+        """CodingStructure::addEmptyTUs — one zero-coeff TU covering the CU."""
+        luma = part.cur_area()
+        chroma = part.cur_chroma()
+        blocks = [
+            Rect(luma.x, luma.y, luma.w, luma.h) if cu.blocks[0] is not None else None,
+            Rect(chroma.x, chroma.y, chroma.w, chroma.h) if cu.blocks[1] is not None else None,
+            Rect(chroma.x, chroma.y, chroma.w, chroma.h) if cu.blocks[2] is not None else None,
+        ]
+        tu = TU(blocks=blocks, cu=cu, depth=0)
+        for c in range(3):
+            if blocks[c] is not None:
+                tu.coeffs[c] = np.zeros((blocks[c].h, blocks[c].w), dtype=np.int32)
+        cu.tus.append(tu)
+        self.cs.add_tu(tu)
 
     def cu_skip_flag(self, cu: CU):
         if (self.sh.slice_type == SliceType.I or cu.mode_type == MODE_TYPE_INTRA) and self.sps.ibc:
@@ -572,8 +593,12 @@ class SyntaxReader:
             return
         c = self._ctx_skip_flag(cu)
         skip = self.d.decode_bin(ctx("SkipFlag", c))
+        if skip and self.sps.ibc:
+            raise NotImplementedError("IBC skip")
         if skip:
-            raise NotImplementedError("inter skip")
+            cu.skip = True
+            cu.root_cbf = False
+            cu.pred_mode = MODE_INTER
 
     def _ctx_skip_flag(self, cu: CU) -> int:
         x, y = cu.lx, cu.ly
@@ -655,6 +680,12 @@ class SyntaxReader:
     # -- intra prediction data ---------------------------------------------
 
     def cu_pred_data(self, cu: CU):
+        if cu.pred_mode != MODE_INTRA:
+            self.prediction_unit(cu)
+            self.imv_mode(cu)
+            self.affine_amvr_mode(cu)
+            self.cu_bcw_flag(cu)
+            return
         if cu.blocks[0] is not None:
             self.bdpcm_mode(cu, 0)
         self.intra_luma_pred_modes(cu)
@@ -664,6 +695,367 @@ class SyntaxReader:
         ):
             self.bdpcm_mode(cu, 1)
         self.intra_chroma_pred_modes(cu)
+
+    # ------------------------------------------------------------------
+    # inter prediction data (CABACReader.cpp prediction_unit:2009,
+    # merge_flag:2166, merge_data:2183, merge_idx:2270, mmvd_merge_idx:2354,
+    # inter_pred_idc:2402, ref_idx:2433, mvp_flag:2473, mvd_coding:2623,
+    # imv_mode:962, smvd_mode:2109, subblock_merge_flag:2129,
+    # affine_flag:2143, Ciip_flag:2484, cu_bcw_flag:1211)
+
+    def prediction_unit(self, cu: CU):
+        if cu.skip:
+            cu.merge_flag = True
+        else:
+            self.merge_flag(cu)
+        if cu.merge_flag:
+            self.merge_data(cu)
+        else:
+            self.inter_pred_idc(cu)
+            self.affine_flag(cu)
+            self.smvd_mode(cu)
+            if cu.interdir != 2:
+                self.ref_idx(cu, 0)
+                if cu.affine:
+                    cu.mvd_affi[0][0] = self.mvd_coding()
+                    cu.mvd_affi[0][1] = self.mvd_coding()
+                    if cu.affine_type == 1:
+                        cu.mvd_affi[0][2] = self.mvd_coding()
+                else:
+                    cu.mvd[0] = self.mvd_coding()
+                self.mvp_flag(cu, 0)
+            if cu.interdir != 1:
+                if cu.smvd_mode != 1:
+                    self.ref_idx(cu, 1)
+                    if self.ph.mvd_l1_zero and cu.interdir == 3:
+                        cu.mvd[1] = (0, 0)
+                        cu.mvd_affi[1] = [(0, 0)] * 3
+                    elif cu.affine:
+                        cu.mvd_affi[1][0] = self.mvd_coding()
+                        cu.mvd_affi[1][1] = self.mvd_coding()
+                        if cu.affine_type == 1:
+                            cu.mvd_affi[1][2] = self.mvd_coding()
+                    else:
+                        cu.mvd[1] = self.mvd_coding()
+                self.mvp_flag(cu, 1)
+        if cu.interdir == 3 and M.is_bipred_restriction(cu):
+            cu.mv[1] = (0, 0)
+            cu.ref_idx[1] = -1
+            cu.interdir = 1
+            cu.bcw_idx = M.BCW_DEFAULT
+        if cu.smvd_mode:
+            lst = cu.smvd_mode - 1
+            cu.mvd[1 - lst] = (-cu.mvd[lst][0], -cu.mvd[lst][1])
+            cu.ref_idx[1 - lst] = self.sh.sym_ref_idx[1 - lst]
+        # spanMotionInfo happens after MV finalization in DecCu
+
+    def merge_flag(self, cu: CU):
+        cu.merge_flag = bool(self.d.decode_bin(ctx("MergeFlag")))
+
+    def _sbt_allowed(self, cu: CU) -> int:
+        """CU::checkAllowedSbt (Unit.cpp:450): bitmask over SbtIdx 1..4."""
+        if not self.sps.sbt or cu.pred_mode != MODE_INTER or cu.ciip_flag:
+            return 0
+        w, h = cu.lwidth, cu.lheight
+        max_size = 1 << self.sps.log2_max_tb_size
+        if w > max_size or h > max_size:
+            return 0
+        min_size = 8  # 1 << (MIN_CU_LOG2 + 1)
+        mask = 0
+        mask |= (w >= min_size) << 1       # SBT_VER_HALF
+        mask |= (h >= min_size) << 2       # SBT_HOR_HALF
+        mask |= (w >= min_size * 2) << 3   # SBT_VER_QUAD
+        mask |= (h >= min_size * 2) << 4   # SBT_HOR_QUAD
+        return mask
+
+    def sbt_mode(self, cu: CU):
+        allowed = self._sbt_allowed(cu)
+        if not allowed:
+            return
+        w, h = cu.lwidth, cu.lheight
+        c = 1 if w * h <= 256 else 0
+        if not self.d.decode_bin(ctx("SbtFlag", c)):
+            return
+        ver_half = (allowed >> 1) & 1
+        hor_half = (allowed >> 2) & 1
+        ver_quad = (allowed >> 3) & 1
+        hor_quad = (allowed >> 4) & 1
+        quad = 0
+        if (hor_half or ver_half) and (hor_quad or ver_quad):
+            quad = self.d.decode_bin(ctx("SbtQuadFlag"))
+        if (quad and ver_quad and hor_quad) or (not quad and ver_half and hor_half):
+            c = 0 if w == h else (1 if w < h else 2)
+            hor = self.d.decode_bin(ctx("SbtHorFlag", c))
+        else:
+            hor = int((quad and hor_quad) or (not quad and hor_half))
+        sbt_idx = (2 if hor else 1) + (2 if quad else 0)  # HOR_HALF=2/VER_HALF=1/HOR_QUAD=4/VER_QUAD=3
+        pos = self.d.decode_bin(ctx("SbtPosFlag"))
+        cu.sbt_info = (pos << 4) | sbt_idx
+
+    def merge_data(self, cu: CU):
+        self.subblock_merge_flag(cu)
+        if cu.affine:
+            self.merge_idx(cu)
+            cu.regular_merge_flag = False
+            return
+        ciip_avail = (
+            self.sps.ciip and not cu.skip and cu.lwidth < 128 and cu.lheight < 128
+            and cu.lwidth * cu.lheight >= 64
+        )
+        geo_avail = (
+            self.sps.geo and self.sh.is_b and self.sps.max_num_geo_cand > 1
+            and cu.lwidth >= 8 and cu.lheight >= 8
+            and cu.lwidth <= 64 and cu.lheight <= 64
+            and cu.lwidth < 8 * cu.lheight and cu.lheight < 8 * cu.lwidth
+        )
+        if geo_avail or ciip_avail:
+            cu.regular_merge_flag = bool(
+                self.d.decode_bin(ctx("RegularMergeFlag", 0 if cu.skip else 1))
+            )
+        else:
+            cu.regular_merge_flag = True
+        if cu.regular_merge_flag:
+            if self.sps.mmvd:
+                cu.mmvd_flag = bool(self.d.decode_bin(ctx("MmvdFlag", 0)))
+            else:
+                cu.mmvd_flag = False
+            if cu.skip:
+                cu.mmvd_skip = cu.mmvd_flag
+        else:
+            cu.mmvd_flag = False
+            cu.mmvd_skip = False
+            if geo_avail and ciip_avail:
+                self.ciip_flag(cu)
+            elif ciip_avail:
+                cu.ciip_flag = True
+            else:
+                cu.ciip_flag = False
+            if cu.ciip_flag:
+                cu.intra_dir = [D.PLANAR_IDX, D.DM_CHROMA_IDX]
+            else:
+                cu.geo_flag = True
+        if cu.mmvd_flag or cu.mmvd_skip:
+            self.mmvd_merge_idx(cu)
+        else:
+            self.merge_idx(cu)
+
+    def merge_idx(self, cu: CU):
+        if cu.affine:
+            n_minus1 = self.ph.max_num_affine_merge_cand - 1
+            cu.merge_idx = 0
+            if n_minus1 > 0 and self.d.decode_bin(ctx("AffMergeIdx")):
+                cu.merge_idx = 1
+                while cu.merge_idx < n_minus1 and self.d.decode_bin_ep():
+                    cu.merge_idx += 1
+            return
+        if cu.geo_flag:
+            cu.geo_split_dir = self._trunc_bin(64)
+            max_geo = self.sps.max_num_geo_cand
+            n_minus2 = max_geo - 2
+            m0 = m1 = 0
+            if self.d.decode_bin(ctx("MergeIdx")):
+                m0 += self._unary_max_eqprob(n_minus2) + 1
+            if n_minus2 > 0 and self.d.decode_bin(ctx("MergeIdx")):
+                m1 += self._unary_max_eqprob(n_minus2 - 1) + 1
+            m1 += 1 if m1 >= m0 else 0
+            cu.geo_merge_idx = [m0, m1]
+            return
+        n_minus1 = self.sps.max_num_merge_cand - 1
+        cu.merge_idx = 0
+        if n_minus1 > 0 and self.d.decode_bin(ctx("MergeIdx")):
+            cu.merge_idx = 1
+            while cu.merge_idx < n_minus1 and self.d.decode_bin_ep():
+                cu.merge_idx += 1
+
+    def mmvd_merge_idx(self, cu: CU):
+        var0 = 0
+        if self.sps.max_num_merge_cand > 1:
+            var0 = self.d.decode_bin(ctx("MmvdMergeIdx"))
+        var1 = 0
+        if self.d.decode_bin(ctx("MmvdStepMvpIdx")):
+            var1 = 1
+            while var1 < 7 and self.d.decode_bin_ep():
+                var1 += 1
+        var2 = 0
+        if self.d.decode_bin_ep():
+            var2 += 2
+        if self.d.decode_bin_ep():
+            var2 += 1
+        cu.mmvd_idx = var0 * 32 + var1 * 4 + var2  # MMVD_MAX_REFINE_NUM=32
+
+    def inter_pred_idc(self, cu: CU):
+        if self.sh.slice_type == SliceType.P:
+            cu.interdir = 1
+            return
+        if not M.is_bipred_restriction(cu):
+            w, h = cu.lwidth, cu.lheight
+            c = 7 - (((w.bit_length() - 1) + (h.bit_length() - 1) + 1) >> 1)
+            if self.d.decode_bin(ctx("InterDir", c)):
+                cu.interdir = 3
+                return
+        cu.interdir = 2 if self.d.decode_bin(ctx("InterDir", 5)) else 1
+
+    def affine_flag(self, cu: CU):
+        if (
+            self.sh.slice_type != SliceType.I and self.sps.affine
+            and cu.lwidth > 8 and cu.lheight > 8
+        ):
+            c = self._ctx_affine_flag(cu)
+            cu.affine = bool(self.d.decode_bin(ctx("AffineFlag", c)))
+            if cu.affine and self.sps.affine_type:
+                cu.affine_type = self.d.decode_bin(ctx("AffineType"))
+            else:
+                cu.affine_type = 0
+
+    def subblock_merge_flag(self, cu: CU):
+        cu.affine = False
+        if (
+            self.sh.slice_type != SliceType.I
+            and self.ph.max_num_affine_merge_cand > 0
+            and cu.lwidth >= 8 and cu.lheight >= 8
+        ):
+            c = self._ctx_affine_flag(cu)
+            cu.affine = bool(self.d.decode_bin(ctx("SubblockMergeFlag", c)))
+
+    def _ctx_affine_flag(self, cu: CU) -> int:
+        x, y = cu.lx, cu.ly
+        left = self.cs.get_cu_restricted(x - 1, y, x, y, CH_L)
+        above = self.cs.get_cu_restricted(x, y - 1, x, y, CH_L)
+        return (1 if (left and left.affine) else 0) + (
+            1 if (above and above.affine) else 0
+        )
+
+    def smvd_mode(self, cu: CU):
+        cu.smvd_mode = 0
+        if cu.interdir != 3 or cu.affine:
+            return
+        if not self.sh.bi_dir_pred:
+            return
+        cu.smvd_mode = 1 if self.d.decode_bin(ctx("SmvdFlag")) else 0
+
+    def ref_idx(self, cu: CU, lst: int):
+        if cu.smvd_mode:
+            cu.ref_idx[lst] = self.sh.sym_ref_idx[lst]
+            return
+        num_ref = self.sh.num_ref_idx[lst]
+        if num_ref <= 1 or not self.d.decode_bin(ctx("RefPic")):
+            cu.ref_idx[lst] = 0
+            return
+        if num_ref <= 2 or not self.d.decode_bin(ctx("RefPic", 1)):
+            cu.ref_idx[lst] = 1
+            return
+        idx = 3
+        while True:
+            if num_ref <= idx or not self.d.decode_bin_ep():
+                cu.ref_idx[lst] = idx - 1
+                return
+            idx += 1
+
+    def mvp_flag(self, cu: CU, lst: int):
+        cu.mvp_idx[lst] = self.d.decode_bin(ctx("MVPIdx"))
+
+    def mvd_coding(self) -> tuple:
+        hor = self.d.decode_bin(ctx("Mvd"))
+        ver = self.d.decode_bin(ctx("Mvd"))
+        if hor:
+            hor += self.d.decode_bin(ctx("Mvd", 1))
+        if ver:
+            ver += self.d.decode_bin(ctx("Mvd", 1))
+        if hor:
+            if hor > 1:
+                hor += self.d.decode_rem_abs_ep(1, 0, 17)  # MV_BITS-1
+            if self.d.decode_bin_ep():
+                hor = -hor
+        if ver:
+            if ver > 1:
+                ver += self.d.decode_rem_abs_ep(1, 0, 17)
+            if self.d.decode_bin_ep():
+                ver = -ver
+        return (hor, ver)
+
+    def imv_mode(self, cu: CU):
+        if not self.sps.amvr:
+            return
+        if not self._has_nonzero_mvd(cu):
+            return
+        if cu.affine:
+            return
+        value = self.d.decode_bin(ctx("ImvFlag", 0))
+        cu.imv = value
+        if value:
+            value = self.d.decode_bin(ctx("ImvFlag", 4))
+            cu.imv = 1 if value else M.IMV_HPEL
+            if value:
+                value = self.d.decode_bin(ctx("ImvFlag", 1))
+                cu.imv = value + 1
+
+    def affine_amvr_mode(self, cu: CU):
+        if not self.sps.affine_amvr or not cu.affine:
+            return
+        if not self._has_nonzero_affine_mvd(cu):
+            return
+        value = self.d.decode_bin(ctx("ImvFlag", 2))
+        if value:
+            value = self.d.decode_bin(ctx("ImvFlag", 3)) + 1
+        cu.imv = value
+
+    def _has_nonzero_mvd(self, cu: CU) -> bool:
+        """CU::hasSubCUNonZeroMVd."""
+        if cu.merge_flag or cu.pred_mode != MODE_INTER:
+            return False
+        nz = False
+        if cu.interdir != 2:
+            nz |= cu.mvd[0] != (0, 0)
+        if cu.interdir != 1:
+            if not (self.ph.mvd_l1_zero and cu.interdir == 3):
+                nz |= cu.mvd[1] != (0, 0)
+        return nz
+
+    def _has_nonzero_affine_mvd(self, cu: CU) -> bool:
+        if cu.merge_flag or not cu.affine:
+            return False
+        nz = False
+        if cu.interdir != 2:
+            nz |= any(m != (0, 0) for m in cu.mvd_affi[0])
+        if cu.interdir != 1:
+            if not (self.ph.mvd_l1_zero and cu.interdir == 3):
+                nz |= any(m != (0, 0) for m in cu.mvd_affi[1])
+        return nz
+
+    def cu_bcw_flag(self, cu: CU):
+        if not self._is_bcw_coded(cu):
+            return
+        idx = 0
+        if self.d.decode_bin(ctx("BcwIdx")):
+            num_bcw = 5 if self.sh.check_ldc else 3
+            idx = 1
+            for _ in range(num_bcw - 2):
+                if not self.d.decode_bin_ep():
+                    break
+                idx += 1
+        # g_BcwParsingOrder = {BCW_DEFAULT, BCW_DEFAULT-1, BCW_DEFAULT+1,
+        #                      BCW_DEFAULT-2, BCW_DEFAULT+2} (parsing order)
+        order = [2, 1, 3, 0, 4]
+        cu.bcw_idx = order[idx]
+
+    def _is_bcw_coded(self, cu: CU) -> bool:
+        """CU::isBcwIdxCoded: bi-pred, non-merge, sps_bcw, size >= 256,
+        no explicit WP for either ref."""
+        if not self.sps.bcw or cu.pred_mode != MODE_INTER:
+            return False
+        if cu.merge_flag or cu.interdir != 3:
+            return False
+        if cu.lwidth * cu.lheight < 256:
+            return False
+        if self.sh.wp_present(cu.ref_idx):
+            return False
+        return True
+
+    def ciip_flag(self, cu: CU):
+        if not self.sps.ciip or cu.skip:
+            cu.ciip_flag = False
+            return
+        cu.ciip_flag = bool(self.d.decode_bin(ctx("CiipFlag")))
 
     def bdpcm_mode(self, cu: CU, comp: int):
         if not self._bdpcm_allowed(cu, comp):
@@ -958,6 +1350,19 @@ class SyntaxReader:
     # ==================================================================
 
     def cu_residual(self, cu: CU, part: P.Partitioner, cu_ctx: CuCtx):
+        if cu.pred_mode != MODE_INTRA:
+            if not cu.merge_flag:
+                cu.root_cbf = bool(self.d.decode_bin(ctx("QtRootCbf")))
+            else:
+                cu.root_cbf = True
+            if cu.root_cbf:
+                self.sbt_mode(cu)
+            if not cu.root_cbf:
+                cu.color_transform = False
+                self._add_empty_tus(cu, part)
+                return
+            if self.sps.act and not cu.is_sep_tree:
+                cu.color_transform = bool(self.d.decode_bin(ctx("ACTFlag")))
         cu_ctx.violates_lfnst = [False, False]
         cu_ctx.lfnst_last_scan_pos = False
         cu_ctx.violates_mts = False
@@ -1107,12 +1512,21 @@ class SyntaxReader:
             not cu.isp_mode or chroma_cbf_isp
         ):
             cbf_depth = tr_depth - 1 if chroma_cbf_isp else tr_depth
-            chroma_cbfs[0] = bool(self.cbf_comp(tu.blocks[1], 1, False, False, cu))
-            chroma_cbfs[1] = bool(self.cbf_comp(tu.blocks[2], 2, chroma_cbfs[0], False, cu))
+            if not (cu.sbt_info and tu.no_residual):
+                chroma_cbfs[0] = bool(self.cbf_comp(tu.blocks[1], 1, False, False, cu))
+                chroma_cbfs[1] = bool(self.cbf_comp(tu.blocks[2], 2, chroma_cbfs[0], False, cu))
         if part.ch_type == CH_L:
-            # luma cbf
-            cbf_y = bool(self.cbf_comp(tu.blocks[0], 0, False, bool(cu.isp_mode), cu))
-            tu.cbf[0] = int(cbf_y)
+            sig_chroma = chroma_cbfs[0] or chroma_cbfs[1]
+            if cu.pred_mode != MODE_INTRA and tr_depth == 0 and not sig_chroma:
+                # inter root TU with no chroma cbf: luma cbf inferred 1
+                tu.cbf[0] = 1
+            elif cu.sbt_info and tu.no_residual:
+                tu.cbf[0] = 0
+            elif cu.sbt_info and not sig_chroma:
+                tu.cbf[0] = 1
+            else:
+                cbf_y = bool(self.cbf_comp(tu.blocks[0], 0, False, bool(cu.isp_mode), cu))
+                tu.cbf[0] = int(cbf_y)
         if has_chroma_blocks and (not cu.isp_mode or chroma_cbf_isp):
             tu.cbf[1] = int(chroma_cbfs[0])
             tu.cbf[2] = int(chroma_cbfs[1])

@@ -97,9 +97,34 @@ class CU:
     sbt_info: int = 0
     tile_idx: int = 0
     slice_idx: int = 0
+    idx: int = -1  # position in decode order (cs.cus index)
     sep_tree: bool = False  # treeType != TREE_D || CS::isDualITree
     split_series: tuple = ()  # split type per depth on the path from the CTU
     tus: list[TU] = field(default_factory=list)
+    # ---- inter prediction data (single PU per CU in VVC) ----
+    merge_flag: bool = False
+    regular_merge_flag: bool = False
+    mmvd_flag: bool = False
+    mmvd_skip: bool = False
+    mmvd_idx: int = 0
+    merge_idx: int = 0
+    merge_type: int = 0  # 0=default, 1=SbTMVP, 2=IBC
+    interdir: int = 0  # 1=L0, 2=L1, 3=bi
+    ref_idx: list = field(default_factory=lambda: [-1, -1])
+    mvd: list = field(default_factory=lambda: [(0, 0), (0, 0)])
+    mvp_idx: list = field(default_factory=lambda: [0, 0])
+    mv: list = field(default_factory=lambda: [(0, 0), (0, 0)])
+    imv: int = 0  # AMVR mode: 0=1/4, 1=int, 2=4pel, 3=half
+    affine: bool = False
+    affine_type: int = 0
+    mvd_affi: list = field(default_factory=lambda: [[(0, 0)] * 3, [(0, 0)] * 3])
+    mv_affi: list = field(default_factory=lambda: [[(0, 0)] * 3, [(0, 0)] * 3])
+    smvd_mode: int = 0
+    ciip_flag: bool = False
+    geo_flag: bool = False
+    geo_split_dir: int = 0
+    geo_merge_idx: list = field(default_factory=lambda: [0, 0])
+    bcw_idx: int = 2  # BCW_DEFAULT
 
     @property
     def lx(self):
@@ -189,6 +214,7 @@ class DecCodingStructure:
 
     def add_cu(self, cu: CU) -> CU:
         idx = len(self.cus)
+        cu.idx = idx
         self.cus.append(cu)
         cu.tile_idx = self.tile_idx_at(cu.lx, cu.ly)
         cu.slice_idx = self.cur_slice_idx

@@ -58,10 +58,19 @@ class CuReconstructor:
     # -- top level ----------------------------------------------------------
 
     def reconstruct_cus(self, cus: list[CU]):
+        from vtm_tpu.decoder import inter_cu
+
         for cu in cus:
-            if cu.pred_mode != MODE_INTRA:
-                raise NotImplementedError("non-intra reconstruction")
-            self.recon_intra_cu(cu)
+            if cu.pred_mode == MODE_INTRA:
+                self.recon_intra_cu(cu)
+            elif cu.pred_mode == D.MODE_INTER:
+                inter_cu.derive_cu_mv(self.cs, cu)
+                inter_cu.recon_inter_cu(self, cu)
+                from vtm_tpu.decoder import motion as M
+
+                M.save_motion_hmvp(self.cs, cu)
+            else:
+                raise NotImplementedError("IBC/PLT reconstruction")
 
     def recon_intra_cu(self, cu: CU):
         if cu.isp_mode and cu.blocks[0] is not None:

@@ -59,9 +59,16 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
     else:
         dcs.lmcs_model = None
     dcs.cur_slice_idx = pic.slice_count
+    sh.independent_slice_idx = pic.slice_count
+    dcs.cur_ind_slice_idx = pic.slice_count
     pic.slice_count += 1
     for addr in sh.ctu_addrs:
         dcs.slice_idx_of_ctu[addr] = dcs.cur_slice_idx
+    # motion field (shared per picture; slices append)
+    from vtm_tpu.decoder import motion as M
+
+    if not hasattr(dcs, "mf_inter"):
+        M.init_motion_field(dcs)
 
     # remaining bytes of the RBSP = slice data (reader is byte-aligned)
     data = r.data[r.pos >> 3 :]
@@ -130,6 +137,10 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
         else:
             cab.ctx = ctx
             reader.d = cab
+        # HMVP LUT reset at the start of each CTU row within a tile
+        # (DecSlice.cpp:216-221)
+        if (sh.slice_type != SliceType.I or sps.ibc) and cx == tile_x:
+            dcs.motion_lut.clear()
         reader.coding_tree_unit(pos, qps, ctu_addr, pic)
         # reconstruct the CUs parsed for this CTU
         new_cus = dcs.cus[prev_cus:]

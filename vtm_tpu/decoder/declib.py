@@ -126,10 +126,78 @@ class Decoder:
             nalio.NAL_RASL, nalio.NAL_RADL
         ):
             self.prev_tid0_poc = sh.poc
+        self._construct_ref_lists(sh, sps)
         # slice data decode
         from vtm_tpu.decoder.dec_slice import decompress_slice
 
         decompress_slice(self, sps, pps, ph, sh, r)
+
+    def _construct_ref_lists(self, sh: SliceHeader, sps) -> None:
+        """Slice::constructRefPicList (Slice.cpp:458) + checkLDC + symmetric
+        MVD ref derivation (DecLib.cpp:2247-2352) + RPL-based marking."""
+        # RPL-based reference marking: any DPB picture not referred to by the
+        # full RPLs of this picture stays, but is no longer found as a ref.
+        sh.ref_pics = [[], []]
+        sh.ref_pocs = [[], []]
+        sh.ref_longterm = [[], []]
+        sh.temporal_mvp = self.ph.tmvp_enabled if self.ph else False
+        if sh.is_intra:
+            sh.num_ref_idx = [0, 0]
+            sh.check_ldc = False
+            sh.bi_dir_pred = False
+            return
+        for lst in range(2):
+            rpl = sh.rpl[lst]
+            n_active = sh.num_ref_idx[lst]
+            for ii in range(n_active):
+                if rpl.is_interlayer[ii] if ii < len(rpl.is_interlayer) else False:
+                    raise NotImplementedError("inter-layer ref")
+                if not rpl.is_longterm[ii]:
+                    poc = sh.poc - rpl.identifiers[ii]
+                    ref = self._find_ref(poc)
+                    lt = False
+                else:
+                    raise NotImplementedError("long-term refs")
+                assert ref is not None, f"missing reference POC {poc}"
+                sh.ref_pics[lst].append(ref)
+                sh.ref_pocs[lst].append(poc)
+                sh.ref_longterm[lst].append(lt)
+        # checkLDC
+        low_delay = all(p <= sh.poc for p in sh.ref_pocs[0]) and (
+            not sh.is_b or all(p <= sh.poc for p in sh.ref_pocs[1])
+        )
+        sh.check_ldc = low_delay
+        # symmetric-MVD refs
+        sh.bi_dir_pred = False
+        sh.sym_ref_idx = [-1, -1]
+        if sps.smvd and not sh.check_ldc and not (self.ph and self.ph.mvd_l1_zero):
+            cur = sh.poc
+            fwd_poc, bwd_poc = cur, cur
+            r0 = r1 = -1
+            for ref, poc in enumerate(sh.ref_pocs[0]):
+                if poc < cur and (poc > fwd_poc or r0 == -1) and not sh.ref_longterm[0][ref]:
+                    fwd_poc, r0 = poc, ref
+            for ref, poc in enumerate(sh.ref_pocs[1]):
+                if poc > cur and (poc < bwd_poc or r1 == -1) and not sh.ref_longterm[1][ref]:
+                    bwd_poc, r1 = poc, ref
+            if not (fwd_poc < cur and bwd_poc > cur):
+                fwd_poc, bwd_poc = cur, cur
+                r0 = r1 = -1
+                for ref, poc in enumerate(sh.ref_pocs[0]):
+                    if poc > cur and (poc < bwd_poc or r0 == -1) and not sh.ref_longterm[0][ref]:
+                        bwd_poc, r0 = poc, ref
+                for ref, poc in enumerate(sh.ref_pocs[1]):
+                    if poc < cur and (poc > fwd_poc or r1 == -1) and not sh.ref_longterm[1][ref]:
+                        fwd_poc, r1 = poc, ref
+            if fwd_poc < cur and bwd_poc > cur:
+                sh.bi_dir_pred = True
+                sh.sym_ref_idx = [r0, r1]
+
+    def _find_ref(self, poc: int):
+        for p in self.dpb:
+            if p.poc == poc and p.is_reference:
+                return p
+        return None
 
     def finish_picture(self) -> None:
         if self.cur_pic is None:
@@ -140,6 +208,13 @@ class Decoder:
         from vtm_tpu.decoder import filters
 
         filters.apply_loop_filters(self, pic)
+        # persist the 4x4 motion field for TMVP from later pictures
+        if hasattr(pic, "dcs") and hasattr(pic.dcs, "mf_inter"):
+            d = pic.dcs
+            pic.motion = {
+                "inter": d.mf_inter, "ibc": d.mf_ibc, "interdir": d.mf_interdir,
+                "mv": d.mf_mv, "refidx": d.mf_refidx, "slice": d.mf_slice,
+            }
         if pic.hash_sei is not None:
             sps = self.psm.sps[pic.sps_id]
             bds = [sps.bit_depth] * len(pic.planes)

@@ -391,11 +391,12 @@ def _deblock_cu(dcs, pic, cu, edge_dir, state: DeblockState, ctu_x, ctu_y):
             gx, gy = (lx - ctu_x) >> 2, (ly - ctu_y) >> 2
             if not state.edge_filter[edge_dir][gy, gx]:
                 continue
+            preset = int(state.bs[edge_dir][gy, gx])
             bs = 0
             if cu.tree_type != TREE_C and cu.blocks[0] is not None:
-                bs |= _bs_single(dcs, cu, edge_dir, lx, ly, CH_L)
+                bs |= _bs_single(dcs, cu, edge_dir, lx, ly, CH_L, preset)
             if cu.blocks[1] is not None and fmt.num_components > 1:
-                bs |= _bs_single(dcs, cu, edge_dir, lx, ly, CH_C)
+                bs |= _bs_single(dcs, cu, edge_dir, lx, ly, CH_C, preset)
             state.bs[edge_dir][gy, gx] = bs
     # --- filter edges ---
     maxv = (1 << sps.bit_depth) - 1
@@ -490,8 +491,9 @@ def _set_max_filter_lengths(dcs, cu, tu, edge_dir, state, ctu_x, ctu_y,
                     state.max_len_p[comp, xi, yi] = v
 
 
-def _bs_single(dcs, cu, edge_dir, lx, ly, ch) -> int:
-    """xGetBoundaryStrengthSingle (intra paths; inter extends later)."""
+def _bs_single(dcs, cu, edge_dir, lx, ly, ch, preset: int = 0) -> int:
+    """xGetBoundaryStrengthSingle (LoopFilter.cpp:410); `preset` is the
+    edge-classification value previously stored in m_aapucBS."""
     fmt = dcs.chroma_format
     if cu.blocks[0] is not None:
         shift_h = shift_v = 0
@@ -519,7 +521,86 @@ def _bs_single(dcs, cu, edge_dir, lx, ly, ch) -> int:
             and cu_q.pred_mode == MODE_INTRA and cu_q.bdpcm_mode_chroma
         ) else 2
         return (bs_c << 2) + (bs_c << 4)
-    raise NotImplementedError("inter boundary strength")
+    # ---- inter BS (LoopFilter.cpp xGetBoundaryStrengthSingle inter part) ----
+    tu_q = dcs.get_tu(qx, qy, cu_ch)
+    if ch == CH_C and cu_p.blocks[0] is None and cu_ch == CH_L:
+        tu_p = dcs.get_tu(px >> fmt.scale_x, py >> fmt.scale_y, CH_C)
+    else:
+        tu_p = dcs.get_tu(px, py, cu_ch)
+    if preset and (cu_p.ciip_flag or cu_q.ciip_flag):
+        if ch == CH_L:
+            return 2
+        return (2 << 2) + (2 << 4)
+    tmp_bs = 0
+    if ch == CH_L:
+        if preset and (tu_q.cbf[0] or tu_p.cbf[0]):
+            tmp_bs += 1
+    else:
+        if fmt.num_components > 1:
+            if preset and (tu_q.cbf[1] or tu_p.cbf[1] or tu_q.joint_cbcr or tu_p.joint_cbcr):
+                tmp_bs += 1 << 2
+            if preset and (tu_q.cbf[2] or tu_p.cbf[2] or tu_q.joint_cbcr or tu_p.joint_cbcr):
+                tmp_bs += 1 << 4
+    if (tmp_bs & 3) == 1:
+        return tmp_bs
+    if cu_p.ciip_flag or cu_q.ciip_flag:
+        return 1
+    if cu.blocks[0] is None:
+        return tmp_bs
+    if preset != 0 and preset != 3:
+        return tmp_bs
+    if ch == CH_C:
+        return tmp_bs
+    if cu_p.pred_mode != cu_q.pred_mode:
+        return 1
+    # MV-based BS
+    from vtm_tpu.decoder import motion as M
+
+    lqx, lqy = lx, ly
+    lpx, lpy = (lx - 1, ly) if edge_dir == EDGE_VER else (lx, ly - 1)
+    mi_q = M.get_motion_info(dcs, lqx, lqy)
+    mi_p = M.get_motion_info(dcs, lpx, lpy)
+    sh_q = _slice_of(dcs, cu_q)
+    sh_p = _slice_of(dcs, cu_p)
+    thr = (1 << 4) >> 1  # half-pel at internal precision
+
+    def ref(sh, mi, lst):
+        ri = mi.ref_idx[lst]
+        return sh.ref_pics[lst][ri] if ri >= 0 else None
+
+    if sh_q.is_b or sh_p.is_b:
+        rp0, rp1 = ref(sh_p, mi_p, 0), ref(sh_p, mi_p, 1)
+        rq0, rq1 = ref(sh_q, mi_q, 0), ref(sh_q, mi_q, 1)
+        mv_p0 = mi_p.mv[0] if mi_p.ref_idx[0] >= 0 else (0, 0)
+        mv_p1 = mi_p.mv[1] if mi_p.ref_idx[1] >= 0 else (0, 0)
+        mv_q0 = mi_q.mv[0] if mi_q.ref_idx[0] >= 0 else (0, 0)
+        mv_q1 = mi_q.mv[1] if mi_q.ref_idx[1] >= 0 else (0, 0)
+
+        def diff(a, b):
+            return abs(a[0] - b[0]) >= thr or abs(a[1] - b[1]) >= thr
+
+        if (rp0 is rq0 and rp1 is rq1) or (rp0 is rq1 and rp1 is rq0):
+            if rp0 is not rp1:
+                if rp0 is rq0:
+                    bs = 1 if (diff(mv_q0, mv_p0) or diff(mv_q1, mv_p1)) else 0
+                else:
+                    bs = 1 if (diff(mv_q1, mv_p0) or diff(mv_q0, mv_p1)) else 0
+            else:
+                bs = 1 if (
+                    (diff(mv_q0, mv_p0) or diff(mv_q1, mv_p1))
+                    and (diff(mv_q1, mv_p0) or diff(mv_q0, mv_p1))
+                ) else 0
+        else:
+            bs = 1
+        return bs + tmp_bs
+    rp0 = ref(sh_p, mi_p, 0)
+    rq0 = ref(sh_q, mi_q, 0)
+    if rp0 is not rq0:
+        return tmp_bs + 1
+    mv_p0, mv_q0 = mi_p.mv[0], mi_q.mv[0]
+    if abs(mv_q0[0] - mv_p0[0]) >= thr or abs(mv_q0[1] - mv_p0[1]) >= thr:
+        return tmp_bs + 1
+    return tmp_bs
 
 
 def _edge_filter_luma(dcs, pic, cu, edge_dir, edge, state, ctu_x, ctu_y, maxv):
