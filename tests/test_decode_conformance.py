@@ -58,9 +58,16 @@ INTER_STREAMS = [
     "ld_db_small208_qp32",
     "ld_tmvp_small208_qp32",
     "ld_imv_small208_qp32",
+    "ld_mmvd_small208_qp32",
+    "ld_affine_small208_qp32",
+    "ld_sbtmvp_small208_qp32",
     "ld_sbt_small208_qp32",
     "ldb_min_small208_qp32",
+    "ldb_tools_small208_qp32",
+    "ldb_full_small208_qp32",
     "ra_min_small208_qp32",
+    "ra_dmvr_small208_qp32",
+    "ra_full_small208_qp32",
 ]
 
 

@@ -1033,9 +1033,9 @@ class SyntaxReader:
                 if not self.d.decode_bin_ep():
                     break
                 idx += 1
-        # g_BcwParsingOrder = {BCW_DEFAULT, BCW_DEFAULT-1, BCW_DEFAULT+1,
-        #                      BCW_DEFAULT-2, BCW_DEFAULT+2} (parsing order)
-        order = [2, 1, 3, 0, 4]
+        # g_BcwParsingOrder = {BCW_DEFAULT, BCW_DEFAULT+1, BCW_DEFAULT-1,
+        #                      BCW_DEFAULT+2, BCW_DEFAULT-2} (Rom.cpp:202)
+        order = [2, 3, 1, 4, 0]
         cu.bcw_idx = order[idx]
 
     def _is_bcw_coded(self, cu: CU) -> bool:
@@ -1465,6 +1465,9 @@ class SyntaxReader:
     def transform_tree(self, cu: CU, part: P.Partitioner, cu_ctx: CuCtx):
         split = part.can_split(P.TU_MAX_TR_SPLIT)
         tr_depth = part.cur_tr_depth
+        if not split and cu.sbt_info and tr_depth == 0:
+            self._sbt_transform_tree(cu, part, cu_ctx)
+            return
         if split:
             part.split_cur_area(P.TU_MAX_TR_SPLIT)
             while True:
@@ -1488,6 +1491,55 @@ class SyntaxReader:
         cu.tus.append(tu)
         self.cs.add_tu(tu)
         self.transform_unit(tu, cu_ctx, part)
+
+    def _sbt_transform_tree(self, cu: CU, part: P.Partitioner, cu_ctx: CuCtx):
+        """SBT TU tiling (PartitionerImpl::getSbtTuTiling,
+        UnitPartitioner.cpp:1091) + per-TU noResidual
+        (TransformUnit::checkTuNoResidual, Unit.cpp:832)."""
+        sbt_idx = cu.sbt_info & 0xF
+        sbt_pos = (cu.sbt_info >> 4) & 0x3
+        luma = part.cur_area()
+        chroma = part.cur_chroma()
+        tiles = []
+        for i in range(2):
+            if sbt_idx in (3, 4):  # quad
+                if sbt_idx == 4:  # HOR_QUAD
+                    wf, xo = 4, 0
+                    hf = 1 if ((i == 0 and sbt_pos == 0) or (i == 1 and sbt_pos == 1)) else 3
+                    yo = 0 if i == 0 else (1 if sbt_pos == 0 else 3)
+                else:  # VER_QUAD
+                    wf = 1 if ((i == 0 and sbt_pos == 0) or (i == 1 and sbt_pos == 1)) else 3
+                    xo = 0 if i == 0 else (1 if sbt_pos == 0 else 3)
+                    hf, yo = 4, 0
+            else:
+                if sbt_idx == 2:  # HOR_HALF
+                    wf, xo, hf, yo = 4, 0, 2, (0 if i == 0 else 2)
+                else:  # VER_HALF
+                    wf, xo, hf, yo = 2, (0 if i == 0 else 2), 4, 0
+
+            def tile(b):
+                if b is None:
+                    return None
+                return Rect(
+                    b.x + ((b.w * xo) >> 2), b.y + ((b.h * yo) >> 2),
+                    (b.w * wf) >> 2, (b.h * hf) >> 2,
+                )
+
+            tiles.append((tile(luma), tile(chroma)))
+        for idx, (lt, ct) in enumerate(tiles):
+            blocks = [
+                lt if cu.blocks[0] is not None else None,
+                Rect(ct.x, ct.y, ct.w, ct.h) if cu.blocks[1] is not None else None,
+                Rect(ct.x, ct.y, ct.w, ct.h) if cu.blocks[2] is not None else None,
+            ]
+            tu = TU(blocks=blocks, cu=cu, depth=1)
+            tu.no_residual = (sbt_pos == 0 and idx == 1) or (sbt_pos == 1 and idx == 0)
+            for c in range(3):
+                if blocks[c] is not None:
+                    tu.coeffs[c] = np.zeros((blocks[c].h, blocks[c].w), dtype=np.int32)
+            cu.tus.append(tu)
+            self.cs.add_tu(tu)
+            self.transform_unit(tu, cu_ctx, part)
 
     def cbf_comp(self, area: Rect, comp: int, prev_cbf: bool, use_isp: bool, cu: CU) -> int:
         if use_isp and comp == 0:

@@ -596,12 +596,16 @@ class CuReconstructor:
     def _tr_types(self, tu: TU, comp: int) -> tuple[int, int]:
         cu = tu.cu
         sps = self.sps
-        is_explicit = sps.explicit_mts_intra and comp == 0  # intra CU path
+        is_intra = cu.pred_mode == MODE_INTRA
+        is_explicit = comp == 0 and (
+            sps.explicit_mts_intra if is_intra else (sps.explicit_mts_inter and cu.pred_mode == D.MODE_INTER)
+        )
         is_implicit = (
-            sps.mts and not sps.explicit_mts_intra and comp == 0
+            is_intra and sps.mts and not sps.explicit_mts_intra and comp == 0
             and cu.lfnst_idx == 0 and not cu.mip_flag
         )
-        is_isp = bool(cu.isp_mode) and comp == 0
+        is_isp = is_intra and bool(cu.isp_mode) and comp == 0
+        is_sbt = cu.pred_mode == D.MODE_INTER and cu.sbt_info and comp == 0
         tr_h = tr_v = TX.DCT2
         if is_isp and cu.lfnst_idx:
             return tr_h, tr_v
@@ -614,6 +618,22 @@ class CuReconstructor:
             if 4 <= b.h <= 16:
                 tr_v = TX.DST7
             return tr_h, tr_v
+        if is_sbt:
+            # TrQuant::getTrTypes SBT branch (TrQuant.cpp:728)
+            sbt_idx = cu.sbt_info & 0xF
+            sbt_pos = (cu.sbt_info >> 4) & 0x3
+            b = tu.blocks[0]
+            if sbt_idx in (1, 3):  # VER_HALF / VER_QUAD
+                if b.h > 32:  # MTS_INTER_MAX_CU_SIZE
+                    return TX.DCT2, TX.DCT2
+                if sbt_pos == 0:
+                    return TX.DCT8, TX.DST7
+                return TX.DST7, TX.DST7
+            if b.w > 32:
+                return TX.DCT2, TX.DCT2
+            if sbt_pos == 0:
+                return TX.DST7, TX.DCT8
+            return TX.DST7, TX.DST7
         if is_explicit and tu.mts_idx[comp] > D.MTS_SKIP:
             ind_h = (tu.mts_idx[comp] - D.MTS_DST7_DST7) & 1
             ind_v = (tu.mts_idx[comp] - D.MTS_DST7_DST7) >> 1

@@ -25,6 +25,28 @@ def apply_loop_filters(dec, pic) -> None:
 
     if any(not sl.deblocking_disable for sl in pic.slices):
         DB.deblock_picture(dcs, pic)
+    # 2b. DMVR-refined MVs into the motion field for TMVP
+    # (DecLib::executeLoopFilters → setRefinedMotionField, DecLib.cpp:629)
+    if hasattr(dcs, "mf_mv"):
+        for cu in dcs.cus:
+            mvd_info = getattr(cu, "_dmvr_mvd", None)
+            if mvd_info is None:
+                continue
+            mvd_sub, sdx, sdy = mvd_info
+            b = cu.blocks[0]
+            for (sy, sx), mvd in mvd_sub.items():
+                y0 = (b.y + sy * sdy) >> 2
+                x0 = (b.x + sx * sdx) >> 2
+                ys = slice(y0, y0 + (sdy >> 2))
+                xs = slice(x0, x0 + (sdx >> 2))
+                from vtm_tpu.decoder import motion as M
+
+                mv0 = M.clip_storage((cu.mv[0][0] + mvd[0], cu.mv[0][1] + mvd[1]))
+                mv1 = M.clip_storage((cu.mv[1][0] - mvd[0], cu.mv[1][1] - mvd[1]))
+                dcs.mf_mv[ys, xs, 0, 0] = mv0[0]
+                dcs.mf_mv[ys, xs, 0, 1] = mv0[1]
+                dcs.mf_mv[ys, xs, 1, 0] = mv1[0]
+                dcs.mf_mv[ys, xs, 1, 1] = mv1[1]
     # 3. SAO
     if dcs.sps.sao and any(sl.sao_enabled[0] or sl.sao_enabled[1] for sl in pic.slices):
         from vtm_tpu.ops import sao as SAO

@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from vtm_tpu.decoder import cs as D
+from vtm_tpu.decoder.cs import Rect
 from vtm_tpu.decoder import motion as M
 from vtm_tpu.ops import mc as MC
 
@@ -21,17 +22,64 @@ def derive_cu_mv(dcs, cu) -> None:
     """DecCu::xDeriveCUMV."""
     if cu.merge_flag:
         if cu.mmvd_flag or cu.mmvd_skip:
-            raise NotImplementedError("MMVD merge")
+            base_idx = cu.mmvd_idx // M.MMVD_MAX_REFINE_NUM
+            mrg = M.get_inter_merge_candidates(dcs, cu, base_idx + 1)
+            M.set_mmvd_merge_info(dcs, cu, mrg, cu.mmvd_idx)
+            M.span_motion_info(dcs, cu)
+            return
         if cu.geo_flag:
-            raise NotImplementedError("GEO merge")
+            cu._geo_mrg = M.get_geo_merge_candidates(dcs, cu)
+            M.span_geo_motion_info(dcs, cu, cu._geo_mrg)
+            return
         if cu.affine:
-            raise NotImplementedError("affine merge")
+            from vtm_tpu.decoder import affine as AF
+
+            ctx = AF.get_affine_merge_cand(dcs, cu, cu.merge_idx)
+            i = cu.merge_idx
+            cu.interdir = ctx.interdir[i]
+            cu.affine_type = ctx.affine_type[i]
+            cu.bcw_idx = ctx.bcw[i]
+            cu.merge_type = ctx.merge_type[i]
+            if cu.merge_type == AF.MRG_TYPE_SUBPU_ATMVP:
+                # cu.affine stays true (VTM keeps the flag; MC dispatches on
+                # mergeType) — it gates HMVP skip and the deblock P-side cap
+                cu.ref_idx = [ctx.ref_idx[i][0], ctx.ref_idx[i][1]]
+                sub, pu_w, pu_h = ctx.subpu_mi
+                cu._sbtmvp = (sub, pu_w, pu_h)
+                AF.span_sbtmvp_motion(dcs, cu, sub, pu_w, pu_h)
+                return
+            for lst in range(2):
+                if dcs.sh.num_ref_idx[lst] > 0:
+                    cu.mvp_idx[lst] = 0
+                    cu.mvd[lst] = (0, 0)
+                    cu.ref_idx[lst] = ctx.ref_idx[i][lst]
+                    AF.set_all_affine_mv(dcs, cu, lst, ctx.mv[i][lst][0],
+                                         ctx.mv[i][lst][1], ctx.mv[i][lst][2],
+                                         clip_cpmvs=False)
+            AF.span_affine_motion(dcs, cu)
+            return
         mrg = M.get_inter_merge_candidates(dcs, cu, cu.merge_idx)
         M.set_merge_info(dcs, cu, mrg, cu.merge_idx)
         M.span_motion_info(dcs, cu)
         return
     if cu.affine:
-        raise NotImplementedError("affine AMVP")
+        from vtm_tpu.decoder import affine as AF
+
+        for lst in range(2):
+            if dcs.sh.num_ref_idx[lst] > 0 and (cu.interdir & (1 << lst)):
+                cands = AF.fill_affine_mvp_cand(dcs, cu, lst, cu.ref_idx[lst])
+                mvd0 = AF.change_affine_prec_amvr_2_internal(cu.mvd_affi[lst][0], cu.imv)
+                mvd1 = AF.change_affine_prec_amvr_2_internal(cu.mvd_affi[lst][1], cu.imv)
+                cand = cands[cu.mvp_idx[lst]]
+                lt = (cand[0][0] + mvd0[0], cand[0][1] + mvd0[1])
+                rt = (cand[1][0] + mvd1[0] + mvd0[0], cand[1][1] + mvd1[1] + mvd0[1])
+                lb = (0, 0)
+                if cu.affine_type == 1:
+                    mvd2 = AF.change_affine_prec_amvr_2_internal(cu.mvd_affi[lst][2], cu.imv)
+                    lb = (cand[2][0] + mvd2[0] + mvd0[0], cand[2][1] + mvd2[1] + mvd0[1])
+                AF.set_all_affine_mv(dcs, cu, lst, lt, rt, lb, clip_cpmvs=True)
+        AF.span_affine_motion(dcs, cu)
+        return
     for lst in range(2):
         if (dcs.sh.num_ref_idx[lst] > 0) and (cu.interdir & (1 << lst)):
             cands = M.fill_mvp_cand(dcs, cu, lst, cu.ref_idx[lst])
@@ -73,22 +121,32 @@ def _mc_one_list(recon, dcs, cu, lst: int, rnd_res: bool):
 
 def motion_compensation(recon, dcs, cu):
     """InterPrediction::motionCompensation → [Y, Cb, Cr] final samples."""
-    if cu.ciip_flag:
-        raise NotImplementedError("CIIP")
     bd = recon.bit_depth
     fmt = dcs.chroma_format
+    if getattr(cu, "_sbtmvp", None) is not None:
+        return _sbtmvp_mc(recon, dcs, cu)
+    if cu.affine:
+        return _affine_mc(recon, dcs, cu)
     if cu.interdir == 3:
-        if dcs.sps.dmvr and not dcs.ph.dis_dmvr:
-            if _dmvr_condition(dcs, cu):
-                raise NotImplementedError("DMVR")
-        if dcs.sps.bdof and not dcs.ph.dis_bdof:
-            if _bdof_condition(dcs, cu):
-                raise NotImplementedError("BDOF")
+        if not cu.ciip_flag:
+            from vtm_tpu.decoder import refine
+
+            bdof_ok = (
+                dcs.sps.bdof and not dcs.ph.dis_bdof and _bdof_condition(dcs, cu)
+            )
+            if dcs.sps.dmvr and not dcs.ph.dis_dmvr and _dmvr_condition(dcs, cu):
+                preds, mvd_sub, sdx, sdy = refine.dmvr_motion_compensation(
+                    recon, dcs, cu, bdof_ok
+                )
+                cu._dmvr_mvd = (mvd_sub, sdx, sdy)
+                return preds
+            if bdof_ok:
+                return refine.bdof_motion_compensation(recon, dcs, cu)
         p0 = _mc_one_list(recon, dcs, cu, 0, rnd_res=False)
         p1 = _mc_one_list(recon, dcs, cu, 1, rnd_res=False)
         out = []
         for comp in range(fmt.num_components):
-            if cu.bcw_idx != M.BCW_DEFAULT:
+            if cu.bcw_idx != M.BCW_DEFAULT and not cu.ciip_flag:
                 w1 = _BCW_WEIGHTS[cu.bcw_idx]
                 out.append(MC.bcw_average(p0[comp], p1[comp], bd, 8 - w1, w1))
             else:
@@ -96,6 +154,165 @@ def motion_compensation(recon, dcs, cu):
         return out
     lst = 0 if cu.interdir == 1 else 1
     return _mc_one_list(recon, dcs, cu, lst, rnd_res=True)
+
+
+def _affine_mc(recon, dcs, cu):
+    """Affine MC over both lists with PROF + averaging."""
+    from vtm_tpu.decoder import affine as AF
+
+    bd = recon.bit_depth
+    fmt = dcs.chroma_format
+    bi = cu.interdir == 3
+    per_list = []
+    for lst in range(2):
+        if not (cu.interdir & (1 << lst)):
+            per_list.append(None)
+            continue
+        stored = {}
+        comps = []
+        for comp in range(fmt.num_components):
+            comps.append(
+                AF.affine_mc_component(recon, dcs, cu, lst, comp,
+                                       rnd_res=not bi, stored_mv=stored)
+            )
+        per_list.append(comps)
+    if not bi:
+        return per_list[0] if per_list[0] is not None else per_list[1]
+    out = []
+    for comp in range(fmt.num_components):
+        p0 = per_list[0][comp]
+        p1 = per_list[1][comp]
+        if cu.bcw_idx != M.BCW_DEFAULT:
+            w1 = _BCW_WEIGHTS[cu.bcw_idx]
+            out.append(MC.bcw_average(p0, p1, bd, 8 - w1, w1))
+        else:
+            out.append(MC.bi_average(p0, p1, bd))
+    return out
+
+
+def _sbtmvp_mc(recon, dcs, cu):
+    """xSubPuMC (InterPrediction.cpp:275): per-subblock translational MC with
+    same-motion run joining."""
+    sub, pu_w, pu_h = cu._sbtmvp
+    bd = recon.bit_depth
+    fmt = dcs.chroma_format
+    b = cu.blocks[0]
+    preds = [np.zeros((b.h >> (fmt.scale_y if c else 0),
+                       b.w >> (fmt.scale_x if c else 0)), dtype=np.int64)
+             for c in range(fmt.num_components)]
+    ver_mc = b.h > b.w
+    n_rows = len(sub)
+    n_cols = len(sub[0])
+    saved = (cu.mv, cu.ref_idx, cu.interdir)
+
+    def run_mc(x, y, dx, dy, d, mv, ri):
+        cu.mv = [mv[0], mv[1]]
+        cu.ref_idx = [ri[0], ri[1]]
+        cu.interdir = d
+        sub_blocks = [Rect(x, y, dx, dy)]
+        # temporary blocks for MC position math
+        old_blocks = cu.blocks
+        cu.blocks = [
+            Rect(x, y, dx, dy),
+            Rect(x >> fmt.scale_x, y >> fmt.scale_y,
+                 dx >> fmt.scale_x, dy >> fmt.scale_y)
+            if fmt.num_components > 1 else None,
+            Rect(x >> fmt.scale_x, y >> fmt.scale_y,
+                 dx >> fmt.scale_x, dy >> fmt.scale_y)
+            if fmt.num_components > 1 else None,
+        ]
+        if d == 3:
+            p0 = _mc_one_list(recon, dcs, cu, 0, rnd_res=False)
+            p1 = _mc_one_list(recon, dcs, cu, 1, rnd_res=False)
+            res = [MC.bi_average(p0[c], p1[c], bd)
+                   for c in range(fmt.num_components)]
+        else:
+            lst = 0 if d == 1 else 1
+            res = _mc_one_list(recon, dcs, cu, lst, rnd_res=True)
+        cu.blocks = old_blocks
+        for c in range(fmt.num_components):
+            sx = fmt.scale_x if c else 0
+            sy = fmt.scale_y if c else 0
+            preds[c][(y - b.y) >> sy : (y - b.y + dy) >> sy,
+                     (x - b.x) >> sx : (x - b.x + dx) >> sx] = res[c]
+
+    if not ver_mc:
+        for sy in range(n_rows):
+            sx = 0
+            while sx < n_cols:
+                d, mv, ri = sub[sy][sx]
+                length = 1
+                while sx + length < n_cols and sub[sy][sx + length] == (d, mv, ri):
+                    length += 1
+                run_mc(b.x + sx * pu_w, b.y + sy * pu_h,
+                       length * pu_w, pu_h, d, mv, ri)
+                sx += length
+    else:
+        for sx in range(n_cols):
+            sy = 0
+            while sy < n_rows:
+                d, mv, ri = sub[sy][sx]
+                length = 1
+                while sy + length < n_rows and sub[sy + length][sx] == (d, mv, ri):
+                    length += 1
+                run_mc(b.x + sx * pu_w, b.y + sy * pu_h,
+                       pu_w, length * pu_h, d, mv, ri)
+                sy += length
+    cu.mv, cu.ref_idx, cu.interdir = saved
+    return preds
+
+
+def _ciip_intra_pred(recon, cu, comp: int) -> np.ndarray:
+    """Planar intra prediction for CIIP via the shared intra path
+    (IntraPrediction::geneIntrainterPred, IntraPrediction.cpp:736)."""
+    from vtm_tpu.ops import intra as I
+
+    b = cu.blocks[comp]
+    is_luma = comp == 0
+    p = I.IntraParams(D.PLANAR_IDX, b.w, b.h,
+                      cu.blocks[comp].w, cu.blocks[comp].h, is_luma, 0,
+                      False, False)
+    # use the CU's first TU for ref-sample fill (TU == CU for inter)
+    top, left = recon.fill_reference_samples(b, cu, comp, 0)
+    if p.ref_filter_flag:
+        ftop, fleft = I.filter_reference_samples(top, left, b.w * 2, b.h * 2, 0)
+    else:
+        ftop, fleft = top, left
+    pred = I.pred_planar(ftop, fleft, b.w, b.h)
+    if p.apply_pdpc:
+        pred = I.pdpc_planar_dc(pred, ftop, fleft)
+    return pred
+
+
+def ciip_blend(recon, dcs, cu, preds) -> list:
+    """geneWeightedPred (IntraPrediction.cpp:682): blend the inter prediction
+    with planar intra using neighbour-intra-dependent weights."""
+    b = cu.blocks[0]
+    n0 = M._get_pu_restricted(dcs, cu, b.x - 1, b.y + b.h - 1)
+    n1 = M._get_pu_restricted(dcs, cu, b.x + b.w - 1, b.y - 1)
+    i0 = n0 is not None and n0.pred_mode == D.MODE_INTRA
+    i1 = n1 is not None and n1.pred_mode == D.MODE_INTRA
+    if i0 and i1:
+        w_intra, w_merge = 3, 1
+    elif not i0 and not i1:
+        w_intra, w_merge = 1, 3
+    else:
+        w_intra, w_merge = 2, 2
+    fmt = dcs.chroma_format
+    maxv = (1 << recon.bit_depth) - 1
+    lmcs = getattr(dcs, "lmcs_model", None)
+    lmcs_on = lmcs is not None and dcs.sh.lmcs_enabled
+    out = []
+    for comp in range(fmt.num_components):
+        p = preds[comp]
+        if comp == 0 and lmcs_on:
+            p = lmcs.fwd_lut[np.clip(p, 0, maxv)]
+        if comp > 0 and cu.blocks[comp].w <= 2:
+            out.append(p)
+            continue
+        intra = _ciip_intra_pred(recon, cu, comp)
+        out.append((w_merge * p + w_intra * intra + 2) >> 2)
+    return out
 
 
 _BCW_WEIGHTS = [-2, 3, 4, 5, 10]  # g_BcwWeights (CommonDef)
@@ -144,12 +361,41 @@ def _bdof_condition(dcs, cu) -> bool:
     return b.h >= 8 and b.w >= 8 and (b.h * b.w) >= 128
 
 
+def _geo_motion_compensation(recon, dcs, cu):
+    """InterPrediction::motionCompensationGeo + weightedGeoBlk."""
+    geo = cu._geo_mrg
+    bd = recon.bit_depth
+    fmt = dcs.chroma_format
+    parts = []
+    saved = (cu.mv, cu.ref_idx, cu.interdir, cu.imv)
+    for cand in cu.geo_merge_idx:
+        cu.mv = [geo.mv[cand][0], geo.mv[cand][1]]
+        cu.ref_idx = [geo.ref_idx[cand][0], geo.ref_idx[cand][1]]
+        cu.interdir = geo.interdir[cand]
+        cu.imv = 0
+        lst = 0 if cu.interdir == 1 else 1
+        parts.append(_mc_one_list(recon, dcs, cu, lst, rnd_res=False))
+    cu.mv, cu.ref_idx, cu.interdir, cu.imv = saved
+    out = []
+    b = cu.blocks[0]
+    for comp in range(fmt.num_components):
+        sx = fmt.scale_x if comp else 0
+        sy = fmt.scale_y if comp else 0
+        wts = MC.geo_weight_block(cu.geo_split_dir, b.w, b.h, sx, sy,
+                                  b.w >> sx, b.h >> sy)
+        out.append(MC.geo_blend(parts[0][comp], parts[1][comp], wts, bd))
+    return out
+
+
 def recon_inter_cu(recon, cu) -> None:
     """DecCu::xReconInter + xDecodeInterTexture."""
     dcs = recon.cs
     if cu.geo_flag:
-        raise NotImplementedError("GEO recon")
-    preds = motion_compensation(recon, dcs, cu)
+        preds = _geo_motion_compensation(recon, dcs, cu)
+    else:
+        preds = motion_compensation(recon, dcs, cu)
+        if cu.ciip_flag:
+            preds = ciip_blend(recon, dcs, cu, preds)
     bd = recon.bit_depth
     maxv = (1 << bd) - 1
     lmcs = getattr(dcs, "lmcs_model", None)

@@ -585,6 +585,203 @@ def set_merge_info(dcs, cu, mrg: MergeCtx, cand_idx: int) -> None:
     restrict_bipred(cu)
 
 
+MMVD_BASE_MV_NUM = 2
+MMVD_MAX_REFINE_NUM = 32
+GEO_MAX_NUM_UNI_CANDS = 6
+
+
+def get_geo_merge_candidates(dcs, cu) -> MergeCtx:
+    """PU::getGeoMergeCandidates (UnitTools.cpp:3276) — uni-directional
+    candidates extracted from the regular merge list by parity."""
+    max_cand = dcs.sps.max_num_merge_cand
+    tmp = get_inter_merge_candidates(dcs, cu, -1)
+    geo = MergeCtx(GEO_MAX_NUM_UNI_CANDS)
+    geo.num_valid = 0
+    for i in range(max_cand):
+        parity = i & 1
+        if tmp.interdir[i] & (1 + parity):
+            geo.interdir[geo.num_valid] = 1 + parity
+            geo.mv[geo.num_valid][1 - parity] = (0, 0)
+            geo.mv[geo.num_valid][parity] = tmp.mv[i][parity]
+            geo.ref_idx[geo.num_valid][1 - parity] = -1
+            geo.ref_idx[geo.num_valid][parity] = tmp.ref_idx[i][parity]
+            geo.num_valid += 1
+            if geo.num_valid == GEO_MAX_NUM_UNI_CANDS:
+                return geo
+            continue
+        if tmp.interdir[i] & (2 - parity):
+            geo.interdir[geo.num_valid] = 2 - parity
+            geo.mv[geo.num_valid][1 - parity] = tmp.mv[i][1 - parity]
+            geo.mv[geo.num_valid][parity] = (0, 0)
+            geo.ref_idx[geo.num_valid][1 - parity] = tmp.ref_idx[i][1 - parity]
+            geo.ref_idx[geo.num_valid][parity] = -1
+            geo.num_valid += 1
+            if geo.num_valid == GEO_MAX_NUM_UNI_CANDS:
+                return geo
+    return geo
+
+
+def span_geo_motion_info(dcs, cu, geo: MergeCtx) -> None:
+    """PU::spanGeoMotionInfo (UnitTools.cpp:3334)."""
+    from vtm_tpu.common import rom
+
+    c0, c1 = cu.geo_merge_idx
+    split_dir = cu.geo_split_dir
+    if geo.interdir[c0] == 1 and geo.interdir[c1] == 2:
+        bi = (3, [geo.mv[c0][0], geo.mv[c1][1]], [geo.ref_idx[c0][0], geo.ref_idx[c1][1]])
+    elif geo.interdir[c0] == 2 and geo.interdir[c1] == 1:
+        bi = (3, [geo.mv[c1][0], geo.mv[c0][1]], [geo.ref_idx[c1][0], geo.ref_idx[c0][1]])
+    elif geo.interdir[c0] == 1 and geo.interdir[c1] == 1:
+        bi = (1, [geo.mv[c1][0], (0, 0)], [geo.ref_idx[c1][0], -1])
+    else:
+        bi = (2, [(0, 0), geo.mv[c1][1]], [-1, geo.ref_idx[c1][1]])
+    gp = rom.get("geoParams")
+    g_dis = rom.get("geoDis")
+    angle = int(gp[split_dir][0])
+    dist_idx = int(gp[split_dir][1])
+    is_flip = 13 <= angle <= 27
+    dist_x = angle
+    dist_y = (dist_x + 8) % 32  # GEO_NUM_ANGLES >> 2 = 8
+    b = cu.blocks[0]
+    w, h = b.w, b.h
+    off_x = (-w) >> 1
+    off_y = (-h) >> 1
+    if dist_idx > 0:
+        if angle % 16 == 8 or (angle % 16 != 0 and h >= w):
+            off_y += (dist_idx * h) >> 3 if angle < 16 else -((dist_idx * h) >> 3)
+        else:
+            off_x += (dist_idx * w) >> 3 if angle < 16 else -((dist_idx * w) >> 3)
+    mbw, mbh = w >> 2, h >> 2
+    slice_idx = dcs.cur_ind_slice_idx
+    y4_0, x4_0 = b.y >> 2, b.x >> 2
+    for y in range(mbh):
+        lut_y = (((4 * y + off_y) << 1) + 5) * int(g_dis[dist_y])
+        for x in range(mbw):
+            midx = (((4 * x + off_x) << 1) + 5) * int(g_dis[dist_x]) + lut_y
+            mask = 2 if abs(midx) < 32 else ((1 - is_flip) if midx <= 0 else int(is_flip))
+            if mask == 2:
+                d, mv, ri = bi
+            elif mask == 0:
+                d = geo.interdir[c0]
+                mv = geo.mv[c0]
+                ri = geo.ref_idx[c0]
+            else:
+                d = geo.interdir[c1]
+                mv = geo.mv[c1]
+                ri = geo.ref_idx[c1]
+            yy, xx = y4_0 + y, x4_0 + x
+            dcs.mf_inter[yy, xx] = True
+            dcs.mf_ibc[yy, xx] = False
+            dcs.mf_interdir[yy, xx] = d
+            dcs.mf_alt_hpel[yy, xx] = False
+            dcs.mf_slice[yy, xx] = slice_idx
+            for l in range(2):
+                dcs.mf_mv[yy, xx, l, 0] = mv[l][0]
+                dcs.mf_mv[yy, xx, l, 1] = mv[l][1]
+                dcs.mf_refidx[yy, xx, l] = ri[l]
+            dcs.mf_bcw[yy, xx] = BCW_DEFAULT
+
+
+def get_mmvd_base_mvs(mrg: MergeCtx):
+    """PU::getInterMMVDMergeCandidates (UnitTools.cpp:1420)."""
+    bases = []
+    for k in range(mrg.num_valid):
+        r0 = mrg.ref_idx[k][0]
+        r1 = mrg.ref_idx[k][1]
+        if r0 >= 0 and r1 >= 0:
+            bases.append(([mrg.mv[k][0], mrg.mv[k][1]], [r0, r1],
+                          mrg.use_alt_hpel[k], mrg.interdir[k], mrg.bcw[k]))
+        elif r0 >= 0:
+            bases.append(([mrg.mv[k][0], (0, 0)], [r0, -1],
+                          mrg.use_alt_hpel[k], mrg.interdir[k], mrg.bcw[k]))
+        elif r1 >= 0:
+            bases.append(([(0, 0), mrg.mv[k][1]], [-1, r1],
+                          mrg.use_alt_hpel[k], mrg.interdir[k], mrg.bcw[k]))
+        else:
+            bases.append(([(0, 0), (0, 0)], [-1, -1], False,
+                          mrg.interdir[k], mrg.bcw[k]))
+        if len(bases) == MMVD_BASE_MV_NUM:
+            break
+    return bases
+
+
+def set_mmvd_merge_info(dcs, cu, mrg: MergeCtx, cand_idx: int) -> None:
+    """MergeCtx::setMmvdMergeCandiInfo (ContextModelling.cpp:355)."""
+    sh = dcs.sh
+    mv_shift = 2  # MV_FRACTIONAL_BITS_DIFF
+    ref_mvd_cands = [1 << mv_shift, 2 << mv_shift, 4 << mv_shift, 8 << mv_shift,
+                     16 << mv_shift, 32 << mv_shift, 64 << mv_shift, 128 << mv_shift]
+    tmp = cand_idx
+    base_idx = (tmp % (MMVD_BASE_MV_NUM * MMVD_MAX_REFINE_NUM)) // MMVD_MAX_REFINE_NUM
+    tmp = tmp % MMVD_MAX_REFINE_NUM
+    step = tmp // 4
+    position = tmp % 4
+    offset = ref_mvd_cands[step]
+    if dcs.ph.dis_frac_mmvd:
+        offset <<= 2
+    bases = get_mmvd_base_mvs(mrg)
+    base_mv, base_ref, base_alt_hpel, base_dir, base_bcw = bases[base_idx]
+    r0, r1 = base_ref
+
+    def off_mv(pos):
+        return [(offset, 0), (-offset, 0), (0, offset), (0, -offset)][pos]
+
+    if r0 != -1 and r1 != -1:
+        poc0 = sh.ref_pocs[0][r0]
+        poc1 = sh.ref_pocs[1][r1]
+        cur = sh.poc
+        t0 = off_mv(position)
+        if (poc0 - cur) == (poc1 - cur):
+            t1 = t0
+        elif abs(poc1 - cur) > abs(poc0 - cur):
+            scale = dist_scale_factor(cur, poc0, cur, poc1)
+            t1 = t0
+            lt = sh.ref_longterm[0][r0] or sh.ref_longterm[1][r1]
+            if lt:
+                if (poc1 - cur) * (poc0 - cur) > 0:
+                    t0 = t1
+                else:
+                    t0 = (-t1[0], -t1[1])
+            else:
+                t0 = scale_mv(t1, scale)
+        else:
+            scale = dist_scale_factor(cur, poc1, cur, poc0)
+            lt = sh.ref_longterm[0][r0] or sh.ref_longterm[1][r1]
+            if lt:
+                if (poc1 - cur) * (poc0 - cur) > 0:
+                    t1 = t0
+                else:
+                    t1 = (-t0[0], -t0[1])
+            else:
+                t1 = scale_mv(t0, scale)
+        cu.interdir = 3
+        cu.mv = [(base_mv[0][0] + t0[0], base_mv[0][1] + t0[1]),
+                 (base_mv[1][0] + t1[0], base_mv[1][1] + t1[1])]
+        cu.ref_idx = [r0, r1]
+    elif r0 != -1:
+        t0 = off_mv(position)
+        cu.interdir = 1
+        cu.mv = [(base_mv[0][0] + t0[0], base_mv[0][1] + t0[1]), (0, 0)]
+        cu.ref_idx = [r0, -1]
+    else:
+        t1 = off_mv(position)
+        cu.interdir = 2
+        cu.mv = [(0, 0), (base_mv[1][0] + t1[0], base_mv[1][1] + t1[1])]
+        cu.ref_idx = [-1, r1]
+    cu.mmvd_flag = True
+    cu.mmvd_idx = cand_idx
+    cu.merge_flag = True
+    cu.regular_merge_flag = True
+    cu.merge_idx = cand_idx
+    cu.mvd = [(0, 0), (0, 0)]
+    cu.mvp_idx = [NOT_VALID, NOT_VALID]
+    cu.imv = IMV_HPEL if base_alt_hpel else 0
+    cu.bcw_idx = base_bcw if base_dir == 3 else BCW_DEFAULT
+    cu.mv = [clip_storage(m) if cu.ref_idx[i] >= 0 else m
+             for i, m in enumerate(cu.mv)]
+    restrict_bipred(cu)
+
+
 def restrict_bipred(cu) -> None:
     """PU::restrictBiPredMergeCandsOne."""
     if is_bipred_restriction(cu) and cu.interdir == 3:

@@ -384,6 +384,24 @@ def _deblock_cu(dcs, pic, cu, edge_dir, state: DeblockState, ctu_x, ctu_y):
     _set_edge_multiple(state, EDGE_VER, area_x, area_y, area_w, area_h, ver_f, ctu_x, ctu_y, False)
     _set_edge_multiple(state, EDGE_HOR, area_x, area_y, area_w, area_h, hor_f, ctu_x, ctu_y, False)
     edge_idx_list.append(0)
+    # --- subblock-motion internal edges (SbTMVP / affine, LoopFilter.cpp:357) ---
+    mv_subblocks = has_luma and (
+        cu.affine or (cu.merge_flag and getattr(cu, "_sbtmvp", None) is not None)
+    )
+    if mv_subblocks:
+        sub = 8
+        if edge_dir == EDGE_HOR:
+            for off in range(sub, area_h, sub):
+                _set_edge_multiple(state, EDGE_HOR, area_x, area_y + off,
+                                   area_w, 4, internal, ctu_x, ctu_y, True)
+                edge_idx_list.append(off // 4)
+        else:
+            for off in range(sub, area_w, sub):
+                _set_edge_multiple(state, EDGE_VER, area_x + off, area_y,
+                                   4, area_h, internal, ctu_x, ctu_y, True)
+                edge_idx_list.append(off // 4)
+        _set_max_filter_len_subblocks(state, edge_dir, area_x, area_y,
+                                      area_w, area_h, ctu_x, ctu_y)
     # --- boundary strengths ---
     for y in range(0, area_h, 4):
         for x in range(0, area_w, 4):
@@ -489,6 +507,67 @@ def _set_max_filter_lengths(dcs, cu, tu, edge_dir, state, ctu_x, ctu_y,
                     v = 3 if (size_q >= 8 and size_p >= 8) else 1
                     state.max_len_q[comp, xi, yi] = v
                     state.max_len_p[comp, xi, yi] = v
+
+
+def _set_max_filter_len_subblocks(state, edge_dir, area_x, area_y, area_w,
+                                  area_h, ctu_x, ctu_y):
+    """xSetMaxFilterLengthPQForCodingSubBlocks (LoopFilter.cpp:587)."""
+    sub = 8
+    xo = area_x - ctu_x
+    yo = area_y - ctu_y
+    te = state.transform_edge
+    mq = state.max_len_q
+    mp = state.max_len_p
+    if edge_dir == EDGE_HOR:
+        for y in range(0, area_h, sub):
+            for x in range(0, area_w, 4):
+                xi, yi = xo + x, yo + y
+                if xi < 0 or yi < 0:
+                    continue
+                if te[0, xi, yi]:
+                    mq[0, xi, yi] = min(mq[0, xi, yi], 5)
+                    if y > 0:
+                        mp[0, xi, yi] = min(mp[0, xi, yi], 5)
+                elif y > 0 and (
+                    (yi >= 4 and te[0, xi, yi - 4]) or (y + 4) >= area_h
+                    or (yi + 4 < state.ctu_size and te[0, xi, yi + 4])
+                ):
+                    mq[0, xi, yi] = 1
+                    mp[0, xi, yi] = 1
+                elif y > 0 and (
+                    y == 8 or (yi >= 8 and te[0, xi, yi - 8]) or (y + 8) >= area_h
+                    or (yi + 8 < state.ctu_size and te[0, xi, yi + 8])
+                ):
+                    mq[0, xi, yi] = 2
+                    mp[0, xi, yi] = 2
+                else:
+                    mq[0, xi, yi] = 3
+                    mp[0, xi, yi] = 3
+    else:
+        for x in range(0, area_w, sub):
+            for y in range(0, area_h, 4):
+                xi, yi = xo + x, yo + y
+                if xi < 0 or yi < 0:
+                    continue
+                if te[0, xi, yi]:
+                    mq[0, xi, yi] = min(mq[0, xi, yi], 5)
+                    if x > 0:
+                        mp[0, xi, yi] = min(mp[0, xi, yi], 5)
+                elif x > 0 and (
+                    (xi >= 4 and te[0, xi - 4, yi]) or (x + 4) >= area_w
+                    or (xi + 4 < state.ctu_size and te[0, xi + 4, yi])
+                ):
+                    mq[0, xi, yi] = 1
+                    mp[0, xi, yi] = 1
+                elif x > 0 and (
+                    x == 8 or (xi >= 8 and te[0, xi - 8, yi]) or (x + 8) >= area_w
+                    or (xi + 8 < state.ctu_size and te[0, xi + 8, yi])
+                ):
+                    mq[0, xi, yi] = 2
+                    mp[0, xi, yi] = 2
+                else:
+                    mq[0, xi, yi] = 3
+                    mp[0, xi, yi] = 3
 
 
 def _bs_single(dcs, cu, edge_dir, lx, ly, ch, preset: int = 0) -> int:
@@ -639,6 +718,9 @@ def _edge_filter_luma(dcs, pic, cu, edge_dir, edge, state, ctu_x, ctu_y, maxv):
         max_q = int(state.max_len_q[0, px - ctu_x, py - ctu_y])
         if max_p > 3:
             side_p_large = True
+            # restrict filter length if P uses sub-block motion (affine/SbTMVP)
+            if max_p > 5 and cu_p.affine:
+                max_p = min(max_p, 5)
         if max_q > 3:
             side_q_large = True
         if edge_dir == EDGE_HOR and py % sps.ctu_size == 0:

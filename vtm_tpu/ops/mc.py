@@ -161,9 +161,54 @@ def bi_average(p0: np.ndarray, p1: np.ndarray, bd: int) -> np.ndarray:
     return np.clip((p0 + p1 + offset) >> shift, 0, (1 << bd) - 1)
 
 
+_GEO_WEIGHTS = [rom.get("geoWeights0"), rom.get("geoWeights1")]
+_GEO_PARAMS = rom.get("geoParams")
+_GEO_OFFSET = rom.get("geoWeightOffset")
+_GEO_A2MASK = rom.get("geoAngle2mask")
+_GEO_A2MIRROR = rom.get("geoAngle2mirror")
+GEO_WEIGHT_MASK_SIZE = 112
+
+
+def geo_weight_block(split_dir: int, lw: int, lh: int, scale_x: int,
+                     scale_y: int, w: int, h: int) -> np.ndarray:
+    """Per-sample weights for one component (xWeightedGeoBlk walk,
+    InterpolationFilter.cpp:905)."""
+    angle = int(_GEO_PARAMS[split_dir][0])
+    w_idx = lw.bit_length() - 1 - 3  # GEO_MIN_CU_LOG2
+    h_idx = lh.bit_length() - 1 - 3
+    off_x = int(_GEO_OFFSET[split_dir][h_idx][w_idx][0])
+    off_y = int(_GEO_OFFSET[split_dir][h_idx][w_idx][1])
+    grid = _GEO_WEIGHTS[int(_GEO_A2MASK[angle])]
+    mirror = int(_GEO_A2MIRROR[angle])
+    s = GEO_WEIGHT_MASK_SIZE
+    ys = np.arange(h) << scale_y
+    xs = np.arange(w) << scale_x
+    if mirror == 2:
+        rows = (s - 1 - off_y) - ys
+        cols = off_x + xs
+    elif mirror == 1:
+        rows = off_y + ys
+        cols = (s - 1 - off_x) - xs
+    else:
+        rows = off_y + ys
+        cols = off_x + xs
+    return grid[np.ix_(rows, cols)].astype(np.int64)
+
+
+def geo_blend(p0: np.ndarray, p1: np.ndarray, weights: np.ndarray,
+              bd: int) -> np.ndarray:
+    """Weighted geo blending of two 14-bit predictions (xWeightedGeoBlk)."""
+    log2_wd = 3
+    shift = max(2, IF_INTERNAL_PREC - bd) + log2_wd
+    offset = (1 << (shift - 1)) + (IF_INTERNAL_OFFS << log2_wd)
+    return np.clip((weights * p0 + (8 - weights) * p1 + offset) >> shift,
+                   0, (1 << bd) - 1)
+
+
 def bcw_average(p0: np.ndarray, p1: np.ndarray, bd: int, w0: int, w1: int) -> np.ndarray:
-    """addWeightedAvg (Buffer.h roundShift g=3): ((w0*a + w1*b + offset) >> shift)."""
+    """addWeightedAvg (Buffer.cpp:366): (w0*a + w1*b + offset) >> shift with
+    shift = max(2, 14-bd) + 3 and offset = (1<<(shift-1)) + (OFFS << 3)."""
     log2_wd = 3  # g_BcwLog2WeightBase
-    shift = max(2, IF_INTERNAL_PREC - bd) + log2_wd + 1
-    offset = (1 << (shift - 1)) + (IF_INTERNAL_OFFS << (log2_wd + 1))
+    shift = max(2, IF_INTERNAL_PREC - bd) + log2_wd
+    offset = (1 << (shift - 1)) + (IF_INTERNAL_OFFS << log2_wd)
     return np.clip((w0 * p0 + w1 * p1 + offset) >> shift, 0, (1 << bd) - 1)
