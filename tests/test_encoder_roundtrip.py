@@ -18,10 +18,12 @@ from vtm_tpu.utils.yuv_io import YuvFormat, read_yuv
 TESTDATA = "testdata"
 
 
-def _roundtrip(name, w, h, qp, min_psnr_y):
+def _roundtrip(name, w, h, qp, min_psnr_y, mtt=0):
     fmt = YuvFormat(w, h, ChromaFormat.YUV420, 8)
     frames = read_yuv(f"{TESTDATA}/{name}.yuv", fmt, 1)
-    enc = IntraEncoder(EncoderConfig(width=w, height=h, qp=qp))
+    enc = IntraEncoder(
+        EncoderConfig(width=w, height=h, qp=qp, max_mtt_depth_intra=mtt)
+    )
     bits = enc.encode(frames)
     dec = Decoder()
     pics = dec.decode_stream(bits)
@@ -40,7 +42,7 @@ def _roundtrip(name, w, h, qp, min_psnr_y):
 
 
 def test_roundtrip_tiny64_qp32():
-    _roundtrip("tiny64_64x64_420_8", 64, 64, 32, 30.0)
+    _roundtrip("tiny64_64x64_420_8", 64, 64, 32, 30.0, mtt=2)
 
 
 @pytest.mark.slow

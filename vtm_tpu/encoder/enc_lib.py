@@ -48,10 +48,10 @@ class EncoderConfig:
     chroma_format_idc: int = 1
     ctu_size: int = 64
     log2_ctu_size: int = 6
-    log2_min_cb_size: int = 3  # min CU 8 (QT-only leaf)
+    log2_min_cb_size: int = 2  # min CU 4
     log2_min_qt_intra: int = 3
     log2_min_qt_inter: int = 3
-    max_mtt_depth_intra: int = 0
+    max_mtt_depth_intra: int = 2
     max_mtt_depth_inter: int = 0
     log2_max_bt_intra: int = 5
     log2_max_tt_intra: int = 5
@@ -105,6 +105,9 @@ class IntraEncoder:
         dcs._slice_headers = [sh]
         dcs.lmcs_model = None
         self.dcs = dcs
+        from vtm_tpu.decoder.cabac_reader import SyntaxReader
+
+        self._helper = SyntaxReader(dcs, None)
         self.src = src_planes
         planes = [np.zeros_like(p) for p in src_planes]
         self.recon = CuReconstructor(dcs, planes)
@@ -130,7 +133,7 @@ class IntraEncoder:
                 est = BitEstimator(ctx.copy())
                 part = P.Partitioner(dcs)
                 part.init_ctu(ctu_rect, D.CH_L)
-                self._rd_node(part, est)
+                _, self._split_map = self._rd_node(part, est)
                 # final write: replay chosen tree with the real encoder
                 writer = SyntaxWriter(dcs, enc)
                 wpart = P.Partitioner(dcs)
@@ -207,17 +210,20 @@ class IntraEncoder:
             r.decomp_c[ca.y >> 1 : ca.y1 >> 1, ca.x >> 1 : ca.x1 >> 1] = snap["dec_c"]
 
     # ------------------------------------------------------------------
-    def _rd_node(self, part: P.Partitioner, est: BitEstimator) -> float:
+    def _rd_node(self, part: P.Partitioner, est: BitEstimator):
         """Decide split-vs-CU at this node; leaves chosen state applied.
 
-        Returns the RD cost of the subtree.
+        Returns (subtree RD cost, {node key: chosen split} for the winning
+        subtree) — the choices map drives the final-bin replay.
         """
         dcs = self.dcs
         a = part.cur_area()
         clipped = Rect(a.x, a.y,
                        min(a.w, dcs.pic_w - a.x), min(a.h, dcs.pic_h - a.y))
         can_no, can_qt, can_bh, can_bv, can_th, can_tv = part.can_split_flags()
-        best = None  # (cost, capture_after, est_after)
+        key = (a.x, a.y, a.w, a.h, part.cur_depth)
+        inside = a.x1 <= dcs.pic_w and a.y1 <= dcs.pic_h
+        best = None  # (cost, capture_after, est_after, choices)
         snap0 = self._snapshot(clipped)
 
         def capture():
@@ -235,31 +241,53 @@ class IntraEncoder:
             w.split_cu_mode(P.CU_DONT_SPLIT, part)
             dist = self._rd_cu(a, part, est_ns)
             cost = dist + self.lam * ((est_ns.frac_bits - bits0) / 32768.0)
-            best = (cost, capture(), est_ns)
+            best = (cost, capture(), est_ns, {key: P.CU_DONT_SPLIT})
             self._restore(clipped, snap0)
-        if can_qt:
+
+        split_modes = []
+        if can_qt and (
+            not can_no or self._helper._signal_mode_cons(part, P.CU_QUAD_SPLIT) == 0
+        ):
+            split_modes.append(P.CU_QUAD_SPLIT)
+        # BT/TT only on fully-inside nodes (border nodes use implicit QT);
+        # avoid any split that would start a local dual tree (signalModeCons
+        # != inherit) — single-tree local dual trees not implemented in the
+        # encoder yet
+        if inside:
+            helper = self._helper
+            if can_bh and helper._signal_mode_cons(part, P.CU_HORZ_SPLIT) == 0:
+                split_modes.append(P.CU_HORZ_SPLIT)
+            if can_bv and helper._signal_mode_cons(part, P.CU_VERT_SPLIT) == 0:
+                split_modes.append(P.CU_VERT_SPLIT)
+            if can_th and helper._signal_mode_cons(part, P.CU_TRIH_SPLIT) == 0:
+                split_modes.append(P.CU_TRIH_SPLIT)
+            if can_tv and helper._signal_mode_cons(part, P.CU_TRIV_SPLIT) == 0:
+                split_modes.append(P.CU_TRIV_SPLIT)
+        for mode in split_modes:
             est_sp = est.copy()
             bits0 = est_sp.frac_bits
             w = SyntaxWriter(dcs, est_sp)
-            w.split_cu_mode(P.CU_QUAD_SPLIT, part)
-            split_cost = self.lam * ((est_sp.frac_bits - bits0) / 32768.0)
-            part.split_cur_area(P.CU_QUAD_SPLIT)
-            total = split_cost
+            w.split_cu_mode(mode, part)
+            total = self.lam * ((est_sp.frac_bits - bits0) / 32768.0)
+            choices = {key: mode}
+            part.split_cur_area(mode)
             while True:
                 sub = part.cur_area()
                 if sub.x < dcs.pic_w and sub.y < dcs.pic_h:
-                    total += self._rd_node(part, est_sp)
+                    c, sub_choices = self._rd_node(part, est_sp)
+                    total += c
+                    choices.update(sub_choices)
                 if not part.next_part():
                     break
             part.exit_cur_split()
             if best is None or total < best[0]:
-                best = (total, capture(), est_sp)
+                best = (total, capture(), est_sp, choices)
             self._restore(clipped, snap0)
-        cost, cap_after, est_after = best
+        cost, cap_after, est_after, choices = best
         self._restore_region(clipped, cap_after)
         est.ctx = est_after.ctx
         est.frac_bits = est_after.frac_bits
-        return cost
+        return cost, choices
 
     def _restore_from_capture(self, a: Rect, snap):
         """Apply a captured (post-branch) snapshot: list lengths grow back."""
@@ -412,7 +440,7 @@ class IntraEncoder:
             resi = src - pred
             coeffs = TX.fwd_transform_2d_np(resi.astype(np.int32), self.cfg.bit_depth)
             qp = self.recon._qp_for(tu, comp)
-            lev = Q.quant_fwd(coeffs, qp, self.cfg.bit_depth, is_irap=True)
+            lev = Q.quant_rdoq(coeffs, qp, self.cfg.bit_depth, self.lam)
             tu.coeffs[comp] = lev
             tu.cbf[comp] = int(np.any(lev))
             if tu.cbf[comp]:
@@ -452,19 +480,14 @@ class IntraEncoder:
 
     # ------------------------------------------------------------------
     def _replay_node(self, writer: SyntaxWriter, part: P.Partitioner):
-        """Write final bins for the chosen tree (walk cs CU layout)."""
+        """Write final bins for the chosen tree (from the RD choices map)."""
         dcs = self.dcs
         a = part.cur_area()
-        cu = dcs.get_cu(a.x, a.y, D.CH_L)
-        is_leaf = (
-            cu is not None and cu.blocks[0] is not None
-            and cu.blocks[0].x == a.x and cu.blocks[0].y == a.y
-            and cu.blocks[0].w == a.w and cu.blocks[0].h == a.h
-        )
-        split_mode = P.CU_DONT_SPLIT if is_leaf else P.CU_QUAD_SPLIT
+        key = (a.x, a.y, a.w, a.h, part.cur_depth)
+        split_mode = self._split_map[key]
         writer.split_cu_mode(split_mode, part)
         if split_mode != P.CU_DONT_SPLIT:
-            part.split_cur_area(P.CU_QUAD_SPLIT)
+            part.split_cur_area(split_mode)
             while True:
                 sub = part.cur_area()
                 if sub.x < dcs.pic_w and sub.y < dcs.pic_h:
@@ -473,4 +496,5 @@ class IntraEncoder:
                     break
             part.exit_cur_split()
             return
+        cu = dcs.get_cu(a.x, a.y, D.CH_L)
         writer.coding_unit(cu, part, CuCtx(self.cfg.qp))

@@ -174,3 +174,92 @@ def inv_transform_ict(mode: int, resi_cb: np.ndarray, resi_cr: np.ndarray):
     if mode == -3:
         return (-resi_cr) >> 1, resi_cr
     raise ValueError(mode)
+
+
+def quant_rdoq(
+    coeff: np.ndarray,
+    qp: tuple[int, int, int],
+    bit_depth: int,
+    lam: float,
+) -> np.ndarray:
+    """Rate-distortion-optimized quantization (QuantRDOQ.cpp behavioral
+    approximation): per-coefficient level choice among {0, l, l+1} with the
+    reference's errScale distortion weighting (xGetErrScaleCoeff:373) and a
+    context-free rate model, plus optimal last-significant-position
+    selection.  Purely encoder-side (non-normative)."""
+    h, w = coeff.shape
+    max_range = 15
+    lg = (floor_log2(w) + floor_log2(h)) >> 1
+    transform_shift = max_range - bit_depth - lg
+    needs_sqrt2 = ((floor_log2(w) + floor_log2(h)) & 1) == 1
+    tshift_q = transform_shift - (1 if needs_sqrt2 else 0)
+    _, qp_per, qp_rem = qp
+    qbits = QUANT_SHIFT + qp_per + tshift_q
+    scale = rom.quant_scale(qp_rem, needs_sqrt2)
+    # errScale: pixel-domain SSD per unit (a*scale - l<<qbits)^2
+    # (xGetErrScaleCoeff with the 2^SCALE_BITS bit-cost scaling folded out
+    # since our costs are (pixel SSD) + lam * bits)
+    d_trans_shift = transform_shift + (-0.5 if needs_sqrt2 else 0.0)
+    err_scale = (2.0 ** (-2.0 * d_trans_shift)) / (scale * scale)
+
+    c = coeff.astype(np.int64)
+    sign = np.where(c < 0, -1, 1)
+    mag = np.abs(c)
+    # candidate levels
+    l_low = (mag * scale) >> qbits
+    cand = [l_low, l_low + 1]
+
+    def rate(l):
+        # approximate bins: sig + sign + coded level bins
+        r = np.where(l == 0, 0.55, 2.0)
+        r = r + np.where(l == 1, 1.0, 0.0)
+        r = r + np.where((l >= 2) & (l <= 3), 3.0, 0.0)
+        big = l >= 4
+        rem = np.maximum(l - 4, 0)
+        r = r + np.where(big, 4.0 + (rem >> 1) + 2.0, 0.0)
+        return r
+
+    # distortion for level l: (mag*scale - l<<qbits)^2 scaled to pixel SSD
+    def dist(l):
+        e = (mag * scale - (l << qbits)).astype(np.float64)
+        return e * e * err_scale
+
+    best_l = np.zeros_like(l_low)
+    best_cost = dist(0) + lam * rate(np.zeros_like(l_low))
+    zero_cost = best_cost.copy()
+    for l in cand:
+        cst = dist(l) + lam * rate(l)
+        better = cst < best_cost
+        best_cost = np.where(better, cst, best_cost)
+        best_l = np.where(better, l, best_l)
+    # optimal last significant position along the scan
+    scan = rom.scan(0, w, h)  # (n, 3) idx,x,y
+    sx = scan[:, 1].astype(np.int64)
+    sy = scan[:, 2].astype(np.int64)
+    bl = best_l[sy, sx]
+    bc = best_cost[sy, sx]
+    zc = zero_cost[sy, sx]
+    nz = np.nonzero(bl)[0]
+    if len(nz) == 0:
+        return np.zeros_like(coeff, dtype=np.int32)
+    # cost of coding up to (and including) position p as chosen, rest zero
+    delta = bc - zc  # per-position gain of coding the chosen level
+    prefix = np.cumsum(delta)
+    best_p = None
+    best_total = 0.0  # relative to all-zero
+    for p in nz:
+        # total = sum(delta[0..p]) + approx last-position bits
+        total = float(prefix[p]) + lam * (
+            1.0 + int(sx[p]).bit_length() + int(sy[p]).bit_length()
+        )
+        if best_p is None or total < best_total:
+            best_p = p
+            best_total = total
+    if best_total >= 0.0 or best_p is None:
+        return np.zeros_like(coeff, dtype=np.int32)
+    out = np.zeros_like(coeff, dtype=np.int64)
+    keep = np.zeros(len(bl), dtype=bool)
+    keep[: best_p + 1] = True
+    out[sy[keep], sx[keep]] = bl[keep]
+    out = out * sign
+    return np.clip(out, -(1 << max_range), (1 << max_range) - 1).astype(np.int32)
