@@ -70,6 +70,24 @@ INTER_STREAMS = [
     "ra_full_small208_qp32",
 ]
 
+PARALLEL_STREAMS = [
+    "ai_wpp_small208_qp32",
+    "ld_wpp_small208_qp32",
+    "ai_tiles_bq416_qp32",
+]
+
+
+@pytest.mark.parametrize("name", PARALLEL_STREAMS)
+def test_bit_exact_decode_wpp_tiles(name):
+    path = os.path.join(TD, f"{name}.bit")
+    if not os.path.exists(path):
+        pytest.skip("golden streams not generated on this machine")
+    dec = Decoder()
+    dec.decode_stream(open(path, "rb").read())
+    assert dec.hash_results
+    for hr in dec.hash_results:
+        assert hr.ok, f"hash mismatch at POC {hr.poc}"
+
 
 @pytest.mark.parametrize("name", INTER_STREAMS)
 def test_bit_exact_decode_inter(name):

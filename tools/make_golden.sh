@@ -133,4 +133,19 @@ encb ldb_full_small208_qp32 small208_208x120_420_8.yuv 208 120 4 --QP=32
 encra ra_full_small208_qp32 small208_208x120_420_8.yuv 208 120 9 --QP=32 --TemporalFilter=0
 encra ra_full_bq416_qp37 bq416_416x240_420_8.yuv 416 240 9 --QP=37 --TemporalFilter=0
 
+
+
+# ---------------------------------------------------------------------------
+# Structural-parallelism streams: WPP, tiles, multiple slices
+enc ai_wpp_small208_qp32 small208_208x120_420_8.yuv 208 120 2 --QP=32 \
+  --ALF=0 --CCALF=0 --SAO=0 --LMCSEnable=0 --IBC=0 \
+  --WaveFrontSynchro=1 --EntryPointsPresent=1
+encp ld_wpp_small208_qp32 small208_208x120_420_8.yuv 208 120 3 --QP=32 \
+  $TOOLBASE $INTER_OFF --TMVPMode=1 \
+  --WaveFrontSynchro=1 --EntryPointsPresent=1
+enc ai_tiles_bq416_qp32 bq416_416x240_420_8.yuv 416 240 2 --QP=32 \
+  --ALF=0 --CCALF=0 --SAO=0 --LMCSEnable=0 --IBC=0 \
+  --TileColumnWidthArray=2 --TileRowHeightArray=1 --EntryPointsPresent=1
+encra ra_wpp_bq416_qp37 bq416_416x240_420_8.yuv 416 240 5 --QP=37 \
+  --TemporalFilter=0 --WaveFrontSynchro=1 --EntryPointsPresent=1
 echo done
