@@ -48,3 +48,20 @@ def test_roundtrip_tiny64_qp32():
 @pytest.mark.slow
 def test_roundtrip_small208_qp32():
     _roundtrip("small208_208x120_420_8", 208, 120, 32, 34.0)
+
+
+def test_roundtrip_inter_ldp_tiny64():
+    """InterEncoder: IDR + P frames, own-decoder hash verification."""
+    from vtm_tpu.encoder.enc_lib import InterEncoder
+
+    fmt = YuvFormat(64, 64, ChromaFormat.YUV420, 8)
+    frames = read_yuv(f"{TESTDATA}/tiny64_64x64_420_8.yuv", fmt, 3)
+    cfg = EncoderConfig(width=64, height=64, qp=32, max_mtt_depth_intra=0)
+    enc = InterEncoder(cfg)
+    bits = enc.encode(frames)
+    dec = Decoder()
+    pics = dec.decode_stream(bits)
+    assert len(pics) == len(frames)
+    assert len(dec.hash_results) == len(frames)
+    for hr in dec.hash_results:
+        assert hr.ok, f"decoded-picture-hash mismatch at POC {hr.poc}"

@@ -100,11 +100,74 @@ class SyntaxWriter:
 
     # ------------------------------------------------------------------
     def coding_unit(self, cu: CU, part: P.Partitioner, cu_ctx: CuCtx):
-        # v1: I-slice, no IBC/PLT → no skip/pred_mode/bdpcm/mip/mrl/isp bins
+        sh = self.cs.sh
+        from vtm_tpu.common.types import SliceType
+
+        is_inter_slice = sh.slice_type != SliceType.I
+        if is_inter_slice and cu.blocks[0] is not None:
+            # cu_skip_flag (CABACWriter mirror of reader; no IBC)
+            if not (cu.lwidth == 4 and cu.lheight == 4):
+                c = self.helper._ctx_skip_flag(cu)
+                self.e.encode_bin(int(cu.skip), ctx("SkipFlag", c))
+        if cu.skip:
+            self.prediction_unit(cu)
+            return
+        if is_inter_slice and not (cu.lwidth == 4 and cu.lheight == 4):
+            c = self.helper._ctx_pred_mode(cu)
+            self.e.encode_bin(int(cu.pred_mode == MODE_INTRA), ctx("PredMode", c))
+        if cu.pred_mode != MODE_INTRA:
+            self.prediction_unit(cu)
+            if not cu.merge_flag:
+                self.e.encode_bin(int(cu.root_cbf), ctx("QtRootCbf"))
+            if cu.root_cbf:
+                for tu in cu.tus:
+                    self.transform_unit(tu, cu_ctx, part)
+            return
         self.intra_luma_pred_mode(cu)
         self.intra_chroma_pred_mode(cu)
         for tu in cu.tus:
             self.transform_unit(tu, cu_ctx, part)
+
+    # -- inter prediction data (tools-off SPS: regular merge + AMVP only) --
+
+    def prediction_unit(self, cu: CU):
+        if not cu.skip:
+            self.e.encode_bin(int(cu.merge_flag), ctx("MergeFlag"))
+        if cu.merge_flag:
+            # merge_data: no subblock (affine cand 0), no mmvd/geo/ciip bins
+            self.merge_idx(cu)
+            return
+        # P slice: interdir inferred 1; 1 active ref → no ref_idx bins
+        self.mvd_coding(cu.mvd[0])
+        self.e.encode_bin(cu.mvp_idx[0], ctx("MVPIdx"))
+
+    def merge_idx(self, cu: CU):
+        n_minus1 = self.sps.max_num_merge_cand - 1
+        idx = cu.merge_idx
+        if n_minus1 > 0:
+            self.e.encode_bin(int(idx > 0), ctx("MergeIdx"))
+            if idx > 0:
+                for k in range(1, min(idx, n_minus1 - 1) + 1):
+                    if k < n_minus1:
+                        self.e.encode_bin_ep(int(idx > k))
+
+    def mvd_coding(self, mvd):
+        hor, ver = mvd
+        h_abs, v_abs = abs(hor), abs(ver)
+        self.e.encode_bin(int(h_abs > 0), ctx("Mvd"))
+        self.e.encode_bin(int(v_abs > 0), ctx("Mvd"))
+        if h_abs:
+            self.e.encode_bin(int(h_abs > 1), ctx("Mvd", 1))
+        if v_abs:
+            self.e.encode_bin(int(v_abs > 1), ctx("Mvd", 1))
+        if h_abs:
+            if h_abs > 1:
+                self.e.encode_rem_abs_ep(h_abs - 2, 1, 0, 17)
+            self.e.encode_bin_ep(int(hor < 0))
+        if v_abs:
+            if v_abs > 1:
+                self.e.encode_rem_abs_ep(v_abs - 2, 1, 0, 17)
+            self.e.encode_bin_ep(int(ver < 0))
 
     def intra_luma_pred_mode(self, cu: CU):
         if cu.blocks[0] is None:
@@ -167,7 +230,11 @@ class SyntaxWriter:
             self.e.encode_bin(tu.cbf[1], self._cbf_ctx(1, False, cu))
             self.e.encode_bin(tu.cbf[2], self._cbf_ctx(2, bool(tu.cbf[1]), cu))
         if part.ch_type == CH_L and tu.blocks[0] is not None:
-            self.e.encode_bin(tu.cbf[0], self._cbf_ctx(0, False, cu))
+            sig_chroma = bool(tu.cbf[1] or tu.cbf[2]) if has_chroma else False
+            if cu.pred_mode != MODE_INTRA and tu.depth == 0 and not sig_chroma:
+                assert tu.cbf[0], "inter root TU luma cbf inferred 1"
+            else:
+                self.e.encode_bin(tu.cbf[0], self._cbf_ctx(0, False, cu))
         if tu.cbf[0]:
             self.residual_coding(tu, 0)
         if has_chroma:

@@ -73,6 +73,7 @@ class IntraEncoder:
         pps_rbsp = nalio.parse_nal(nalio.split_annexb(self.pps_nal)[0]).rbsp
         self.sps = vlc.parse_sps(sps_rbsp)
         self.pps = vlc.parse_pps(pps_rbsp)
+        self.frame_qp = cfg.qp
         self.lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
 
     # ------------------------------------------------------------------
@@ -97,9 +98,11 @@ class IntraEncoder:
         ph.max_mtt_depth = list(sps.max_mtt_depth)
         ph.max_bt_size = list(sps.max_bt_size)
         ph.max_tt_size = list(sps.max_tt_size)
+        self.frame_qp = cfg.qp
+        self.lam = 0.57 * 2.0 ** ((self.frame_qp - 12) / 3.0)
         sh = SliceHeader()
         sh.slice_type = SliceType.I
-        sh.qp = cfg.qp
+        sh.qp = self.frame_qp
         n_ctu = pps.pic_width_in_ctu(sps.ctu_size) * pps.pic_height_in_ctu(sps.ctu_size)
         dcs = D.DecCodingStructure(sps, pps, ph, sh, np.zeros(n_ctu, dtype=np.int32))
         dcs._slice_headers = [sh]
@@ -113,7 +116,7 @@ class IntraEncoder:
         self.recon = CuReconstructor(dcs, planes)
         # CABAC state
         ctx = ContextModels()
-        ctx.init(cfg.qp, int(SliceType.I))
+        ctx.init(self.frame_qp, int(SliceType.I))
         slice_bw = BitWriter()
         enc = BinEncoder(slice_bw, ctx)
         enc.start()
@@ -146,7 +149,7 @@ class IntraEncoder:
         enc.finish()
         slice_bw.write_byte_alignment()
         # slice NAL = header + slice data
-        hdr = W.write_slice_header_head(cfg, poc, cfg.qp)
+        hdr = W.write_slice_header_head(cfg, poc, self.frame_qp)
         rbsp = bytes(hdr.bytes) + slice_bw.data()
         nal = make_nal(nalio.NAL_IDR_N_LP, rbsp)
         # in-loop filters on reconstruction (DecLib::executeLoopFilters order);
@@ -188,7 +191,26 @@ class IntraEncoder:
             snap["plane1"] = r.planes[1][ca.y : ca.y1, ca.x : ca.x1].copy()
             snap["plane2"] = r.planes[2][ca.y : ca.y1, ca.x : ca.x1].copy()
             snap["dec_c"] = r.decomp_c[ca.y >> 1 : ca.y1 >> 1, ca.x >> 1 : ca.x1 >> 1].copy()
+        if hasattr(dcs, "mf_inter"):
+            s4 = slice(a.y >> 2, a.y1 >> 2), slice(a.x >> 2, a.x1 >> 2)
+            snap["mf"] = (
+                dcs.mf_inter[s4].copy(), dcs.mf_interdir[s4].copy(),
+                dcs.mf_mv[s4].copy(), dcs.mf_refidx[s4].copy(),
+                dcs.mf_slice[s4].copy(), dcs.mf_alt_hpel[s4].copy(),
+                dcs.mf_bcw[s4].copy(),
+            )
+            snap["lut"] = list(dcs.motion_lut)
         return snap
+
+    def _restore_motion(self, a: Rect, snap):
+        dcs = self.dcs
+        if "mf" not in snap:
+            return
+        s4 = slice(a.y >> 2, a.y1 >> 2), slice(a.x >> 2, a.x1 >> 2)
+        (dcs.mf_inter[s4], dcs.mf_interdir[s4], dcs.mf_mv[s4],
+         dcs.mf_refidx[s4], dcs.mf_slice[s4], dcs.mf_alt_hpel[s4],
+         dcs.mf_bcw[s4]) = snap["mf"]
+        dcs.motion_lut[:] = snap["lut"]
 
     def _restore(self, a: Rect, snap):
         dcs = self.dcs
@@ -208,6 +230,7 @@ class IntraEncoder:
             r.planes[1][ca.y : ca.y1, ca.x : ca.x1] = snap["plane1"]
             r.planes[2][ca.y : ca.y1, ca.x : ca.x1] = snap["plane2"]
             r.decomp_c[ca.y >> 1 : ca.y1 >> 1, ca.x >> 1 : ca.x1 >> 1] = snap["dec_c"]
+        self._restore_motion(a, snap)
 
     # ------------------------------------------------------------------
     def _rd_node(self, part: P.Partitioner, est: BitEstimator):
@@ -314,6 +337,7 @@ class IntraEncoder:
             r.planes[1][ca.y : ca.y1, ca.x : ca.x1] = snap["plane1"]
             r.planes[2][ca.y : ca.y1, ca.x : ca.x1] = snap["plane2"]
             r.decomp_c[ca.y >> 1 : ca.y1 >> 1, ca.x >> 1 : ca.x1 >> 1] = snap["dec_c"]
+        self._restore_motion(a, snap)
         if "cus_tail" in snap:
             del dcs.cus[snap["n_cus"]:]
             dcs.cus.extend(snap["cus_tail"])
@@ -407,7 +431,7 @@ class IntraEncoder:
         blocks = [Rect(a.x, a.y, a.w, a.h), ca, Rect(ca.x, ca.y, ca.w, ca.h)]
         cu = CU(ch_type=D.CH_L, tree_type=D.TREE_D, mode_type=D.MODE_TYPE_ALL,
                 blocks=blocks, chroma_format=fmt)
-        cu.qp = self.cfg.qp
+        cu.qp = self.frame_qp
         return cu
 
     def _encode_cu_with_mode(self, a: Rect, part: P.Partitioner, mode: int,
@@ -457,7 +481,7 @@ class IntraEncoder:
             dist += w * float(np.sum((src - recon.astype(np.int64)) ** 2))
         # bits
         writer = SyntaxWriter(dcs, est)
-        writer.coding_unit(cu, part, CuCtx(self.cfg.qp))
+        writer.coding_unit(cu, part, CuCtx(self.frame_qp))
         return dist
 
     def _predict_chroma(self, cu: CU, tu: TU, comp: int) -> np.ndarray:
@@ -497,4 +521,371 @@ class IntraEncoder:
             part.exit_cur_split()
             return
         cu = dcs.get_cu(a.x, a.y, D.CH_L)
-        writer.coding_unit(cu, part, CuCtx(self.cfg.qp))
+        writer.coding_unit(cu, part, CuCtx(self.frame_qp))
+
+
+class InterEncoder(IntraEncoder):
+    """Low-delay-P encoder (SURVEY §7 phase 5 minimum): first frame IDR,
+    then P frames referencing the previous picture.  Per-CU modes: skip /
+    merge (full candidate list), AMVP with diamond integer ME + quarter-pel
+    refinement (InterSearch.cpp xTZSearch/xPatternSearchFracDIF behavioral
+    shape), and the intra toolset as fallback.  Tools-off SPS (no TMVP /
+    MMVD / affine) so decode-side derivation needs only spatial + HMVP
+    candidates."""
+
+    def __init__(self, cfg: EncoderConfig):
+        cfg.inter = True
+        super().__init__(cfg)
+        self.prev_pic = None
+        self.me_range = 48
+
+    def encode(self, frames):
+        out = bytearray()
+        out += self.sps_nal
+        out += self.pps_nal
+        for poc, planes in enumerate(frames):
+            out += self.encode_frame(planes, poc, is_p=poc > 0)
+        return bytes(out)
+
+    def encode_frame(self, src_planes, poc: int, is_p: bool = False) -> bytes:
+        if not is_p:
+            nal = super().encode_frame(src_planes, poc)
+            self._store_ref(poc)
+            return nal
+        cfg = self.cfg
+        sps, pps = self.sps, self.pps
+        from types import SimpleNamespace
+
+        from vtm_tpu.common.params import PicHeader, SliceHeader
+        from vtm_tpu.decoder import motion as M
+        from vtm_tpu.decoder.cabac_reader import SyntaxReader
+
+        vlc.derive_pps_partitioning(pps, sps)
+        ph = PicHeader()
+        ph.inter_slice_allowed = True
+        ph.intra_slice_allowed = False
+        ph.mvd_l1_zero = True
+        ph.tmvp_enabled = False
+        ph.max_num_affine_merge_cand = 0
+        ph.min_qt_size = list(sps.min_qt_size)
+        ph.max_mtt_depth = list(sps.max_mtt_depth)
+        ph.max_bt_size = list(sps.max_bt_size)
+        ph.max_tt_size = list(sps.max_tt_size)
+        self.frame_qp = cfg.qp + getattr(cfg, "p_qp_offset", 5)
+        self.lam = 0.578 * 2.0 ** ((self.frame_qp - 12) / 3.0)
+        sh = SliceHeader()
+        sh.slice_type = SliceType.P
+        sh.qp = self.frame_qp
+        sh.poc = poc
+        sh.num_ref_idx = [1, 0]
+        sh.ref_pics = [[self.prev_pic], []]
+        sh.ref_pocs = [[self.prev_pic.poc], []]
+        sh.ref_longterm = [[False], []]
+        sh.check_ldc = True
+        sh.independent_slice_idx = 0
+        n_ctu = pps.pic_width_in_ctu(sps.ctu_size) * pps.pic_height_in_ctu(sps.ctu_size)
+        dcs = D.DecCodingStructure(sps, pps, ph, sh, np.zeros(n_ctu, dtype=np.int32))
+        dcs._slice_headers = [sh]
+        dcs.lmcs_model = None
+        dcs.cur_ind_slice_idx = 0
+        M.init_motion_field(dcs)
+        self.dcs = dcs
+        self._helper = SyntaxReader(dcs, None)
+        self.src = src_planes
+        planes = [np.zeros_like(p) for p in src_planes]
+        self.recon = CuReconstructor(dcs, planes)
+        ctx_m = ContextModels()
+        ctx_m.init(self.frame_qp, int(SliceType.P))
+        slice_bw = BitWriter()
+        enc = BinEncoder(slice_bw, ctx_m)
+        enc.start()
+        import os
+        tr_path = os.environ.get("VTM_TPU_ENC_TRACE")
+        if tr_path:
+            if not hasattr(self, "_trace_f"):
+                self._trace_f = open(tr_path, "w")
+            enc.trace = self._trace_f
+        w_ctu = dcs.pic_w_ctu
+        h_ctu = dcs.pic_h_ctu
+        for cy in range(h_ctu):
+            for cx in range(w_ctu):
+                if cx == 0:
+                    dcs.motion_lut.clear()  # HMVP reset per CTU row
+                ctu_rect = Rect(cx * cfg.ctu_size, cy * cfg.ctu_size,
+                                cfg.ctu_size, cfg.ctu_size)
+                est = BitEstimator(ctx_m.copy())
+                part = P.Partitioner(dcs)
+                part.init_ctu(ctu_rect, D.CH_L)
+                _, self._split_map = self._rd_node(part, est)
+                writer = SyntaxWriter(dcs, enc)
+                wpart = P.Partitioner(dcs)
+                wpart.init_ctu(ctu_rect, D.CH_L)
+                self._replay_node(writer, wpart)
+                if cy == h_ctu - 1 and cx == w_ctu - 1:
+                    enc.encode_bin_trm(1)
+        enc.finish()
+        slice_bw.write_byte_alignment()
+        hdr = W.write_slice_header_head(cfg, poc, self.frame_qp, slice_type_p=True,
+                                        ref_delta=poc - self.prev_pic.poc)
+        rbsp = bytes(hdr.bytes) + slice_bw.data()
+        nal = make_nal(nalio.NAL_TRAIL, rbsp)
+        from vtm_tpu.ops import deblock as DB
+
+        shim = SimpleNamespace(planes=planes)
+        if not sh.deblocking_disable:
+            DB.deblock_picture(dcs, shim)
+        digest = pic_hash.pic_md5(planes, [cfg.bit_depth] * len(planes))
+        sei = W.write_hash_sei(digest)
+        self.last_recon = planes
+        self._store_ref(poc)
+        return nal + sei
+
+    def _store_ref(self, poc: int):
+        from types import SimpleNamespace
+
+        self.prev_pic = SimpleNamespace(
+            poc=poc, planes=self.last_recon, slices=[self.dcs.sh]
+        )
+
+    # ------------------------------------------------------------------
+    def _rd_cu(self, a: Rect, part: P.Partitioner, est: BitEstimator) -> float:
+        if self.dcs.sh.slice_type == SliceType.I:
+            return super()._rd_cu(a, part, est)
+        from vtm_tpu.decoder import motion as M
+
+        dcs = self.dcs
+        snap0 = self._snapshot(a)
+        best = None  # (cost, dist, cap, est_after)
+
+        def consider(trial):
+            nonlocal best
+            est_c = est.copy()
+            bits0 = est_c.frac_bits
+            res = trial(est_c)
+            if res is None:
+                self._restore(a, snap0)
+                return
+            dist = res
+            cost = dist + self.lam * ((est_c.frac_bits - bits0) / 32768.0)
+            if best is None or cost < best[0]:
+                cap = self._snapshot(a)
+                cap["n_cus"] = snap0["n_cus"]
+                cap["n_tus"] = snap0["n_tus"]
+                cap["cus_tail"] = dcs.cus[snap0["n_cus"]:]
+                cap["tus_tail"] = dcs.tus[snap0["n_tus"]:]
+                best = (cost, dist, cap, est_c)
+            self._restore(a, snap0)
+
+        # merge candidates (derive once on a probe CU)
+        probe = self._make_inter_cu(a, part)
+        probe.idx = len(dcs.cus)
+        mrg = M.get_inter_merge_candidates(dcs, probe, -1)
+        seen = set()
+        merge_list = []
+        for i in range(mrg.num_valid):
+            sig = (mrg.interdir[i], tuple(mrg.mv[i][0]), mrg.ref_idx[i][0])
+            if sig in seen:
+                continue
+            seen.add(sig)
+            merge_list.append(i)
+        for idx in merge_list[:4]:
+            consider(lambda e, idx=idx: self._try_merge(a, part, idx, True, e))
+            consider(lambda e, idx=idx: self._try_merge(a, part, idx, False, e))
+        # AMVP with motion estimation
+        mv, mvp_idx = self._motion_estimate(a, part)
+        consider(lambda e: self._try_amvp(a, part, mv, mvp_idx, e))
+        # intra fallback (top preselected modes)
+        if a.x1 <= dcs.pic_w and a.y1 <= dcs.pic_h:
+            src_y = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
+            for mode in self._preselect_modes(a, src_y)[:2]:
+                consider(lambda e, m=mode: self._encode_cu_with_mode(a, part, m, e))
+        cost, dist, cap, est_c = best
+        self._restore_region(a, cap)
+        est.ctx = est_c.ctx
+        est.frac_bits = est_c.frac_bits
+        return dist
+
+    def _make_inter_cu(self, a: Rect, part: P.Partitioner) -> CU:
+        fmt = self.dcs.chroma_format
+        ca = Rect(a.x >> fmt.scale_x, a.y >> fmt.scale_y,
+                  a.w >> fmt.scale_x, a.h >> fmt.scale_y)
+        cu = CU(ch_type=D.CH_L, tree_type=D.TREE_D, mode_type=D.MODE_TYPE_ALL,
+                blocks=[Rect(a.x, a.y, a.w, a.h), ca, Rect(ca.x, ca.y, ca.w, ca.h)],
+                chroma_format=fmt)
+        cu.pred_mode = D.MODE_INTER
+        cu.qp = self.frame_qp
+        return cu
+
+    # -- trials ---------------------------------------------------------
+    def _commit_inter(self, cu, a, part, est, skip: bool):
+        """Common commit: derive span/HMVP, MC, residual, recon, bits."""
+        from vtm_tpu.decoder import inter_cu as IC
+        from vtm_tpu.decoder import motion as M
+
+        dcs = self.dcs
+        cu.qt_depth = part.cur_qt_depth
+        cu.depth = part.cur_depth
+        cu.split_series = tuple(lvl.split for lvl in part.stack[1:])
+        dcs.add_cu(cu)
+        M.span_motion_info(dcs, cu)
+        M.save_motion_hmvp(dcs, cu)
+        preds = IC.motion_compensation(self.recon, dcs, cu)
+        fmt = dcs.chroma_format
+        tu = TU(blocks=[Rect(b.x, b.y, b.w, b.h) if b else None for b in cu.blocks],
+                cu=cu, depth=0)
+        cu.tus.append(tu)
+        dcs.add_tu(tu)
+        maxv = (1 << self.cfg.bit_depth) - 1
+        dist = 0.0
+        cbfs = []
+        for comp in range(fmt.num_components):
+            b = tu.blocks[comp]
+            src = self.src[comp][b.y : b.y1, b.x : b.x1].astype(np.int64)
+            pred = preds[comp]
+            if skip:
+                lev = np.zeros((b.h, b.w), dtype=np.int32)
+            else:
+                resi = src - pred
+                coeffs = TX.fwd_transform_2d_np(resi.astype(np.int32), self.cfg.bit_depth)
+                qp = self.recon._qp_for(tu, comp)
+                lev = Q.quant_rdoq(coeffs, qp, self.cfg.bit_depth, self.lam)
+            tu.coeffs[comp] = lev
+            tu.cbf[comp] = int(np.any(lev))
+            cbfs.append(tu.cbf[comp])
+            if tu.cbf[comp]:
+                rec_resi = self.recon.inv_transform(tu, comp)
+            else:
+                rec_resi = np.zeros_like(src)
+            recon = np.clip(pred + rec_resi, 0, maxv).astype(np.int32)
+            self.recon.planes[comp][b.y : b.y1, b.x : b.x1] = recon
+            self.recon.set_decomp(comp, b)
+            if comp == 0:
+                dcs.qp_map_l[b.y >> 2 : b.y1 >> 2, b.x >> 2 : b.x1 >> 2] = cu.qp
+            dist += float(np.sum((src - recon.astype(np.int64)) ** 2))
+        cu.root_cbf = any(cbfs)
+        writer = SyntaxWriter(dcs, est)
+        writer.coding_unit(cu, part, CuCtx(self.frame_qp))
+        return dist
+
+    def _try_merge(self, a, part, idx: int, skip: bool, est):
+        from vtm_tpu.decoder import motion as M
+
+        dcs = self.dcs
+        cu = self._make_inter_cu(a, part)
+        cu.idx = len(dcs.cus)
+        cu.merge_flag = True
+        cu.skip = skip
+        mrg = M.get_inter_merge_candidates(dcs, cu, idx)
+        M.set_merge_info(dcs, cu, mrg, idx)
+        if not skip:
+            # coded merge: rootCbf inferred 1 → invalid if residual all-zero
+            dist = self._commit_inter(cu, a, part, est, skip=False)
+            if not cu.root_cbf or (
+                not (cu.tus[0].cbf[1] or cu.tus[0].cbf[2]) and not cu.tus[0].cbf[0]
+            ):
+                return None
+            if not cu.tus[0].cbf[0] and not (cu.tus[0].cbf[1] or cu.tus[0].cbf[2]):
+                return None
+            if not cu.root_cbf:
+                return None
+            return dist
+        cu.root_cbf = False
+        return self._commit_inter(cu, a, part, est, skip=True)
+
+    def _try_amvp(self, a, part, mv, mvp_idx, est):
+        from vtm_tpu.decoder import motion as M
+
+        dcs = self.dcs
+        cu = self._make_inter_cu(a, part)
+        cu.idx = len(dcs.cus)
+        cu.merge_flag = False
+        cu.skip = False
+        cu.interdir = 1
+        cu.ref_idx = [0, -1]
+        cands = M.fill_mvp_cand(dcs, cu, 0, 0)
+        mvp = cands[mvp_idx]
+        cu.mvp_idx = [mvp_idx, 0]
+        cu.mvd = [((mv[0] - mvp[0]) >> 2, (mv[1] - mvp[1]) >> 2), (0, 0)]
+        # reconstruct the decoder's view: mv = mvp + (mvd << 2)
+        mvd_int = (cu.mvd[0][0] << 2, cu.mvd[0][1] << 2)
+        cu.mv = [M.mv_clip_periodic((mvp[0] + mvd_int[0], mvp[1] + mvd_int[1])),
+                 (0, 0)]
+        return self._commit_inter(cu, a, part, est, skip=False)
+
+    # -- motion estimation ---------------------------------------------
+    def _motion_estimate(self, a: Rect, part):
+        """Diamond integer search + quarter-pel refinement on luma SAD."""
+        from vtm_tpu.decoder import motion as M
+
+        dcs = self.dcs
+        ref = self.prev_pic.planes[0]
+        src = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
+        probe = self._make_inter_cu(a, part)
+        probe.idx = len(dcs.cus)
+        probe.interdir = 1
+        probe.ref_idx = [0, -1]
+        cands = M.fill_mvp_cand(dcs, probe, 0, 0)
+        lam_me = np.sqrt(self.lam)
+
+        ph_, pw_ = ref.shape
+
+        def sad_int(ix, iy):
+            ys = np.clip(np.arange(a.y + iy, a.y + iy + a.h), 0, ph_ - 1)
+            xs = np.clip(np.arange(a.x + ix, a.x + ix + a.w), 0, pw_ - 1)
+            return float(np.abs(src - ref[np.ix_(ys, xs)]).sum())
+
+        def mvd_cost(ix, iy, mvp):
+            dx = abs((ix << 4) - mvp[0]) >> 2
+            dy = abs((iy << 4) - mvp[1]) >> 2
+            return lam_me * (dx.bit_length() * 2 + dy.bit_length() * 2 + 2)
+
+        best = None
+        for mvp_idx, mvp in enumerate(cands[:2]):
+            sx = int(round(mvp[0] / 16.0))
+            sy = int(round(mvp[1] / 16.0))
+            c = sad_int(sx, sy) + mvd_cost(sx, sy, mvp)
+            if best is None or c < best[0]:
+                best = (c, sx, sy, mvp_idx)
+        # diamond refinement
+        step = 16
+        _, bx, by, bi = best
+        bcost = best[0]
+        mvp = cands[bi]
+        while step >= 1:
+            improved = False
+            for dx, dy in ((step, 0), (-step, 0), (0, step), (0, -step)):
+                nx, ny = bx + dx, by + dy
+                if abs(nx) > self.me_range or abs(ny) > self.me_range:
+                    continue
+                c = sad_int(nx, ny) + mvd_cost(nx, ny, mvp)
+                if c < bcost:
+                    bcost, bx, by = c, nx, ny
+                    improved = True
+            if not improved:
+                step >>= 1
+        # quarter-pel refinement around the best integer position
+        from vtm_tpu.ops import mc as MC
+
+        best_q = (bx << 4, by << 4)
+        bqcost = bcost
+        for qstep in (8, 4):
+            improved = True
+            while improved:
+                improved = False
+                for dx, dy in ((qstep, 0), (-qstep, 0), (0, qstep), (0, -qstep)):
+                    mvq = (best_q[0] + dx, best_q[1] + dy)
+                    if mvq[0] & 3 or mvq[1] & 3:
+                        continue  # quarter-pel signalling granularity
+                    fx, fy = mvq[0] & 15, mvq[1] & 15
+                    pred = MC.mc_block(ref, a.x + (mvq[0] >> 4), a.y + (mvq[1] >> 4),
+                                       a.w, a.h, fx, fy, True,
+                                       self.cfg.bit_depth, rnd_res=True)
+                    c = float(np.abs(src - pred).sum()) + lam_me * (
+                        (abs(mvq[0] - mvp[0]) >> 2).bit_length() * 2
+                        + (abs(mvq[1] - mvp[1]) >> 2).bit_length() * 2 + 2
+                    )
+                    if c < bqcost:
+                        bqcost = c
+                        best_q = mvq
+                        improved = True
+        return best_q, bi

@@ -61,7 +61,7 @@ def write_sps(cfg) -> bytes:
     w.u(0, 2)  # num_extra_ph_bits_bytes
     w.u(0, 2)  # num_extra_sh_bits_bytes
     # dpb (ptl present, single sublayer)
-    w.ue(0)  # max_dec_pic_buffering_minus1
+    w.ue(3 if getattr(cfg, "inter", False) else 0)  # max_dec_pic_buffering_minus1
     w.ue(0)  # max_num_reorder_pics
     w.ue(0)  # max_latency_increase_plus1
     w.flag(0)  # qtbtt_dual_tree_intra (chroma 420 present)
@@ -164,26 +164,46 @@ def write_pps(cfg) -> bytes:
     return make_nal(nalio.NAL_PPS, w.data())
 
 
-def write_picture_header(w: BitWriter, cfg, poc: int):
-    """PH embedded in slice header (gdr_or_irap IDR path)."""
-    w.flag(1)  # gdr_or_irap
-    w.flag(0)  # gdr_pic
-    w.flag(0)  # ph_inter_slice_allowed
+def write_picture_header(w: BitWriter, cfg, poc: int, is_irap: bool = True):
+    """PH embedded in slice header (mirrors vlc.parse_picture_header)."""
+    w.flag(1 if is_irap else 0)  # gdr_or_irap
+    if is_irap:
+        w.flag(0)  # gdr_pic
+    w.flag(0 if is_irap else 1)  # ph_inter_slice_allowed
+    if not is_irap:
+        w.flag(0)  # ph_intra_slice_allowed (pure P picture)
     w.flag(0)  # non_reference_picture
     w.ue(0)  # pps id
     w.u(poc & 0xFF, 8)  # poc lsb
-    w.flag(0)  # no_output_of_prior_pics
-    # nothing else for our SPS/PPS feature set (no alf/lmcs/scaling/dqp/sao
-    # in PH, no partition override, no deblocking control)
+    if is_irap:
+        w.flag(0)  # no_output_of_prior_pics
+    if not is_irap:
+        # inter-slice PH fields for our SPS (no tmvp/affine/mmvd/bdof/dmvr)
+        w.flag(1)  # mvd_l1_zero (L1 unused in P)
+    # nothing else for our SPS/PPS feature set
 
 
-def write_slice_header_head(cfg, poc: int, qp: int) -> BitWriter:
+def _write_rpl_one_past_ref(w: BitWriter, delta: int):
+    """ref_pic_list_struct with a single short-term ref `delta` pics back."""
+    w.ue(1)  # num_ref_entries
+    # no long-term flag (sps_long_term_ref_pics off)
+    w.ue(delta - 1)  # abs_delta_poc_st (+1 implied for entry 0)
+    w.flag(1)  # strp_entry_sign_flag: positive identifier → past ref
+
+
+def write_slice_header_head(cfg, poc: int, qp: int, slice_type_p: bool = False,
+                            ref_delta: int = 1) -> BitWriter:
     """Slice header up to (and including) byte alignment before slice data."""
     w = BitWriter()
     w.flag(1)  # picture_header_in_slice_header
-    write_picture_header(w, cfg, poc)
+    write_picture_header(w, cfg, poc, is_irap=not slice_type_p)
     # no subpics, rect slice single → no address; no extra bits
-    # inter_slice_allowed=0 → slice_type inferred I
+    if slice_type_p:
+        w.ue(1)  # sh_slice_type: P
+        # explicit RPLs (no SPS candidate lists): L0 then L1
+        _write_rpl_one_past_ref(w, ref_delta)
+        _write_rpl_one_past_ref(w, ref_delta)
+        # num_ref_idx_active_override: only when rpl0 entries > 1 → absent
     w.se(qp - cfg.init_qp)  # slice_qp_delta
     # no sao, no deblocking override, no dep quant / sdh / ts flags
     # no entry points (entry_point_offsets_present=0)
