@@ -99,3 +99,45 @@ def test_bit_exact_decode_inter(name):
     assert dec.hash_results
     for hr in dec.hash_results:
         assert hr.ok, f"hash mismatch at POC {hr.poc}"
+
+
+SCREEN_CONTENT_STREAMS = [
+    "sc_ibc_ai_qp27",
+    "sc_ibc_full_ai_qp32",
+    "sc_plt_ai_qp27",
+    "sc_ibcplt_ai_qp32",
+    "sc_ibc_ldb_qp32",
+]
+
+
+@pytest.mark.parametrize("name", SCREEN_CONTENT_STREAMS)
+def test_bit_exact_decode_screen_content(name):
+    """IBC (virtual buffer block copy) + palette mode streams."""
+    path = os.path.join(TD, f"{name}.bit")
+    if not os.path.exists(path):
+        pytest.skip("golden streams not generated on this machine")
+    dec = Decoder()
+    dec.decode_stream(open(path, "rb").read())
+    assert dec.hash_results
+    for hr in dec.hash_results:
+        assert hr.ok, f"hash mismatch at POC {hr.poc}"
+
+
+TENBIT_STREAMS = [
+    "ai10_small208_qp32",
+    "ai10src_small208_qp27",
+    "ra10_small208_qp32",
+    "ai_sclist_small208_qp32",
+]
+
+
+@pytest.mark.parametrize("name", TENBIT_STREAMS)
+def test_bit_exact_decode_10bit_and_scaling_lists(name):
+    path = os.path.join(TD, f"{name}.bit")
+    if not os.path.exists(path):
+        pytest.skip("golden streams not generated on this machine")
+    dec = Decoder()
+    dec.decode_stream(open(path, "rb").read())
+    assert dec.hash_results
+    for hr in dec.hash_results:
+        assert hr.ok, f"hash mismatch at POC {hr.poc}"

@@ -44,6 +44,40 @@ def synth_clip(w: int, h: int, frames: int, seed: int = 7, bit_depth: int = 8):
     return out
 
 
+def screen_clip(w: int, h: int, frames: int, seed: int = 3):
+    """Screen-content-like clip: flat background, sharp text-like glyph
+    rows that repeat (IBC bait), and a small color palette (PLT bait)."""
+    rng = np.random.default_rng(seed)
+    palette_y = np.array([16, 235, 81, 145, 210])
+    palette_u = np.array([128, 128, 90, 54, 160])
+    palette_v = np.array([128, 128, 240, 34, 110])
+    # glyph atlas: 8x8 random-bit glyphs, reused across the frame
+    glyphs = rng.integers(0, 2, size=(12, 8, 8))
+    y = np.zeros((h, w), dtype=np.int64)
+    idx = np.zeros((h, w), dtype=np.int64)
+    # text rows every 16 pixels
+    for row in range(0, h - 8, 16):
+        for col in range(0, w - 8, 8):
+            g = glyphs[(col // 8 + row // 16) % 7]
+            idx[row : row + 8, col : col + 8] = g * ((row // 16) % 3 + 1)
+    # a window with a different fill
+    idx[h // 2 :, w // 3 : 2 * w // 3] = np.where(
+        idx[h // 2 :, w // 3 : 2 * w // 3] > 0, 4, 3
+    )
+    out = []
+    for t in range(frames):
+        sh = (idx + 0).copy()
+        # scroll the bottom window by 2 px/frame vertically (inter motion)
+        win = np.roll(idx[h // 2 :, w // 3 : 2 * w // 3], 2 * t, axis=0)
+        sh[h // 2 :, w // 3 : 2 * w // 3] = win
+        yv = palette_y[sh]
+        ch, cw = h // 2, w // 2
+        uv = palette_u[sh[::2, ::2]]
+        vv = palette_v[sh[::2, ::2]]
+        out.append([yv.astype(np.int32), uv[:ch, :cw].astype(np.int32), vv[:ch, :cw].astype(np.int32)])
+    return out
+
+
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "testdata"
     os.makedirs(outdir, exist_ok=True)
@@ -53,6 +87,18 @@ def main():
         path = os.path.join(outdir, f"{name}_{w}x{h}_420_8.yuv")
         write_yuv(path, clip, fmt)
         print(path, os.path.getsize(path))
+    # screen content clip
+    clip = screen_clip(208, 120, 4)
+    fmt = YuvFormat(208, 120, ChromaFormat.YUV420, 8)
+    path = os.path.join(outdir, "screen208_208x120_420_8.yuv")
+    write_yuv(path, clip, fmt)
+    print(path, os.path.getsize(path))
+    # 10-bit clip
+    clip = synth_clip(208, 120, 3, bit_depth=10)
+    fmt = YuvFormat(208, 120, ChromaFormat.YUV420, 10)
+    path = os.path.join(outdir, "small208_208x120_420_10.yuv")
+    write_yuv(path, clip, fmt)
+    print(path, os.path.getsize(path))
 
 
 if __name__ == "__main__":

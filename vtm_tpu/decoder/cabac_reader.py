@@ -74,6 +74,26 @@ def ctx(name: str, i: int = 0) -> int:
     return off + i
 
 
+# palette run contexts (Rom.cpp:698-699) and traverse scan
+_PLT_RUN_TOP_LUT = [0, 1, 1, 2, 2]
+_PLT_RUN_LEFT_LUT = [0, 1, 2, 3, 4]
+
+
+def _traverse_scan(w: int, h: int, rotation: bool):
+    """g_scanOrder[SCAN_UNGROUPED][SCAN_TRAV_HOR/VER] snake scan
+    (Rom.cpp ScanGenerator)."""
+    pos = []
+    if not rotation:
+        for y in range(h):
+            xs = range(w) if (y & 1) == 0 else range(w - 1, -1, -1)
+            pos.extend((x, y) for x in xs)
+    else:
+        for x in range(w):
+            ys = range(h) if (x & 1) == 0 else range(h - 1, -1, -1)
+            pos.extend((x, y) for y in ys)
+    return pos
+
+
 _GROUP_IDX = rom.group_idx()
 _MIN_IN_GROUP = rom.min_in_group()
 _GO_RICE_PARS = rom.go_rice_pars_coeff()
@@ -367,6 +387,23 @@ class SyntaxReader:
         cu.qp = cu_ctx.qp
         cu.chroma_qp_adj = self.chroma_adj
         self.coding_unit(cu, part, cu_ctx)
+        # palette predictor update (CABACReader.cpp:661-695)
+        if cu.pred_mode == D.MODE_PLT:
+            local_sep = cu.tree_type != D.TREE_D and not cu.sep_tree
+            if cu.is_sep_tree:
+                if local_sep:
+                    comp_begin = 0
+                    num_comp = 3 if self.sps.chroma_format_idc != 0 else 1
+                    joint = True
+                elif part.ch_type == CH_L:
+                    comp_begin, num_comp, joint = 0, 1, False
+                else:
+                    comp_begin, num_comp, joint = 1, 2, False
+            else:
+                comp_begin = 0
+                num_comp = 3 if self.sps.chroma_format_idc != 0 else 1
+                joint = True
+            self.cs.reorder_prev_plt(cu, comp_begin, num_comp, joint)
         if self.pps.cu_qp_delta_enabled and part.tree_type != TREE_D and cu.ch_type == CH_C:
             cu_ctx.qp = luma_qp_backup
 
@@ -551,9 +588,23 @@ class SyntaxReader:
             return
         self.pred_mode(cu)
         if cu.pred_mode == D.MODE_PLT:
-            raise NotImplementedError("palette mode")
-        if cu.pred_mode == D.MODE_IBC:
-            raise NotImplementedError("IBC CU")
+            cu.color_transform = False
+            self._add_empty_tus(cu, part)
+            if cu.is_sep_tree:
+                if cu.ch_type == CH_L:
+                    self.cu_palette_info(cu, 0, 1, cu_ctx)
+                if (
+                    self.sps.chroma_format_idc != 0
+                    and part.ch_type == CH_C
+                ):
+                    self.cu_palette_info(cu, 1, 2, cu_ctx)
+            else:
+                if self.sps.chroma_format_idc != 0:
+                    self.cu_palette_info(cu, 0, 3, cu_ctx)
+                else:
+                    self.cu_palette_info(cu, 0, 1, cu_ctx)
+            self.end_of_ctu(cu, cu_ctx)
+            return
         # ACT (requires sps.act)
         if cu.pred_mode == MODE_INTRA and self.sps.act and not cu.is_sep_tree:
             cu.color_transform = bool(self.d.decode_bin(ctx("ACTFlag")))
@@ -577,6 +628,207 @@ class SyntaxReader:
         cu.tus.append(tu)
         self.cs.add_tu(tu)
 
+    # ==================================================================
+    # palette mode (CABACReader.cpp cu_palette_info:1650)
+    # ==================================================================
+
+    def cu_palette_info(self, cu: CU, comp_begin: int, num_comp: int, cu_ctx: CuCtx):
+        sps = self.sps
+        if cu.plt is None:
+            cu.plt = D.PltData()
+            cu.plt.calls = []
+        p = cu.plt
+        p.calls.append((comp_begin, num_comp))
+        chb = 0 if comp_begin == 0 else 1
+        prev = self.cs.prev_plt
+        local_sep = cu.tree_type != D.TREE_D and not cu.sep_tree
+        if local_sep:
+            prev.size[chb] = prev.size[0]
+        p.last_size[chb] = prev.size[chb]
+        max_plt = D.MAXPLTSIZE_DUALTREE if cu.is_sep_tree else D.MAXPLTSIZE
+        if p.last_size[chb]:
+            self._plt_pred_indicator(cu, max_plt, chb, local_sep)
+        cur_idx = 0
+        for idx in range(p.last_size[chb]):
+            if p.reuse[chb][idx]:
+                comps = range(3) if local_sep else range(comp_begin, comp_begin + num_comp)
+                for c in comps:
+                    p.cur[c][cur_idx] = prev.plt[c][idx]
+                cur_idx += 1
+        received = 0
+        if cur_idx < max_plt:
+            received = self._exp_golomb_eqprob(0)
+        p.cur_size[chb] = cur_idx + received
+        if local_sep:
+            p.cur_size[0] = p.cur_size[chb]
+        bd = sps.bit_depth
+        for c in range(comp_begin, comp_begin + num_comp):
+            for idx in range(cur_idx, p.cur_size[chb]):
+                p.cur[c][idx] = self.d.decode_bins_ep(bd)
+                if local_sep:
+                    if cu.ch_type == CH_L:
+                        p.cur[1][idx] = 1 << (bd - 1)
+                        p.cur[2][idx] = 1 << (bd - 1)
+                    else:
+                        p.cur[0][idx] = 1 << (bd - 1)
+        p.use_escape[chb] = True
+        if p.cur_size[chb] > 0:
+            p.use_escape[chb] = bool(self.d.decode_bin_ep())
+        index_max = p.cur_size[chb] + (1 if p.use_escape[chb] else 0)
+        b = cu.blocks[comp_begin]
+        total = b.w * b.h
+        if index_max > 1:
+            p.use_rotation[chb] = bool(self.d.decode_bin(ctx("RotationFlag")))
+        else:
+            p.use_rotation[chb] = False
+        if p.use_escape[chb] and self.pps.cu_qp_delta_enabled and not cu_ctx.is_dqp_coded:
+            if not cu.is_sep_tree or cu.ch_type == CH_L:
+                cu.qp = self.cu_qp_delta(cu, cu_ctx.qp)
+                cu_ctx.qp = cu.qp
+                cu_ctx.is_dqp_coded = True
+        if (
+            p.use_escape[chb] and self.sh.chroma_qp_adj
+            and not cu_ctx.is_chroma_qp_adj_coded
+        ):
+            if not cu.is_sep_tree or cu.ch_type == CH_C:
+                self._cu_chroma_qp_offset(cu)
+                cu_ctx.is_chroma_qp_adj_coded = True
+        # index/run maps over the traverse scan
+        p.idx[chb] = np.zeros((b.h, b.w), dtype=np.int32)
+        p.run_type[chb] = np.zeros((b.h, b.w), dtype=np.int32)
+        for c in range(comp_begin, comp_begin + num_comp):
+            cb = cu.blocks[c]
+            p.escape[c] = np.zeros((cb.h, cb.w), dtype=np.int32)
+        scan = _traverse_scan(b.w, b.h, p.use_rotation[chb])
+        state = [0, 0]  # prevRunPos, prevRunType
+        for sub in range((total - 1 >> 4) + 1):
+            self._plt_subblock(cu, comp_begin, num_comp, sub, scan, state, chb, index_max)
+
+    def _plt_pred_indicator(self, cu: CU, max_plt: int, chb: int, local_sep: bool):
+        """xDecodePLTPredIndicator (CABACReader.cpp:1917)."""
+        p = cu.plt
+        num_pred = 0
+        idx = 0
+        symbol = self._exp_golomb_eqprob(0)
+        if symbol != 1:
+            while idx < p.last_size[chb] and num_pred < max_plt:
+                if idx > 0:
+                    symbol = self._exp_golomb_eqprob(0)
+                if symbol == 1:
+                    break
+                if symbol:
+                    idx += symbol - 1
+                p.reuse[chb][idx] = True
+                if local_sep:
+                    p.reuse[0][idx] = True
+                num_pred += 1
+                idx += 1
+
+    def _plt_subblock(self, cu, comp_begin, num_comp, sub, scan, state, chb, index_max):
+        """cuPaletteSubblockInfo (CABACReader.cpp:1770)."""
+        p = cu.plt
+        run_type = p.run_type[chb]
+        plt_idx = p.idx[chb]
+        b = cu.blocks[comp_begin]
+        total = b.w * b.h
+        min_pos = sub << 4
+        max_pos = min(min_pos + 16, total)
+        rot = p.use_rotation[chb]
+        run_copy = [None] * 16
+        if min_pos == 0:
+            run_copy[0] = 0
+        # run-copy flags and run types (context coded)
+        for pos in range(min_pos, max_pos):
+            if index_max <= 1:
+                break
+            px, py = scan[pos]
+            ppx, ppy = scan[pos - 1] if pos else (0, 0)
+            identity = 1
+            set_name = "IdxRunModel" if state[1] == 0 else "CopyRunModel"
+            if pos > 0:
+                dist = pos - state[0] - 1
+                lut = _PLT_RUN_LEFT_LUT if state[1] == 0 else _PLT_RUN_TOP_LUT
+                c = lut[min(dist, 4)]
+                identity = self.d.decode_bin(ctx(set_name, c))
+                run_copy[pos - min_pos] = identity
+            if identity == 0 or pos == 0:
+                if (py == 0 and not rot) or (px == 0 and rot):
+                    run_type[py, px] = 0  # PLT_RUN_INDEX
+                elif pos != 0 and run_type[ppy, ppx] == 1:
+                    run_type[py, px] = 0
+                else:
+                    run_type[py, px] = self.d.decode_bin(ctx("RunTypeFlag"))
+                state[1] = int(run_type[py, px])
+                state[0] = pos
+            else:
+                run_type[py, px] = run_type[ppy, ppx]
+        # index values (bypass)
+        if index_max > 1:
+            for pos in range(min_pos, max_pos):
+                adjust = 1 if pos > 0 else 0
+                px, py = scan[pos]
+                ppx, ppy = scan[pos - 1] if pos else (0, 0)
+                if run_copy[pos - min_pos] == 0 and run_type[py, px] == 0:
+                    symbol = self._trunc_bin(index_max - adjust)
+                    self._plt_adjust_index(cu, symbol, pos, scan, plt_idx,
+                                           run_type, index_max, chb, rot)
+                elif run_type[py, px] == 0:
+                    plt_idx[py, px] = plt_idx[ppy, ppx]
+                else:
+                    plt_idx[py, px] = (
+                        plt_idx[py, px - 1] if rot else plt_idx[py - 1, px]
+                    )
+        else:
+            for pos in range(min_pos, max_pos):
+                px, py = scan[pos]
+                ppx, ppy = scan[pos - 1] if pos else (0, 0)
+                run_type[py, px] = 0
+                if run_copy[pos - min_pos] == 0:
+                    plt_idx[py, px] = 0
+                else:
+                    plt_idx[py, px] = plt_idx[ppy, ppx]
+        # escape values (bypass)
+        fmt = self.cs.chroma_format
+        sx, sy = fmt.scale_x, fmt.scale_y
+        for c in range(comp_begin, comp_begin + num_comp):
+            for pos in range(min_pos, max_pos):
+                px, py = scan[pos]
+                if plt_idx[py, px] == p.cur_size[chb]:
+                    if c == 0 or comp_begin != 0:
+                        p.escape[c][py, px] = self._exp_golomb_eqprob(5)
+                    elif (
+                        comp_begin == 0 and c != 0
+                        and py % (1 << sy) == 0 and px % (1 << sx) == 0
+                    ):
+                        p.escape[c][py >> sy, px >> sx] = self._exp_golomb_eqprob(5)
+
+    def _plt_adjust_index(self, cu, symbol, pos, scan, plt_idx, run_type,
+                          index_max, chb, rot):
+        """xAdjustPLTIndex (CABACReader.cpp:1948)."""
+        p = cu.plt
+        max_symbol = index_max
+        ref_level = 1 << 30
+        px, py = scan[pos]
+        if pos:
+            ppx, ppy = scan[pos - 1]
+            if run_type[ppy, ppx] == 0:
+                ref_level = plt_idx[ppy, ppx]
+                if plt_idx[ppy, ppx] == p.cur_size[chb]:
+                    ref_level = max_symbol - 1
+            else:
+                if rot:
+                    ref_level = plt_idx[py, px - 1]
+                    if plt_idx[py, px - 1] == p.cur_size[chb]:
+                        ref_level = max_symbol - 1
+                else:
+                    ref_level = plt_idx[py - 1, px]
+                    if plt_idx[py - 1, px] == p.cur_size[chb]:
+                        ref_level = max_symbol - 1
+            max_symbol -= 1
+        if symbol >= ref_level:
+            symbol += 1
+        plt_idx[py, px] = symbol
+
     def cu_skip_flag(self, cu: CU):
         if (self.sh.slice_type == SliceType.I or cu.mode_type == MODE_TYPE_INTRA) and self.sps.ibc:
             cu.skip = False
@@ -594,8 +846,25 @@ class SyntaxReader:
         c = self._ctx_skip_flag(cu)
         skip = self.d.decode_bin(ctx("SkipFlag", c))
         if skip and self.sps.ibc:
-            raise NotImplementedError("IBC skip")
-        if skip:
+            if (
+                cu.lwidth < 128 and cu.lheight < 128
+                and cu.mode_type != MODE_TYPE_INTER
+            ):
+                if cu.lwidth == 4 and cu.lheight == 4:
+                    cu.skip = True
+                    cu.root_cbf = False
+                    cu.pred_mode = D.MODE_IBC
+                    return
+                if self.d.decode_bin(ctx("IBCFlag", self._ctx_ibc_flag(cu))):
+                    cu.skip = True
+                    cu.root_cbf = False
+                    cu.pred_mode = D.MODE_IBC
+                    cu.regular_merge_flag = False
+                else:
+                    cu.pred_mode = MODE_INTER
+            else:
+                cu.pred_mode = MODE_INTER
+        if skip and (cu.pred_mode == MODE_INTER or not self.sps.ibc):
             cu.skip = True
             cu.root_cbf = False
             cu.pred_mode = MODE_INTER
@@ -631,7 +900,20 @@ class SyntaxReader:
                     if self.d.decode_bin(ctx("PLTFlag")):
                         cu.pred_mode = D.MODE_PLT
             else:
-                raise NotImplementedError("inter pred_mode with IBC")
+                if self.d.decode_bin(ctx("PredMode", self._ctx_pred_mode(cu))):
+                    cu.pred_mode = MODE_INTRA
+                    if (
+                        self.sps.palette
+                        and cu.lwidth <= 64 and cu.lheight <= 64
+                        and cu.lwidth * cu.lheight > 16
+                    ):
+                        if self.d.decode_bin(ctx("PLTFlag")):
+                            cu.pred_mode = D.MODE_PLT
+                else:
+                    cu.pred_mode = MODE_INTER
+                    if cu.lwidth < 128 and cu.lheight < 128:
+                        if self.d.decode_bin(ctx("IBCFlag", self._ctx_ibc_flag(cu))):
+                            cu.pred_mode = D.MODE_IBC
             return
         if cu.mode_type == MODE_TYPE_INTER:
             cu.pred_mode = MODE_INTER
@@ -642,18 +924,25 @@ class SyntaxReader:
             or cu.mode_type == MODE_TYPE_INTRA
         ):
             cu.pred_mode = MODE_INTRA
-            if self.sps.palette and self._plt_size_ok(cu) :
+            if self.sps.palette and cu.lheight <= 64 and self._plt_size_ok(cu):
                 if self.d.decode_bin(ctx("PLTFlag")):
                     cu.pred_mode = D.MODE_PLT
         else:
             c = self._ctx_pred_mode(cu)
             cu.pred_mode = MODE_INTRA if self.d.decode_bin(ctx("PredMode", c)) else MODE_INTER
+            # NB the reference omits the lheight<=64 bound in this branch
+            # (CABACReader.cpp:1123)
             if cu.pred_mode == MODE_INTRA and self.sps.palette and self._plt_size_ok(cu):
                 if self.d.decode_bin(ctx("PLTFlag")):
                     cu.pred_mode = D.MODE_PLT
 
     def _plt_size_ok(self, cu: CU) -> bool:
-        if cu.lwidth > 64 or cu.lheight > 64:
+        """Size/area/tree gates shared by pred_mode PLT checks
+        (CABACReader.cpp:1113,1123)."""
+        if cu.lwidth > 64:
+            return False
+        local_sep_tree = cu.tree_type != D.TREE_D and not cu.sep_tree
+        if local_sep_tree and cu.ch_type == CH_C:
             return False
         if cu.ch_type == CH_C:
             b = cu.blocks[1]
@@ -710,6 +999,15 @@ class SyntaxReader:
             self.merge_flag(cu)
         if cu.merge_flag:
             self.merge_data(cu)
+        elif cu.pred_mode == D.MODE_IBC:
+            cu.interdir = 1
+            cu.affine = False
+            cu.ref_idx[0] = M.MAX_NUM_REF
+            cu.mvd[0] = self.mvd_coding()
+            if self.sps.max_num_ibc_merge_cand == 1:
+                cu.mvp_idx[0] = 0
+            else:
+                self.mvp_flag(cu, 0)
         else:
             self.inter_pred_idc(cu)
             self.affine_flag(cu)
@@ -793,6 +1091,9 @@ class SyntaxReader:
         cu.sbt_info = (pos << 4) | sbt_idx
 
     def merge_data(self, cu: CU):
+        if cu.pred_mode == D.MODE_IBC:
+            self.merge_idx(cu)
+            return
         self.subblock_merge_flag(cu)
         if cu.affine:
             self.merge_idx(cu)
@@ -860,7 +1161,10 @@ class SyntaxReader:
             m1 += 1 if m1 >= m0 else 0
             cu.geo_merge_idx = [m0, m1]
             return
-        n_minus1 = self.sps.max_num_merge_cand - 1
+        if cu.pred_mode == D.MODE_IBC:
+            n_minus1 = self.sps.max_num_ibc_merge_cand - 1
+        else:
+            n_minus1 = self.sps.max_num_merge_cand - 1
         cu.merge_idx = 0
         if n_minus1 > 0 and self.d.decode_bin(ctx("MergeIdx")):
             cu.merge_idx = 1
@@ -980,11 +1284,15 @@ class SyntaxReader:
             return
         if cu.affine:
             return
-        value = self.d.decode_bin(ctx("ImvFlag", 0))
+        if cu.pred_mode == D.MODE_IBC:
+            value = 1
+        else:
+            value = self.d.decode_bin(ctx("ImvFlag", 0))
         cu.imv = value
         if value:
-            value = self.d.decode_bin(ctx("ImvFlag", 4))
-            cu.imv = 1 if value else M.IMV_HPEL
+            if cu.pred_mode != D.MODE_IBC:
+                value = self.d.decode_bin(ctx("ImvFlag", 4))
+                cu.imv = 1 if value else M.IMV_HPEL
             if value:
                 value = self.d.decode_bin(ctx("ImvFlag", 1))
                 cu.imv = value + 1
@@ -1001,7 +1309,7 @@ class SyntaxReader:
 
     def _has_nonzero_mvd(self, cu: CU) -> bool:
         """CU::hasSubCUNonZeroMVd."""
-        if cu.merge_flag or cu.pred_mode != MODE_INTER:
+        if cu.merge_flag or cu.pred_mode not in (MODE_INTER, D.MODE_IBC):
             return False
         nz = False
         if cu.interdir != 2:
@@ -1703,7 +2011,7 @@ class SyntaxReader:
         cu = tu.cu
         if cu.isp_mode and comp == 0:
             return False
-        if cu.sbt_info and comp == 0:
+        if cu.sbt_info:  # all components (UnitTools.cpp:3819)
             return False
         ts_max = 1 << self.sps.log2_max_ts_size
         b = tu.blocks[comp]

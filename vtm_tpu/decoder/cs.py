@@ -87,7 +87,9 @@ class CU:
     depth: int = 0
     bdpcm_mode: int = 0
     bdpcm_mode_chroma: int = 0
-    intra_dir: list[int] = field(default_factory=lambda: [PLANAR_IDX, PLANAR_IDX])
+    # defaults match PredictionUnit::initData (Unit.cpp:523-524): DM chroma
+    # over a non-intra (IBC/PLT) luma CU reads the DC default
+    intra_dir: list[int] = field(default_factory=lambda: [DC_IDX, PLANAR_IDX])
     mip_flag: bool = False
     mip_transposed: bool = False
     multi_ref_idx: int = 0
@@ -121,6 +123,8 @@ class CU:
     mv_affi: list = field(default_factory=lambda: [[(0, 0)] * 3, [(0, 0)] * 3])
     smvd_mode: int = 0
     ciip_flag: bool = False
+    # ---- palette (PLT) data, lazily allocated at parse ----
+    plt: object = None  # PltData
     geo_flag: bool = False
     geo_split_dir: int = 0
     geo_merge_idx: list = field(default_factory=lambda: [0, 0])
@@ -158,6 +162,47 @@ class CU:
     @property
     def is_sep_tree(self) -> bool:
         return self.sep_tree or self.tree_type != TREE_D
+
+
+MAXPLTSIZE, MAXPLTSIZE_DUALTREE = 31, 15
+MAXPLTPREDSIZE, MAXPLTPREDSIZE_DUALTREE = 63, 31
+
+
+class PltData:
+    """Per-CU palette state (CodingUnit curPLT*/reuseflag/runtype fields)."""
+
+    def __init__(self):
+        self.last_size = [0, 0]        # lastPLTSize per channel (Y-begin / Cb-begin)
+        self.cur_size = [0, 0]         # curPLTSize
+        self.cur = np.zeros((3, MAXPLTSIZE), dtype=np.int32)   # curPLT
+        self.reuse = np.zeros((2, MAXPLTPREDSIZE), dtype=bool)  # reuseflag
+        self.use_escape = [False, False]
+        self.use_rotation = [False, False]
+        self.idx = [None, None]        # per-channel index map (h, w)
+        self.run_type = [None, None]
+        self.escape = [None, None, None]  # per-component escape values
+
+
+class PltPredictor:
+    """CodingStructure::prevPLT (PLTBuf)."""
+
+    def __init__(self):
+        self.size = [0, 0]
+        self.plt = np.zeros((3, MAXPLTPREDSIZE), dtype=np.int32)
+
+    def reset(self):
+        self.size = [0, 0]
+        self.plt.fill(0)
+
+    def copy(self) -> "PltPredictor":
+        p = PltPredictor()
+        p.size = list(self.size)
+        p.plt = self.plt.copy()
+        return p
+
+    def set_from(self, other: "PltPredictor"):
+        self.size = list(other.size)
+        self.plt = other.plt.copy()
 
 
 class DecCodingStructure:
@@ -198,6 +243,8 @@ class DecCodingStructure:
         self.qp_map_c: np.ndarray | None = (
             np.zeros_like(self.map_c) if self.map_c is not None else None
         )
+        # palette predictor (CodingStructure::prevPLT)
+        self.prev_plt = PltPredictor()
 
     def tile_idx_at(self, lx: int, ly: int) -> int:
         cx = min(lx >> self.sps.log2_ctu_size, self.pic_w_ctu - 1)
@@ -225,6 +272,33 @@ class DecCodingStructure:
             b = cu.blocks[1]
             self.map_c[b.y >> 1 : b.y1 >> 1, b.x >> 1 : b.x1 >> 1] = idx
         return cu
+
+    def reorder_prev_plt(self, cu, comp_begin: int, num_comp: int, joint: bool):
+        """CodingStructure::reorderPrevPLT (CodingStructure.cpp:897):
+        current palette first, then non-reused predictor entries."""
+        p = cu.plt
+        prev = self.prev_plt
+        max_pred = MAXPLTPREDSIZE if joint else MAXPLTPREDSIZE_DUALTREE
+        chb = 0 if comp_begin == 0 else 1
+        cur_size = p.cur_size[chb]
+        stuffed = np.zeros((3, MAXPLTPREDSIZE), dtype=np.int32)
+        for c in range(comp_begin, comp_begin + num_comp):
+            stuffed[c, :cur_size] = p.cur[c, :cur_size]
+        stuff_n = [0, 0, 0]
+        for ch in range(comp_begin, min(comp_begin + num_comp, 2)):
+            for i in range(prev.size[chb]):
+                if cur_size + stuff_n[ch] >= max_pred:
+                    break
+                if not p.reuse[chb][i]:
+                    if ch == 0:
+                        stuffed[0, cur_size + stuff_n[0]] = prev.plt[0, i]
+                    else:
+                        stuffed[1, cur_size + stuff_n[1]] = prev.plt[1, i]
+                        stuffed[2, cur_size + stuff_n[1]] = prev.plt[2, i]
+                    stuff_n[ch] += 1
+        prev.size[chb] = cur_size + stuff_n[comp_begin]
+        for c in range(comp_begin, comp_begin + num_comp):
+            prev.plt[c, : prev.size[chb]] = stuffed[c, : prev.size[chb]]
 
     def add_tu(self, tu: TU) -> TU:
         idx = len(self.tus)

@@ -33,6 +33,22 @@ class CuReconstructor:
         else:
             self.decomp_c = None
         self.bit_depth = dcs.sps.bit_depth
+        # IBC virtual buffer (InterPrediction.cpp:229-233): g_IBCBufferSize
+        # (256*128) samples wide in luma, one CTU tall, wrap-addressed
+        if dcs.sps.ibc:
+            ctu = dcs.sps.ctu_size
+            bufw = (256 * 128) // ctu
+            fmt = dcs.chroma_format
+            self.ibc_buf = []
+            for comp in range(fmt.num_components):
+                sx = fmt.scale_x if comp else 0
+                sy = fmt.scale_y if comp else 0
+                self.ibc_buf.append(
+                    np.full((ctu >> sy, bufw >> sx), -1, dtype=np.int32)
+                )
+            dcs.reset_ibc_buffer = True
+        else:
+            self.ibc_buf = None
 
     # -- decomp tracking ----------------------------------------------------
 
@@ -59,18 +75,110 @@ class CuReconstructor:
 
     def reconstruct_cus(self, cus: list[CU]):
         from vtm_tpu.decoder import inter_cu
+        from vtm_tpu.decoder import motion as M
 
+        ibc = self.cs.sps.ibc
         for cu in cus:
+            if ibc:
+                if getattr(self.cs, "reset_ibc_buffer", False):
+                    for b in self.ibc_buf:
+                        b.fill(-1)
+                    self.cs.reset_ibc_buffer = False
+                if cu.blocks[0] is not None:
+                    self._ibc_vpdu_reset(cu)
             if cu.pred_mode == MODE_INTRA:
                 self.recon_intra_cu(cu)
-            elif cu.pred_mode == D.MODE_INTER:
+            elif cu.pred_mode in (D.MODE_INTER, D.MODE_IBC):
                 inter_cu.derive_cu_mv(self.cs, cu)
                 inter_cu.recon_inter_cu(self, cu)
-                from vtm_tpu.decoder import motion as M
-
                 M.save_motion_hmvp(self.cs, cu)
             else:
-                raise NotImplementedError("IBC/PLT reconstruction")
+                self.recon_plt_cu(cu)
+            if ibc:
+                self._ibc_fill_buffer(cu)
+
+    def recon_plt_cu(self, cu: CU):
+        """DecCu::xReconPLT (DecCu.cpp:502): palette colors + dequantized
+        escape values, luma-begin joint writes chroma at scaled positions."""
+        from vtm_tpu.ops import quant as Q
+
+        p = cu.plt
+        fmt = self.cs.chroma_format
+        sx, sy = fmt.scale_x, fmt.scale_y
+        bd = self.bit_depth
+        maxv = (1 << bd) - 1
+        tu = cu.tus[0]
+        for comp_begin, num_comp in p.calls:
+            chb = 0 if comp_begin == 0 else 1
+            idx = p.idx[chb]
+            cur_size = p.cur_size[chb]
+            esc_mask = idx == cur_size
+            safe_idx = np.minimum(idx, max(cur_size - 1, 0))
+            for c in range(comp_begin, comp_begin + num_comp):
+                b = cu.blocks[c]
+                if comp_begin != 0 or c == 0:
+                    cidx, cesc = safe_idx, esc_mask
+                    esc_vals = p.escape[c]
+                else:
+                    # luma-begin chroma: subsample the index map
+                    cidx = safe_idx[:: 1 << sy, :: 1 << sx]
+                    cesc = esc_mask[:: 1 << sy, :: 1 << sx]
+                    esc_vals = p.escape[c]
+                out = p.cur[c][cidx]
+                if cesc.any():
+                    qp, per, rem = self._qp_for(tu, c)
+                    qp_ts = max(qp, 4 + 6 * self.sps.internal_minus_input_bd)
+                    per, rem = qp_ts // 6, qp_ts % 6
+                    scale = rom.inv_quant_scale(rem, False)
+                    vals = ((esc_vals.astype(np.int64) * scale) << per) + 32
+                    vals = np.clip(vals >> 6, 0, maxv).astype(np.int32)
+                    out = np.where(cesc, vals, out)
+                self.planes[c][b.y : b.y1, b.x : b.x1] = out
+                self.set_decomp(c, b)
+                if c == 0:
+                    self.cs.qp_map_l[
+                        b.y >> 2 : b.y1 >> 2, b.x >> 2 : b.x1 >> 2
+                    ] = cu.qp
+
+    def _ibc_vpdu_reset(self, cu: CU):
+        """InterPrediction::resetVPDUforIBC (InterPrediction.cpp:2282) at
+        VPDU-aligned CU starts (DecCu.cpp:121-131)."""
+        ctu = self.cs.sps.ctu_size
+        vsize = min(ctu, 64)
+        b = cu.blocks[0]
+        if b.x % vsize or b.y % vsize:
+            return
+        bufw = (256 * 128) // ctu
+        fmt = self.cs.chroma_format
+        for x in range(b.x, b.x + b.w, vsize):
+            for y in range(b.y, b.y + b.h, vsize):
+                rx = (x + bufw // 2) & (bufw - 1)
+                ry = y & (ctu - 1)
+                for comp in range(fmt.num_components):
+                    sx = fmt.scale_x if comp else 0
+                    sy = fmt.scale_y if comp else 0
+                    self.ibc_buf[comp][
+                        ry >> sy : (ry + vsize) >> sy,
+                        rx >> sx : (rx + vsize) >> sx,
+                    ] = -1
+
+    def _ibc_fill_buffer(self, cu: CU):
+        """InterPrediction::xFillIBCBuffer (InterPrediction.cpp:2207)."""
+        ctu = self.cs.sps.ctu_size
+        log2ctu = ctu.bit_length() - 1
+        bufw = (256 * 128) // ctu
+        fmt = self.cs.chroma_format
+        for comp in range(fmt.num_components):
+            b = cu.blocks[comp]
+            if b is None:
+                continue
+            sx = fmt.scale_x if comp else 0
+            sy = fmt.scale_y if comp else 0
+            px = b.x & ((bufw >> sx) - 1)
+            py = b.y & ((1 << (log2ctu - sy)) - 1)
+            self.ibc_buf[comp][py : py + b.h, px : px + b.w] = self.planes[comp][
+                b.y : b.y1, b.x : b.x1
+            ]
 
     def recon_intra_cu(self, cu: CU):
         if cu.isp_mode and cu.blocks[0] is not None:

@@ -90,6 +90,7 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
         if "_trace_file" not in dec.__dict__:
             dec._trace_file = open(os.environ["VTM_TPU_CABAC_TRACE"], "w")
         trace_file = dec._trace_file
+    dcs.prev_plt.reset()  # DecSlice.cpp:97
     ctx = ContextModels()
     cab = CabacDecoder(substreams[0], ctx)
     cab.trace = trace_file
@@ -116,15 +117,19 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
                 new_substream = True
                 ctx = ContextModels()
                 ctx.init(sh.qp, _ctx_init_id(sh))
+                dcs.prev_plt.reset()  # DecSlice.cpp:189
             qps = [sh.qp, sh.qp]
         elif cx == tile_x and wpp:
             if ctu_idx != 0:
                 new_substream = True
                 ctx = ContextModels()
                 ctx.init(sh.qp, _ctx_init_id(sh))
+                dcs.prev_plt.reset()  # DecSlice.cpp:199
             if dcs.get_cu_restricted(pos.x, pos.y - 1, pos.x, pos.y, 0) is not None:
                 if dec._wpp_ctx is not None:
                     ctx = dec._wpp_ctx.copy()
+                if getattr(dec, "_wpp_plt", None) is not None:
+                    dcs.prev_plt.set_from(dec._wpp_plt)  # DecSlice.cpp:205
             qps = [sh.qp, sh.qp]
         if new_substream:
             substream_idx += 1
@@ -141,6 +146,8 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
         # (DecSlice.cpp:216-221)
         if (sh.slice_type != SliceType.I or sps.ibc) and cx == tile_x:
             dcs.motion_lut.clear()
+            dcs.motion_lut_ibc.clear()
+            dcs.reset_ibc_buffer = True
         reader.coding_tree_unit(pos, qps, ctu_addr, pic)
         # reconstruct the CUs parsed for this CTU
         new_cus = dcs.cus[prev_cus:]
@@ -148,6 +155,7 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
         pic.recon.reconstruct_cus(new_cus)
         if cx == tile_x and wpp:
             dec._wpp_ctx = cab.ctx.copy()
+            dec._wpp_plt = dcs.prev_plt.copy()  # DecSlice.cpp:239
         if ctu_idx == len(sh.ctu_addrs) - 1:
             term = cab.decode_bin_trm()
             assert term == 1, "missing terminating bit at end of slice"

@@ -20,6 +20,18 @@ MV_FRAC = 4  # luma fractional bits of the internal MV
 
 def derive_cu_mv(dcs, cu) -> None:
     """DecCu::xDeriveCUMV."""
+    if cu.pred_mode == D.MODE_IBC:
+        if cu.merge_flag:
+            mrg = M.get_ibc_merge_candidates(dcs, cu, cu.merge_idx)
+            M.set_merge_info(dcs, cu, mrg, cu.merge_idx)
+            cu.imv = 0  # setMergeInfo IBC override (ContextModelling.cpp:348)
+        else:
+            cands = M.fill_ibc_mvp_cand(dcs, cu)
+            mvd = M.change_ibc_prec_amvr_2_internal(cu.mvd[0], cu.imv)
+            mv = (cands[cu.mvp_idx[0]][0] + mvd[0], cands[cu.mvp_idx[0]][1] + mvd[1])
+            cu.mv[0] = M.mv_clip_periodic(mv)
+        M.span_motion_info(dcs, cu)
+        return
     if cu.merge_flag:
         if cu.mmvd_flag or cu.mmvd_skip:
             base_idx = cu.mmvd_idx // M.MMVD_MAX_REFINE_NUM
@@ -387,10 +399,50 @@ def _geo_motion_compensation(recon, dcs, cu):
     return out
 
 
+def ibc_block_copy(recon, dcs, cu):
+    """InterPrediction::xIntraBlockCopy (InterPrediction.cpp:2231): copy
+    from the wrap-addressed IBC virtual buffer."""
+    fmt = dcs.chroma_format
+    ctu = dcs.sps.ctu_size
+    log2ctu = ctu.bit_length() - 1
+    bufw = (256 * 128) // ctu
+    bvx = M._change_prec_comp(cu.mv[0][0], -MV_FRAC)
+    bvy = M._change_prec_comp(cu.mv[0][1], -MV_FRAC)
+    preds = []
+    for comp in range(fmt.num_components):
+        cb = cu.blocks[comp]
+        if cb is None:
+            preds.append(None)
+            continue
+        sx = fmt.scale_x if comp else 0
+        sy = fmt.scale_y if comp else 0
+        bw = bufw >> sx
+        if comp == 0:
+            refx, refy = cb.x + bvx, cb.y + bvy
+        else:
+            refx = cb.x + (bvx >> sx)
+            refy = cb.y + (bvy >> sy)
+        refx &= bw - 1
+        refy &= (1 << (log2ctu - sy)) - 1
+        buf = recon.ibc_buf[comp]
+        if refx + cb.w <= bw:
+            pred = buf[refy : refy + cb.h, refx : refx + cb.w].copy()
+        else:
+            w0 = bw - refx
+            pred = np.concatenate(
+                [buf[refy : refy + cb.h, refx:bw],
+                 buf[refy : refy + cb.h, 0 : cb.w - w0]], axis=1
+            )
+        preds.append(pred)
+    return preds
+
+
 def recon_inter_cu(recon, cu) -> None:
     """DecCu::xReconInter + xDecodeInterTexture."""
     dcs = recon.cs
-    if cu.geo_flag:
+    if cu.pred_mode == D.MODE_IBC:
+        preds = ibc_block_copy(recon, dcs, cu)
+    elif cu.geo_flag:
         preds = _geo_motion_compensation(recon, dcs, cu)
     else:
         preds = motion_compensation(recon, dcs, cu)
@@ -399,11 +451,14 @@ def recon_inter_cu(recon, cu) -> None:
     bd = recon.bit_depth
     maxv = (1 << bd) - 1
     lmcs = getattr(dcs, "lmcs_model", None)
-    lmcs_on = lmcs is not None and dcs.sh.lmcs_enabled
+    lmcs_on = (lmcs is not None and dcs.sh.lmcs_enabled
+               and cu.pred_mode != D.MODE_IBC)
     fmt = dcs.chroma_format
     if not cu.root_cbf:
         for comp in range(fmt.num_components):
             b = cu.blocks[comp]
+            if b is None:
+                continue
             p = preds[comp]
             if comp == 0 and lmcs_on and not cu.ciip_flag:
                 p = lmcs.fwd_lut[np.clip(p, 0, maxv)]

@@ -58,6 +58,15 @@ def round_trans_prec_internal_2_amvr(mv, imv: int):
 def change_trans_prec_amvr_2_internal(mv, imv: int):
     return change_precision(mv, _AMVR_PREC[imv], _PREC_INTERNAL)
 
+# amvr idx -> IBC BV precision shift (Mv.cpp:45: int, int, 4pel)
+_AMVR_PREC_IBC = [2, 2, 0]
+
+def change_ibc_prec_amvr_2_internal(mv, imv: int):
+    return change_precision(mv, _AMVR_PREC_IBC[imv], _PREC_INTERNAL)
+
+def round_ibc_prec_internal_2_amvr(mv, imv: int):
+    return round_to_precision(mv, _PREC_INTERNAL, _AMVR_PREC_IBC[imv])
+
 def clip_storage(mv):
     c = lambda v: max(-(1 << 17), min((1 << 17) - 1, v))
     return (c(mv[0]), c(mv[1]))
@@ -171,6 +180,7 @@ def init_motion_field(dcs) -> None:
     dcs.mf_refidx = np.full((h4, w4, 2), NOT_VALID, dtype=np.int8)
     dcs.mf_bcw = np.full((h4, w4), BCW_DEFAULT, dtype=np.int8)
     dcs.motion_lut: list[MotionInfo] = []
+    dcs.motion_lut_ibc: list[MotionInfo] = []
 
 
 def get_motion_info(dcs, lx: int, ly: int) -> MotionInfo:
@@ -224,7 +234,7 @@ def save_motion_hmvp(dcs, cu) -> None:
     xbr, ybr = b.x + b.w, b.y + b.h
     enable = ((xbr >> plevel) > (b.x >> plevel)) and ((ybr >> plevel) > (b.y >> plevel))
     if cu.pred_mode == D.MODE_IBC or enable:
-        lut = dcs.motion_lut
+        lut = dcs.motion_lut_ibc if cu.pred_mode == D.MODE_IBC else dcs.motion_lut
         for idx, m in enumerate(lut):
             if m == mi:
                 lut.pop(idx)
@@ -567,6 +577,97 @@ def _round_affine(v: int, shift: int) -> int:
     """
     off = 1 << (shift - 1)
     return (v + off - 1) >> shift if v >= 0 else (v + off) >> shift
+
+
+def get_ibc_merge_candidates(dcs, cu, mrg_cand_idx: int = -1) -> MergeCtx:
+    """PU::getIBCMergeCandidates (UnitTools.cpp:812): spatial A1/B1 (IBC
+    neighbours only), IBC HMVP LUT, zero-BV padding."""
+    max_cand = dcs.sps.max_num_ibc_merge_cand
+    mrg = MergeCtx(max_cand)
+    for i in range(max_cand):
+        mrg.interdir[i] = 0
+        mrg.ref_idx[i] = [NOT_VALID, NOT_VALID]
+    mrg.num_valid = max_cand
+    cnt = 0
+    b = cu.blocks[0]
+    is_gt4x4 = b.w * b.h > 16
+    # left A1 at posLB.offset(-1, 0)
+    mi_left = None
+    nl = _get_pu_restricted(dcs, cu, b.x - 1, b.y1 - 1)
+    avail_a1 = nl is not None and nl.pred_mode == D.MODE_IBC
+    if is_gt4x4 and avail_a1:
+        mi_left = get_motion_info(dcs, b.x - 1, b.y1 - 1)
+        mrg.interdir[cnt] = mi_left.interdir
+        mrg.mv[cnt][0] = mi_left.mv[0]
+        mrg.ref_idx[cnt][0] = mi_left.ref_idx[0]
+        if mrg_cand_idx == cnt:
+            return mrg
+        cnt += 1
+    if cnt == max_cand:
+        return mrg
+    # above B1 at posRT.offset(0, -1)
+    mi_above = None
+    na = _get_pu_restricted(dcs, cu, b.x1 - 1, b.y - 1)
+    avail_b1 = na is not None and na.pred_mode == D.MODE_IBC
+    if is_gt4x4 and avail_b1:
+        mi_above = get_motion_info(dcs, b.x1 - 1, b.y - 1)
+        if not avail_a1 or mi_above != mi_left:
+            mrg.interdir[cnt] = mi_above.interdir
+            mrg.mv[cnt][0] = mi_above.mv[0]
+            mrg.ref_idx[cnt][0] = mi_above.ref_idx[0]
+            if mrg_cand_idx == cnt:
+                return mrg
+            cnt += 1
+    if cnt == max_cand:
+        return mrg
+    # HMVP (addMergeHMVPCand with ibcFlag=true, UnitTools.cpp:762)
+    lut = dcs.motion_lut_ibc
+    for mrg_idx in range(1, len(lut) + 1):
+        mi = lut[len(lut) - mrg_idx]
+        if (
+            mrg_idx > 2
+            or mrg_idx > 1
+            or not is_gt4x4
+            or (
+                (not avail_a1 or mi != mi_left)
+                and (not avail_b1 or mi != mi_above)
+            )
+        ):
+            mrg.interdir[cnt] = mi.interdir
+            mrg.use_alt_hpel[cnt] = False
+            mrg.bcw[cnt] = BCW_DEFAULT
+            mrg.mv[cnt][0] = mi.mv[0]
+            mrg.ref_idx[cnt][0] = mi.ref_idx[0]
+            if dcs.sh.is_b:
+                mrg.mv[cnt][1] = mi.mv[1]
+                mrg.ref_idx[cnt][1] = mi.ref_idx[1]
+            if mrg_cand_idx == cnt:
+                return mrg
+            cnt += 1
+            if cnt == max_cand:
+                break
+    # zero-BV padding (UnitTools.cpp:903-912)
+    while cnt < max_cand:
+        mrg.mv[cnt][0] = (0, 0)
+        mrg.ref_idx[cnt][0] = MAX_NUM_REF
+        mrg.interdir[cnt] = 1
+        if mrg_cand_idx == cnt:
+            return mrg
+        cnt += 1
+    return mrg
+
+
+MAX_NUM_REF = 16
+
+
+def fill_ibc_mvp_cand(dcs, cu) -> list:
+    """PU::fillIBCMvpCand (UnitTools.cpp:1738): first two IBC merge
+    candidates, rounded to the BV AMVR precision."""
+    mrg = get_ibc_merge_candidates(dcs, cu, AMVP_MAX_NUM_CANDS - 1)
+    return [
+        round_ibc_prec_internal_2_amvr(mrg.mv[i][0], cu.imv)
+        for i in range(AMVP_MAX_NUM_CANDS)
+    ]
 
 
 def set_merge_info(dcs, cu, mrg: MergeCtx, cand_idx: int) -> None:

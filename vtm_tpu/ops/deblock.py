@@ -643,13 +643,21 @@ def _bs_single(dcs, cu, edge_dir, lx, ly, ch, preset: int = 0) -> int:
     sh_p = _slice_of(dcs, cu_p)
     thr = (1 << 4) >> 1  # half-pel at internal precision
 
-    def ref(sh, mi, lst):
+    _CUR_PIC = object()  # sentinel: the current picture (IBC "reference")
+
+    def ref(sh, mi, lst, is_ibc=False):
+        # LoopFilter.cpp:823-826,876: IBC refs are (current picture, NULL)
+        if is_ibc:
+            return _CUR_PIC if lst == 0 else None
         ri = mi.ref_idx[lst]
         return sh.ref_pics[lst][ri] if ri >= 0 else None
 
+    ibc_p = cu_p.pred_mode == 2  # D.MODE_IBC
+    ibc_q = cu_q.pred_mode == 2
+
     if sh_q.is_b or sh_p.is_b:
-        rp0, rp1 = ref(sh_p, mi_p, 0), ref(sh_p, mi_p, 1)
-        rq0, rq1 = ref(sh_q, mi_q, 0), ref(sh_q, mi_q, 1)
+        rp0, rp1 = ref(sh_p, mi_p, 0, ibc_p), ref(sh_p, mi_p, 1, ibc_p)
+        rq0, rq1 = ref(sh_q, mi_q, 0, ibc_q), ref(sh_q, mi_q, 1, ibc_q)
         mv_p0 = mi_p.mv[0] if mi_p.ref_idx[0] >= 0 else (0, 0)
         mv_p1 = mi_p.mv[1] if mi_p.ref_idx[1] >= 0 else (0, 0)
         mv_q0 = mi_q.mv[0] if mi_q.ref_idx[0] >= 0 else (0, 0)
@@ -672,8 +680,8 @@ def _bs_single(dcs, cu, edge_dir, lx, ly, ch, preset: int = 0) -> int:
         else:
             bs = 1
         return bs + tmp_bs
-    rp0 = ref(sh_p, mi_p, 0)
-    rq0 = ref(sh_q, mi_q, 0)
+    rp0 = ref(sh_p, mi_p, 0, ibc_p)
+    rq0 = ref(sh_q, mi_q, 0, ibc_q)
     if rp0 is not rq0:
         return tmp_bs + 1
     mv_p0, mv_q0 = mi_p.mv[0], mi_q.mv[0]
@@ -760,7 +768,11 @@ def _edge_filter_luma(dcs, pic, cu, edge_dir, edge, state, ctu_x, ctu_y, maxv):
                 dq0l = (dq0l + _calc_dq(_Line(plane, px, py + 3, 0, 1)) + 1) >> 1
                 dq3l = (dq3l + _calc_dq(_Line(plane, px + 3, py + 3, 0, 1)) + 1) >> 1
         use_long = False
-        no_p = no_q = False  # PLT not supported yet
+        # palette-coded sides are never filtered (LoopFilter.cpp:1091-1096)
+        no_p = no_q = False
+        if sps.palette:
+            no_p = cu_p.pred_mode == 3  # MODE_PLT
+            no_q = cu.pred_mode == 3
         if side_p_large and max_p > 5 and False:
             pass
         if side_p_large or side_q_large:
@@ -876,7 +888,11 @@ def _edge_filter_chroma(dcs, pic, cu, edge_dir, edge, state, ctu_x, ctu_y, maxv)
                 if bit_depth < 10 else TC_TABLE[idx_tc] << (bit_depth - 10)
             )
             use_long = False
+            # palette-coded sides are never filtered (LoopFilter.cpp:1274-1275)
             no_p = no_q = False
+            if sps.palette:
+                no_p = tu_p.cu.pred_mode == 3  # MODE_PLT
+                no_q = tu_q.cu.pred_mode == 3
 
             def cline(step):
                 if edge_dir == EDGE_VER:

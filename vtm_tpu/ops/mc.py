@@ -161,7 +161,30 @@ def bi_average(p0: np.ndarray, p1: np.ndarray, bd: int) -> np.ndarray:
     return np.clip((p0 + p1 + offset) >> shift, 0, (1 << bd) - 1)
 
 
-_GEO_WEIGHTS = [rom.get("geoWeights0"), rom.get("geoWeights1")]
+def _init_geo_weights():
+    """All GEO_NUM_PRESTORED_MASK=6 weight masks (initGeoTemplate,
+    Rom.cpp:719-747) — the ROM dump only carries masks 0 and 1."""
+    a2m = rom.get("geoAngle2mask")
+    dis = rom.get("geoDis")
+    masks = [None] * 6
+    s = 112  # GEO_WEIGHT_MASK_SIZE
+    mask_off = (2 * 64 - s) >> 1
+    y = np.arange(s)
+    x = np.arange(s)
+    for angle in range(9):  # (GEO_NUM_ANGLES >> 2) + 1
+        if a2m[angle] == -1:
+            continue
+        dist_x = angle
+        dist_y = (dist_x + 8) % 32
+        rho = (int(dis[dist_x]) << 7) + (int(dis[dist_y]) << 7)
+        lookup_y = ((((y + mask_off) << 1) + 1) * int(dis[dist_y]))[:, None]
+        sx = (((x + mask_off) << 1) + 1)[None, :]
+        widx = sx * int(dis[dist_x]) + lookup_y - rho
+        masks[int(a2m[angle])] = np.clip((32 + widx + 4) >> 3, 0, 8).astype(np.int16)
+    return masks
+
+
+_GEO_WEIGHTS = _init_geo_weights()
 _GEO_PARAMS = rom.get("geoParams")
 _GEO_OFFSET = rom.get("geoWeightOffset")
 _GEO_A2MASK = rom.get("geoAngle2mask")
