@@ -65,3 +65,38 @@ def test_roundtrip_inter_ldp_tiny64():
     assert len(dec.hash_results) == len(frames)
     for hr in dec.hash_results:
         assert hr.ok, f"decoded-picture-hash mismatch at POC {hr.poc}"
+
+
+def test_roundtrip_inter_ldb_tiny64():
+    """LowDelayBEncoder: IDR + B frames (L0=L1=prev), bi/uni AMVP + merge."""
+    from vtm_tpu.encoder.enc_lib import LowDelayBEncoder
+
+    fmt = YuvFormat(64, 64, ChromaFormat.YUV420, 8)
+    frames = read_yuv(f"{TESTDATA}/tiny64_64x64_420_8.yuv", fmt, 3)
+    cfg = EncoderConfig(width=64, height=64, qp=32, max_mtt_depth_intra=0)
+    enc = LowDelayBEncoder(cfg)
+    bits = enc.encode(frames)
+    dec = Decoder()
+    pics = dec.decode_stream(bits)
+    assert len(pics) == len(frames)
+    assert len(dec.hash_results) == len(frames)
+    for hr in dec.hash_results:
+        assert hr.ok, f"decoded-picture-hash mismatch at POC {hr.poc}"
+
+
+def test_roundtrip_inter_ra_tiny64():
+    """RandomAccessEncoder: hierarchical-B GOP with dyadic bisection and
+    RPL keep-alive entries for the pyramid."""
+    from vtm_tpu.encoder.enc_lib import RandomAccessEncoder
+
+    fmt = YuvFormat(64, 64, ChromaFormat.YUV420, 8)
+    frames = read_yuv(f"{TESTDATA}/tiny64_64x64_420_8.yuv", fmt, 5)
+    cfg = EncoderConfig(width=64, height=64, qp=32, max_mtt_depth_intra=0)
+    enc = RandomAccessEncoder(cfg, gop_size=4)
+    bits = enc.encode(frames)
+    dec = Decoder()
+    pics = dec.decode_stream(bits)
+    assert len(pics) == len(frames)
+    assert len(dec.hash_results) == len(frames)
+    for hr in dec.hash_results:
+        assert hr.ok, f"decoded-picture-hash mismatch at POC {hr.poc}"

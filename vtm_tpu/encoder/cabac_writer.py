@@ -131,15 +131,38 @@ class SyntaxWriter:
     # -- inter prediction data (tools-off SPS: regular merge + AMVP only) --
 
     def prediction_unit(self, cu: CU):
+        from vtm_tpu.common.types import SliceType
+        from vtm_tpu.decoder import motion as M
+
+        sh = self.cs.sh
         if not cu.skip:
             self.e.encode_bin(int(cu.merge_flag), ctx("MergeFlag"))
         if cu.merge_flag:
             # merge_data: no subblock (affine cand 0), no mmvd/geo/ciip bins
             self.merge_idx(cu)
             return
-        # P slice: interdir inferred 1; 1 active ref → no ref_idx bins
-        self.mvd_coding(cu.mvd[0])
-        self.e.encode_bin(cu.mvp_idx[0], ctx("MVPIdx"))
+        if sh.slice_type == SliceType.B:
+            self.inter_pred_idc(cu)
+        # 1 active ref per list → no ref_idx bins
+        if cu.interdir != 2:
+            self.mvd_coding(cu.mvd[0])
+            self.e.encode_bin(cu.mvp_idx[0], ctx("MVPIdx"))
+        if cu.interdir != 1:
+            if not (self.cs.ph.mvd_l1_zero and cu.interdir == 3):
+                self.mvd_coding(cu.mvd[1])
+            self.e.encode_bin(cu.mvp_idx[1], ctx("MVPIdx"))
+
+    def inter_pred_idc(self, cu: CU):
+        """Mirror of CABACReader::inter_pred_idc (CABACReader.cpp:2402)."""
+        from vtm_tpu.decoder import motion as M
+
+        if not M.is_bipred_restriction(cu):
+            w, h = cu.lwidth, cu.lheight
+            c = 7 - (((w.bit_length() - 1) + (h.bit_length() - 1) + 1) >> 1)
+            self.e.encode_bin(int(cu.interdir == 3), ctx("InterDir", c))
+            if cu.interdir == 3:
+                return
+        self.e.encode_bin(int(cu.interdir == 2), ctx("InterDir", 5))
 
     def merge_idx(self, cu: CU):
         n_minus1 = self.sps.max_num_merge_cand - 1

@@ -552,6 +552,17 @@ class InterEncoder(IntraEncoder):
             nal = super().encode_frame(src_planes, poc)
             self._store_ref(poc)
             return nal
+        d = poc - self.prev_pic.poc
+        return self.encode_inter_frame(
+            src_planes, poc, SliceType.P, [d], [d],
+            self.cfg.qp + getattr(self.cfg, "p_qp_offset", 5))
+
+    def encode_inter_frame(self, src_planes, poc: int, slice_type,
+                           rpl0: list, rpl1: list, qp: int) -> bytes:
+        """Encode one P or B picture.
+
+        rpl0/rpl1: POC-delta lists (positive = past, negative = future);
+        the first entry of each list is the active reference."""
         cfg = self.cfg
         sps, pps = self.sps, self.pps
         from types import SimpleNamespace
@@ -560,29 +571,38 @@ class InterEncoder(IntraEncoder):
         from vtm_tpu.decoder import motion as M
         from vtm_tpu.decoder.cabac_reader import SyntaxReader
 
+        is_b = slice_type == SliceType.B
         vlc.derive_pps_partitioning(pps, sps)
         ph = PicHeader()
         ph.inter_slice_allowed = True
         ph.intra_slice_allowed = False
-        ph.mvd_l1_zero = True
+        # B pictures code both mvds (true bi ME); P leaves L1 unused
+        ph.mvd_l1_zero = not is_b
         ph.tmvp_enabled = False
         ph.max_num_affine_merge_cand = 0
         ph.min_qt_size = list(sps.min_qt_size)
         ph.max_mtt_depth = list(sps.max_mtt_depth)
         ph.max_bt_size = list(sps.max_bt_size)
         ph.max_tt_size = list(sps.max_tt_size)
-        self.frame_qp = cfg.qp + getattr(cfg, "p_qp_offset", 5)
+        self.frame_qp = qp
         self.lam = 0.578 * 2.0 ** ((self.frame_qp - 12) / 3.0)
         sh = SliceHeader()
-        sh.slice_type = SliceType.P
+        sh.slice_type = slice_type
         sh.qp = self.frame_qp
         sh.poc = poc
-        sh.num_ref_idx = [1, 0]
-        sh.ref_pics = [[self.prev_pic], []]
-        sh.ref_pocs = [[self.prev_pic.poc], []]
-        sh.ref_longterm = [[False], []]
-        sh.check_ldc = True
+        sh.num_ref_idx = [1, 1 if is_b else 0]
+        refs0 = [self.dpb[poc - d] for d in rpl0]
+        refs1 = [self.dpb[poc - d] for d in rpl1]
+        sh.ref_pics = [refs0[:1], refs1[:1] if is_b else []]
+        sh.ref_pocs = [[p.poc for p in sh.ref_pics[0]],
+                       [p.poc for p in sh.ref_pics[1]]]
+        sh.ref_longterm = [[False] * len(sh.ref_pics[0]),
+                           [False] * len(sh.ref_pics[1])]
+        sh.check_ldc = all(p <= poc for p in sh.ref_pocs[0]) and all(
+            p <= poc for p in sh.ref_pocs[1])
+        sh.bi_dir_pred = False
         sh.independent_slice_idx = 0
+        self._rpl_deltas = (rpl0, rpl1)
         n_ctu = pps.pic_width_in_ctu(sps.ctu_size) * pps.pic_height_in_ctu(sps.ctu_size)
         dcs = D.DecCodingStructure(sps, pps, ph, sh, np.zeros(n_ctu, dtype=np.int32))
         dcs._slice_headers = [sh]
@@ -595,7 +615,7 @@ class InterEncoder(IntraEncoder):
         planes = [np.zeros_like(p) for p in src_planes]
         self.recon = CuReconstructor(dcs, planes)
         ctx_m = ContextModels()
-        ctx_m.init(self.frame_qp, int(SliceType.P))
+        ctx_m.init(self.frame_qp, int(slice_type))
         slice_bw = BitWriter()
         enc = BinEncoder(slice_bw, ctx_m)
         enc.start()
@@ -625,8 +645,9 @@ class InterEncoder(IntraEncoder):
                     enc.encode_bin_trm(1)
         enc.finish()
         slice_bw.write_byte_alignment()
-        hdr = W.write_slice_header_head(cfg, poc, self.frame_qp, slice_type_p=True,
-                                        ref_delta=poc - self.prev_pic.poc)
+        hdr = W.write_slice_header_head(cfg, poc, self.frame_qp,
+                                        slice_type=slice_type, rpl0=rpl0,
+                                        rpl1=rpl1, mvd_l1_zero=ph.mvd_l1_zero)
         rbsp = bytes(hdr.bytes) + slice_bw.data()
         nal = make_nal(nalio.NAL_TRAIL, rbsp)
         from vtm_tpu.ops import deblock as DB
@@ -646,6 +667,9 @@ class InterEncoder(IntraEncoder):
         self.prev_pic = SimpleNamespace(
             poc=poc, planes=self.last_recon, slices=[self.dcs.sh]
         )
+        if not hasattr(self, "dpb"):
+            self.dpb = {}
+        self.dpb[poc] = self.prev_pic
 
     # ------------------------------------------------------------------
     def _rd_cu(self, a: Rect, part: P.Partitioner, est: BitEstimator) -> float:
@@ -691,9 +715,16 @@ class InterEncoder(IntraEncoder):
         for idx in merge_list[:4]:
             consider(lambda e, idx=idx: self._try_merge(a, part, idx, True, e))
             consider(lambda e, idx=idx: self._try_merge(a, part, idx, False, e))
-        # AMVP with motion estimation
-        mv, mvp_idx = self._motion_estimate(a, part)
-        consider(lambda e: self._try_amvp(a, part, mv, mvp_idx, e))
+        # AMVP with motion estimation (per list; bi for B slices)
+        mv0, mvp_idx0 = self._motion_estimate(a, part, 0)
+        consider(lambda e: self._try_amvp(a, part, 0, mv0, mvp_idx0, e))
+        if dcs.sh.is_b:
+            mv1, mvp_idx1 = self._motion_estimate(a, part, 1)
+            if dcs.sh.ref_pocs[1][0] != dcs.sh.ref_pocs[0][0]:
+                consider(lambda e: self._try_amvp(a, part, 1, mv1, mvp_idx1, e))
+            if a.w + a.h > 12:  # bi-pred restriction (PU::isBipredRestriction)
+                consider(lambda e: self._try_bi(a, part, mv0, mvp_idx0,
+                                                mv1, mvp_idx1, e))
         # intra fallback (top preselected modes)
         if a.x1 <= dcs.pic_w and a.y1 <= dcs.pic_h:
             src_y = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
@@ -792,7 +823,7 @@ class InterEncoder(IntraEncoder):
         cu.root_cbf = False
         return self._commit_inter(cu, a, part, est, skip=True)
 
-    def _try_amvp(self, a, part, mv, mvp_idx, est):
+    def _try_amvp(self, a, part, lst, mv, mvp_idx, est):
         from vtm_tpu.decoder import motion as M
 
         dcs = self.dcs
@@ -800,31 +831,56 @@ class InterEncoder(IntraEncoder):
         cu.idx = len(dcs.cus)
         cu.merge_flag = False
         cu.skip = False
-        cu.interdir = 1
-        cu.ref_idx = [0, -1]
-        cands = M.fill_mvp_cand(dcs, cu, 0, 0)
+        cu.interdir = 1 << lst
+        cu.ref_idx = [0 if lst == 0 else -1, 0 if lst == 1 else -1]
+        cands = M.fill_mvp_cand(dcs, cu, lst, 0)
         mvp = cands[mvp_idx]
-        cu.mvp_idx = [mvp_idx, 0]
-        cu.mvd = [((mv[0] - mvp[0]) >> 2, (mv[1] - mvp[1]) >> 2), (0, 0)]
+        mvd = ((mv[0] - mvp[0]) >> 2, (mv[1] - mvp[1]) >> 2)
+        cu.mvp_idx = [0, 0]
+        cu.mvp_idx[lst] = mvp_idx
+        cu.mvd = [(0, 0), (0, 0)]
+        cu.mvd[lst] = mvd
         # reconstruct the decoder's view: mv = mvp + (mvd << 2)
-        mvd_int = (cu.mvd[0][0] << 2, cu.mvd[0][1] << 2)
-        cu.mv = [M.mv_clip_periodic((mvp[0] + mvd_int[0], mvp[1] + mvd_int[1])),
-                 (0, 0)]
+        cu.mv = [(0, 0), (0, 0)]
+        cu.mv[lst] = M.mv_clip_periodic(
+            (mvp[0] + (mvd[0] << 2), mvp[1] + (mvd[1] << 2)))
+        return self._commit_inter(cu, a, part, est, skip=False)
+
+    def _try_bi(self, a, part, mv0, mvp_idx0, mv1, mvp_idx1, est):
+        from vtm_tpu.decoder import motion as M
+
+        dcs = self.dcs
+        cu = self._make_inter_cu(a, part)
+        cu.idx = len(dcs.cus)
+        cu.merge_flag = False
+        cu.skip = False
+        cu.interdir = 3
+        cu.ref_idx = [0, 0]
+        cu.mvp_idx = [mvp_idx0, mvp_idx1]
+        cu.mvd = [(0, 0), (0, 0)]
+        cu.mv = [(0, 0), (0, 0)]
+        for lst, (mv, mi) in enumerate(((mv0, mvp_idx0), (mv1, mvp_idx1))):
+            cands = M.fill_mvp_cand(dcs, cu, lst, 0)
+            mvp = cands[mi]
+            mvd = ((mv[0] - mvp[0]) >> 2, (mv[1] - mvp[1]) >> 2)
+            cu.mvd[lst] = mvd
+            cu.mv[lst] = M.mv_clip_periodic(
+                (mvp[0] + (mvd[0] << 2), mvp[1] + (mvd[1] << 2)))
         return self._commit_inter(cu, a, part, est, skip=False)
 
     # -- motion estimation ---------------------------------------------
-    def _motion_estimate(self, a: Rect, part):
+    def _motion_estimate(self, a: Rect, part, lst: int = 0):
         """Diamond integer search + quarter-pel refinement on luma SAD."""
         from vtm_tpu.decoder import motion as M
 
         dcs = self.dcs
-        ref = self.prev_pic.planes[0]
+        ref = dcs.sh.ref_pics[lst][0].planes[0]
         src = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
         probe = self._make_inter_cu(a, part)
         probe.idx = len(dcs.cus)
-        probe.interdir = 1
-        probe.ref_idx = [0, -1]
-        cands = M.fill_mvp_cand(dcs, probe, 0, 0)
+        probe.interdir = 1 << lst
+        probe.ref_idx = [0 if lst == 0 else -1, 0 if lst == 1 else -1]
+        cands = M.fill_mvp_cand(dcs, probe, lst, 0)
         lam_me = np.sqrt(self.lam)
 
         ph_, pw_ = ref.shape
@@ -889,3 +945,83 @@ class InterEncoder(IntraEncoder):
                         best_q = mvq
                         improved = True
         return best_q, bi
+
+
+class LowDelayBEncoder(InterEncoder):
+    """IDR + low-delay B pictures (both lists = previous picture),
+    mirroring encoder_lowdelay_vtm.cfg's GOP-1 shape."""
+
+    def encode(self, frames):
+        out = bytearray()
+        out += self.sps_nal
+        out += self.pps_nal
+        for poc, planes in enumerate(frames):
+            if poc == 0:
+                out += self.encode_frame(planes, 0, is_p=False)
+            else:
+                out += self.encode_inter_frame(
+                    planes, poc, SliceType.B, [1], [1],
+                    self.cfg.qp + getattr(self.cfg, "b_qp_offset", 5))
+        return bytes(out)
+
+
+class RandomAccessEncoder(InterEncoder):
+    """IDR + hierarchical-B GOPs (encoder_randomaccess_vtm.cfg shape):
+    key picture per GOP referencing the previous key, then dyadic bisection
+    B pictures referencing the nearest decoded past/future pictures.
+
+    Full RPLs carry every still-needed DPB picture (inactive entries) so
+    RPL-based reference marking (Slice.cpp applyReferencePictureListBased-
+    Marking) keeps the pyramid alive; active count stays 1 per list."""
+
+    def __init__(self, cfg, gop_size: int = 8):
+        super().__init__(cfg)
+        self.gop_size = gop_size
+
+    def _plan(self, n: int):
+        """Decode-order plan: (poc, past_ref, future_ref|None, qp_off)."""
+        plan = []
+
+        def bisect(lo, hi, level):
+            if hi - lo < 2:
+                return
+            mid = (lo + hi + 1) // 2
+            plan.append((mid, lo, hi, min(2 + level, 6)))
+            bisect(lo, mid, level + 1)
+            bisect(mid, hi, level + 1)
+
+        lo = 0
+        while lo < n - 1:
+            hi = min(lo + self.gop_size, n - 1)
+            plan.append((hi, lo, None, 1))
+            bisect(lo, hi, 0)
+            lo = hi
+        return plan
+
+    def encode(self, frames):
+        out = bytearray()
+        out += self.sps_nal
+        out += self.pps_nal
+        n = len(frames)
+        out += self.encode_frame(frames[0], 0, is_p=False)
+        plan = self._plan(n)
+        decoded = {0}
+        for i, (poc, past, fut, qp_off) in enumerate(plan):
+            # keep-alive set: refs needed by this and all later pictures
+            keep = set()
+            for poc2, p2, f2, _ in plan[i + 1:]:
+                for r in (p2, f2):
+                    if r is not None and r in decoded:
+                        keep.add(r)
+            own = [past] + ([fut] if fut is not None else [])
+            keep -= set(own + [poc])
+            rpl0 = [poc - past] + sorted(poc - k for k in keep)
+            active1 = fut if fut is not None else past
+            rpl1 = [poc - active1] + sorted(
+                poc - k for k in keep if k != active1)
+            # dedup: rpl1 tail may repeat rpl0's entries — fine (separate lists)
+            out += self.encode_inter_frame(
+                frames[poc], poc, SliceType.B, rpl0, rpl1,
+                self.cfg.qp + qp_off)
+            decoded.add(poc)
+        return bytes(out)

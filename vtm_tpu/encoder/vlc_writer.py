@@ -61,8 +61,8 @@ def write_sps(cfg) -> bytes:
     w.u(0, 2)  # num_extra_ph_bits_bytes
     w.u(0, 2)  # num_extra_sh_bits_bytes
     # dpb (ptl present, single sublayer)
-    w.ue(3 if getattr(cfg, "inter", False) else 0)  # max_dec_pic_buffering_minus1
-    w.ue(0)  # max_num_reorder_pics
+    w.ue(7 if getattr(cfg, "inter", False) else 0)  # max_dec_pic_buffering_minus1
+    w.ue(5 if getattr(cfg, "inter", False) else 0)  # max_num_reorder_pics
     w.ue(0)  # max_latency_increase_plus1
     w.flag(0)  # qtbtt_dual_tree_intra (chroma 420 present)
     w.ue(cfg.log2_min_cb_size - 2)
@@ -164,14 +164,15 @@ def write_pps(cfg) -> bytes:
     return make_nal(nalio.NAL_PPS, w.data())
 
 
-def write_picture_header(w: BitWriter, cfg, poc: int, is_irap: bool = True):
+def write_picture_header(w: BitWriter, cfg, poc: int, is_irap: bool = True,
+                         mvd_l1_zero: bool = True):
     """PH embedded in slice header (mirrors vlc.parse_picture_header)."""
     w.flag(1 if is_irap else 0)  # gdr_or_irap
     if is_irap:
         w.flag(0)  # gdr_pic
     w.flag(0 if is_irap else 1)  # ph_inter_slice_allowed
     if not is_irap:
-        w.flag(0)  # ph_intra_slice_allowed (pure P picture)
+        w.flag(0)  # ph_intra_slice_allowed (pure inter picture)
     w.flag(0)  # non_reference_picture
     w.ue(0)  # pps id
     w.u(poc & 0xFF, 8)  # poc lsb
@@ -179,31 +180,53 @@ def write_picture_header(w: BitWriter, cfg, poc: int, is_irap: bool = True):
         w.flag(0)  # no_output_of_prior_pics
     if not is_irap:
         # inter-slice PH fields for our SPS (no tmvp/affine/mmvd/bdof/dmvr)
-        w.flag(1)  # mvd_l1_zero (L1 unused in P)
+        w.flag(1 if mvd_l1_zero else 0)  # mvd_l1_zero
     # nothing else for our SPS/PPS feature set
 
 
+def _write_rpl(w: BitWriter, deltas):
+    """ref_pic_list_struct of short-term refs; deltas are POC differences
+    (positive = past ref: ref_poc = poc - delta), cumulative-coded
+    (VLCWriter xCodeRefPicListStruct; parse mirror vlc.parse_ref_pic_list)."""
+    w.ue(len(deltas))
+    prev = 0
+    for d in deltas:
+        rv = d - prev
+        prev = d
+        # sps weighted pred off → abs_delta_poc_st carries abs-1 always
+        w.ue(abs(rv) - 1)
+        w.flag(1 if rv > 0 else 0)
+
+
 def _write_rpl_one_past_ref(w: BitWriter, delta: int):
-    """ref_pic_list_struct with a single short-term ref `delta` pics back."""
-    w.ue(1)  # num_ref_entries
-    # no long-term flag (sps_long_term_ref_pics off)
-    w.ue(delta - 1)  # abs_delta_poc_st (+1 implied for entry 0)
-    w.flag(1)  # strp_entry_sign_flag: positive identifier → past ref
+    _write_rpl(w, [delta])
 
 
-def write_slice_header_head(cfg, poc: int, qp: int, slice_type_p: bool = False,
-                            ref_delta: int = 1) -> BitWriter:
-    """Slice header up to (and including) byte alignment before slice data."""
+def write_slice_header_head(cfg, poc: int, qp: int, slice_type=None,
+                            rpl0=None, rpl1=None, slice_type_p: bool = False,
+                            ref_delta: int = 1, mvd_l1_zero: bool = True) -> BitWriter:
+    """Slice header up to (and including) byte alignment before slice data.
+
+    rpl0/rpl1: lists of POC deltas (positive = past, negative = future)."""
+    from vtm_tpu.common.types import SliceType
+
+    if slice_type is None:
+        slice_type = SliceType.P if slice_type_p else SliceType.I
+        if slice_type_p:
+            rpl0 = rpl1 = [ref_delta]
     w = BitWriter()
     w.flag(1)  # picture_header_in_slice_header
-    write_picture_header(w, cfg, poc, is_irap=not slice_type_p)
+    write_picture_header(w, cfg, poc, is_irap=slice_type == SliceType.I,
+                         mvd_l1_zero=mvd_l1_zero)
     # no subpics, rect slice single → no address; no extra bits
-    if slice_type_p:
-        w.ue(1)  # sh_slice_type: P
+    if slice_type != SliceType.I:
+        w.ue(int(slice_type))  # sh_slice_type (B=0, P=1)
         # explicit RPLs (no SPS candidate lists): L0 then L1
-        _write_rpl_one_past_ref(w, ref_delta)
-        _write_rpl_one_past_ref(w, ref_delta)
-        # num_ref_idx_active_override: only when rpl0 entries > 1 → absent
+        _write_rpl(w, rpl0)
+        _write_rpl(w, rpl1)
+        # num_ref_idx_active_override (SH parse: present when rpl0>1 or B&rpl1>1)
+        if len(rpl0) > 1 or (slice_type == SliceType.B and len(rpl1) > 1):
+            w.flag(0)  # use defaults (PPS num_ref_idx_default_active = 1)
     w.se(qp - cfg.init_qp)  # slice_qp_delta
     # no sao, no deblocking override, no dep quant / sdh / ts flags
     # no entry points (entry_point_offsets_present=0)
