@@ -1,0 +1,77 @@
+"""Bitstream utility apps: parcat, SEI removal, stream merge/extract."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vtm_tpu.common.types import ChromaFormat
+from vtm_tpu.decoder.declib import Decoder
+from vtm_tpu.utils.yuv_io import YuvFormat, read_yuv
+
+TD = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata")
+
+
+def _enc(frames, w, h):
+    from vtm_tpu.encoder.enc_lib import EncoderConfig, InterEncoder
+
+    cfg = EncoderConfig(width=w, height=h, qp=32, max_mtt_depth_intra=0)
+    return InterEncoder(cfg).encode(frames)
+
+
+def test_parcat_gop_parallel():
+    """Two overlapping segments stitch into one decodable stream with
+    continuous POCs (App/Parcat readme: GOP-parallel encoding)."""
+    from vtm_tpu.apps.parcat import parcat
+
+    fmt = YuvFormat(64, 64, ChromaFormat.YUV420, 8)
+    frames = read_yuv(f"{TD}/tiny64_64x64_420_8.yuv", fmt, 5)
+    seg1 = _enc(frames[0:3], 64, 64)   # frames 0,1,2 (IDR+P+P)
+    seg2 = _enc(frames[3:5], 64, 64)   # frames 3,4 (own IDR)
+    p1, p2 = "/tmp/parcat_s1.bit", "/tmp/parcat_s2.bit"
+    open(p1, "wb").write(seg1)
+    open(p2, "wb").write(seg2)
+    out = parcat([p1, p2])
+    dec = Decoder()
+    pics = dec.decode_stream(out)
+    assert sorted(p.poc for p in pics) == [0, 1, 2, 3, 4]
+    assert len(dec.hash_results) == 5
+    for hr in dec.hash_results:
+        assert hr.ok, f"hash mismatch at POC {hr.poc}"
+
+
+def test_sei_removal():
+    from vtm_tpu.apps.sei_removal import remove_sei
+
+    path = os.path.join(TD, "ai_min_tiny64_qp27.bit")
+    if not os.path.exists(path):
+        pytest.skip("golden streams not generated")
+    data = open(path, "rb").read()
+    out = remove_sei(data)
+    assert len(out) < len(data)
+    dec = Decoder()
+    pics = dec.decode_stream(out)
+    assert pics and not dec.hash_results  # hash SEIs gone, stream decodes
+
+
+def test_stream_merge_and_extract():
+    from vtm_tpu.apps.bitstream_extract import extract_layer
+    from vtm_tpu.apps.stream_merge import merge_streams
+
+    a = os.path.join(TD, "ai_min_tiny64_qp27.bit")
+    b = os.path.join(TD, "ai_min_tiny64_qp37.bit")
+    if not (os.path.exists(a) and os.path.exists(b)):
+        pytest.skip("golden streams not generated")
+    open("/tmp/merge_a.bit", "wb").write(open(a, "rb").read())
+    open("/tmp/merge_b.bit", "wb").write(open(b, "rb").read())
+    merged = merge_streams(["/tmp/merge_a.bit", "/tmp/merge_b.bit"])
+    for layer, src in ((0, a), (1, b)):
+        ext = extract_layer(merged, layer)
+        dec0 = Decoder()
+        ref = dec0.decode_stream(open(src, "rb").read())
+        dec1 = Decoder()
+        got = dec1.decode_stream(ext)
+        assert len(got) == len(ref)
+        for pr, pg in zip(ref, got):
+            for c in range(3):
+                assert np.array_equal(pr.planes[c], pg.planes[c])

@@ -69,13 +69,26 @@ def main(argv=None):
     import numpy as np
 
     from vtm_tpu.common.types import ChromaFormat
-    from vtm_tpu.encoder.enc_lib import EncoderConfig, InterEncoder, IntraEncoder
+    from vtm_tpu.encoder.enc_lib import (
+        EncoderConfig, InterEncoder, IntraEncoder, LowDelayBEncoder,
+        RandomAccessEncoder,
+    )
     from vtm_tpu.utils import yuv_io
 
     fmt = yuv_io.YuvFormat(w, h, ChromaFormat.YUV420, bd)
     frames = yuv_io.read_yuv(infile, fmt, n)
     cfg = EncoderConfig(width=w, height=h, qp=qp, bit_depth=bd)
-    enc = IntraEncoder(cfg) if intra_period == 1 else InterEncoder(cfg)
+    gop_size = geti("GOPSize", 1)
+    frame1 = opts.get("Frame1", "")
+    if intra_period == 1:
+        enc = IntraEncoder(cfg)
+    elif gop_size > 2:
+        # hierarchical GOP (encoder_randomaccess_vtm.cfg shape)
+        enc = RandomAccessEncoder(cfg, gop_size=min(gop_size, 16))
+    elif frame1.strip().startswith("B"):
+        enc = LowDelayBEncoder(cfg)
+    else:
+        enc = InterEncoder(cfg)
     t0 = time.time()
     bits = enc.encode(frames)
     dt = time.time() - t0
