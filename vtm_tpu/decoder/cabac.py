@@ -66,6 +66,26 @@ class ContextModels:
 
 _RENORM = rom.renorm_table().astype(np.int32)
 
+_NATIVE = None
+
+
+def make_cabac_decoder(data: bytes, ctx: "ContextModels"):
+    """Engine factory: native C engine when available (vtm_tpu/native/
+    cabac.c), pure-Python fallback. Tracing always uses the Python engine
+    (the native one has no bin trace)."""
+    global _NATIVE
+    import os
+
+    if os.environ.get("VTM_TPU_CABAC_TRACE"):
+        return CabacDecoder(data, ctx)
+    if _NATIVE is None:
+        from vtm_tpu.native import load_cabac
+
+        _NATIVE = load_cabac() or False
+    if _NATIVE:
+        return _NATIVE.NativeCabac(data, ctx, _RENORM)
+    return CabacDecoder(data, ctx)
+
 
 class CabacDecoder:
     """Arithmetic decoder over one substream (BinDecoderBase + TBinDecoder)."""

@@ -11,7 +11,7 @@ import numpy as np
 
 from vtm_tpu.common.types import SliceType
 from vtm_tpu.decoder import cs as D
-from vtm_tpu.decoder.cabac import CabacDecoder, ContextModels
+from vtm_tpu.decoder.cabac import CabacDecoder, ContextModels, make_cabac_decoder
 from vtm_tpu.decoder.cabac_reader import SaoParams, SyntaxReader
 from vtm_tpu.decoder.cs import Rect
 from vtm_tpu.decoder.dec_cu import CuReconstructor
@@ -92,7 +92,7 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
         trace_file = dec._trace_file
     dcs.prev_plt.reset()  # DecSlice.cpp:97
     ctx = ContextModels()
-    cab = CabacDecoder(substreams[0], ctx)
+    cab = make_cabac_decoder(substreams[0], ctx)
     cab.trace = trace_file
     ctx.init(sh.qp, _ctx_init_id(sh))
     cab.start()
@@ -134,7 +134,7 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
         if new_substream:
             substream_idx += 1
             prev_count = cab.trace_count
-            cab = CabacDecoder(substreams[substream_idx], ctx)
+            cab = make_cabac_decoder(substreams[substream_idx], ctx)
             cab.trace = trace_file
             cab.trace_count = prev_count
             cab.start()

@@ -164,39 +164,41 @@ def bdof_blend(p0e, p1e, w, h, bd):
     shift_num = MC.IF_INTERNAL_PREC + 1 - bd
     offset = (1 << (shift_num - 1)) + 2 * MC.IF_INTERNAL_OFFS
     limit = 15
-    out = np.zeros((h, w), dtype=np.int64)
     maxv = (1 << bd) - 1
-    for yu in range(h >> 2):
-        for xu in range(w >> 2):
-            # 6x6 window starting at extended coords (yu*4, xu*4)
-            ys = slice(yu * 4, yu * 4 + 6)
-            xs = slice(xu * 4, xu * 4 + 6)
-            tmp_gx = (gx0[ys, xs] + gx1[ys, xs]) >> 1
-            tmp_gy = (gy0[ys, xs] + gy1[ys, xs]) >> 1
-            tmp_di = (p1e[ys, xs] >> 4) - (p0e[ys, xs] >> 4)
-            sum_abs_gx = int(np.abs(tmp_gx).sum())
-            sum_abs_gy = int(np.abs(tmp_gy).sum())
-            sum_dix = int(np.where(tmp_gx < 0, -tmp_di,
-                                   np.where(tmp_gx == 0, 0, tmp_di)).sum())
-            sum_diy = int(np.where(tmp_gy < 0, -tmp_di,
-                                   np.where(tmp_gy == 0, 0, tmp_di)).sum())
-            sum_sign = int(np.where(tmp_gy < 0, -tmp_gx,
-                                    np.where(tmp_gy == 0, 0, tmp_gx)).sum())
-            tmpx = 0 if sum_abs_gx == 0 else (sum_dix << 2) >> _floor_log2(sum_abs_gx)
-            tmpx = max(-limit, min(limit, tmpx))
-            mains = sum_sign >> 12
-            secs = sum_sign & 4095
-            tmp_data = ((tmpx * mains) << 12) + tmpx * secs
-            tmp_data >>= 1
-            tmpy = 0 if sum_abs_gy == 0 else ((sum_diy << 2) - tmp_data) >> _floor_log2(sum_abs_gy)
-            tmpy = max(-limit, min(limit, tmpy))
-            # blend the inner 4x4 (extended coords +1)
-            iy = slice(yu * 4 + 1, yu * 4 + 5)
-            ix = slice(xu * 4 + 1, xu * 4 + 5)
-            b = tmpx * (gx0[iy, ix] - gx1[iy, ix]) + tmpy * (gy0[iy, ix] - gy1[iy, ix])
-            val = (p0e[iy, ix] + p1e[iy, ix] + b + offset) >> shift_num
-            out[yu * 4 : yu * 4 + 4, xu * 4 : xu * 4 + 4] = np.clip(val, 0, maxv)
-    return out
+    # vectorized over all 4x4 subblocks: 6x6 window sums at stride 4
+    from numpy.lib.stride_tricks import sliding_window_view as swv
+
+    tmp_gx = (gx0 + gx1) >> 1
+    tmp_gy = (gy0 + gy1) >> 1
+    tmp_di = (p1e >> 4) - (p0e >> 4)
+    sgx = np.sign(tmp_gx)
+    sgy = np.sign(tmp_gy)
+
+    def wsum(a):
+        return swv(a, (6, 6))[::4, ::4].sum(axis=(2, 3))
+
+    sum_abs_gx = wsum(np.abs(tmp_gx))
+    sum_abs_gy = wsum(np.abs(tmp_gy))
+    sum_dix = wsum(sgx * tmp_di)
+    sum_diy = wsum(sgy * tmp_di)
+    sum_sign = wsum(sgy * tmp_gx)
+    # floor_log2 via frexp (values are exact in float64 range)
+    lg_gx = np.frexp(np.maximum(sum_abs_gx, 1).astype(np.float64))[1] - 1
+    lg_gy = np.frexp(np.maximum(sum_abs_gy, 1).astype(np.float64))[1] - 1
+    tmpx = np.where(sum_abs_gx == 0, 0, (sum_dix << 2) >> lg_gx)
+    tmpx = np.clip(tmpx, -limit, limit)
+    mains = sum_sign >> 12
+    secs = sum_sign & 4095
+    tmp_data = (((tmpx * mains) << 12) + tmpx * secs) >> 1
+    tmpy = np.where(sum_abs_gy == 0, 0, ((sum_diy << 2) - tmp_data) >> lg_gy)
+    tmpy = np.clip(tmpy, -limit, limit)
+    # blend inner 4x4s (extended coords +1): broadcast per-subblock tmpx/y
+    tx = np.repeat(np.repeat(tmpx, 4, axis=0), 4, axis=1)
+    ty = np.repeat(np.repeat(tmpy, 4, axis=0), 4, axis=1)
+    inner = slice(1, h + 1), slice(1, w + 1)
+    b = tx * (gx0[inner] - gx1[inner]) + ty * (gy0[inner] - gy1[inner])
+    val = (p0e[inner] + p1e[inner] + b + offset) >> shift_num
+    return np.clip(val, 0, maxv)
 
 
 MAX_BDOF_REGION = 16

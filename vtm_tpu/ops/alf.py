@@ -188,88 +188,77 @@ def filter_block(src_pad, dst, x0, y0, w, h, is_luma, classes, transposes,
     shift = NUM_BITS - 1
     offset = 1 << (shift - 1)
     maxv = (1 << bit_depth) - 1
-    cls_size = 4
 
-    def S(y, x):
-        return int(src_pad[y + PAD, x + PAD])
+    # per-pixel coefficient/clip planes: expand the per-4x4 (luma) or
+    # single (chroma) permuted filters to (n_taps, w) per 4-row strip
+    n_taps = 12 if is_luma else 6
+    if is_luma:
+        nby, nbx = (h + 3) // 4, (w + 3) // 4
+        coef_blk = np.empty((nby, nbx, n_taps), dtype=np.int64)
+        clip_blk = np.empty((nby, nbx, n_taps), dtype=np.int64)
+        for bi in range(nby):
+            for bj in range(nbx):
+                perm = _TR7[int(transposes[bi, bj])][:n_taps]
+                cs = coeff_sets[int(classes[bi, bj])]
+                ls = clip_sets[int(classes[bi, bj])]
+                coef_blk[bi, bj] = [int(cs[k]) for k in perm]
+                clip_blk[bi, bj] = [int(ls[k]) for k in perm]
+        # taps: (row_off_pair, dx) per tap index
+        taps = [(5, 0), (3, 1), (3, 0), (3, -1), (1, 2), (1, 1), (1, 0),
+                (1, -1), (1, -2), (0, 3), (0, 2), (0, 1)]
+    else:
+        coef_1d = np.array([int(coeff_sets[k]) for k in _TR5[0][:n_taps]],
+                           dtype=np.int64)
+        clip_1d = np.array([int(clip_sets[k]) for k in _TR5[0][:n_taps]],
+                           dtype=np.int64)
+        taps = [(3, 0), (1, 1), (1, 0), (1, -1), (0, 2), (0, 1)]
 
-    for i in range(0, h, cls_size):
-        for j in range(0, w, cls_size):
+    src = src_pad.astype(np.int64)
+    rng = 2 if not is_luma else 4
+    for iy in range(h):
+        y = y0 + iy
+        yvb = y & (vb_ctu_height - 1)
+        o1, o2, o3, o4, o5, o6 = 1, -1, 2, -2, 3, -3
+        if yvb < vb_pos and yvb >= vb_pos - rng:  # above VB
+            if yvb == vb_pos - 1:
+                o1 = o2 = 0
+            if yvb >= vb_pos - 2:
+                o3, o4 = o1, o2
+            if yvb >= vb_pos - 3:
+                o5, o6 = o3, o4
+        elif vb_pos <= yvb <= vb_pos + (1 if not is_luma else 3):
+            if yvb == vb_pos:
+                o1 = o2 = 0
+            if yvb <= vb_pos + 1:
+                o3, o4 = o1, o2
+            if yvb <= vb_pos + 2:
+                o5, o6 = o3, o4
+        near_vb = yvb in (vb_pos - 1, vb_pos)
+        off_pairs = {0: (0, 0), 1: (o1, o2), 3: (o3, o4), 5: (o5, o6)}
+        py = y + PAD
+        px = x0 + PAD
+        curr = src[py, px : px + w]
+        if is_luma:
+            coef_px = np.repeat(coef_blk[iy // 4], 4, axis=0)[:w]  # (w, taps)
+            clip_px = np.repeat(clip_blk[iy // 4], 4, axis=0)[:w]
+        acc = np.zeros(w, dtype=np.int64)
+        for k, (op, dx) in enumerate(taps):
+            oa, ob = off_pairs[op]
+            a = src[py + oa, px + dx : px + dx + w]
+            b = src[py + ob, px - dx : px - dx + w]
             if is_luma:
-                cls = int(classes[i // 4, j // 4])
-                tr = int(transposes[i // 4, j // 4])
-                coef = [int(coeff_sets[cls][k]) for k in _TR7[tr]]
-                clip = [int(clip_sets[cls][k]) for k in _TR7[tr]]
+                cl = clip_px[:, k]
+                co = coef_px[:, k]
             else:
-                tr = 0
-                coef = [int(coeff_sets[k]) for k in _TR5[0]]
-                clip = [int(clip_sets[k]) for k in _TR5[0]]
-            for ii in range(cls_size):
-                y = y0 + i + ii
-                yvb = (y0 + i + ii) & (vb_ctu_height - 1)
-                # row offsets with VB clipping
-                o1, o2, o3, o4, o5, o6 = 1, -1, 2, -2, 3, -3
-                near = bit_depth and True
-                rng = 2 if not is_luma else 4
-                if yvb < vb_pos and yvb >= vb_pos - rng:  # above VB
-                    if yvb == vb_pos - 1:
-                        o1 = 0
-                    if yvb >= vb_pos - 2:
-                        o3 = o1
-                    if yvb >= vb_pos - 3:
-                        o5 = o3
-                    if yvb == vb_pos - 1:
-                        o2 = 0
-                    if yvb >= vb_pos - 2:
-                        o4 = o2
-                    if yvb >= vb_pos - 3:
-                        o6 = o4
-                elif yvb >= vb_pos and yvb <= vb_pos + (1 if not is_luma else 3):
-                    if yvb == vb_pos:
-                        o2 = 0
-                    if yvb <= vb_pos + 1:
-                        o4 = o2
-                    if yvb <= vb_pos + 2:
-                        o6 = o4
-                    if yvb == vb_pos:
-                        o1 = 0
-                    if yvb <= vb_pos + 1:
-                        o3 = o1
-                    if yvb <= vb_pos + 2:
-                        o5 = o3
-                near_vb = (yvb < vb_pos and yvb >= vb_pos - 1) or (
-                    yvb >= vb_pos and yvb <= vb_pos
-                )
-                for jj in range(cls_size):
-                    x = x0 + j + jj
-                    curr = S(y, x)
-                    s = 0
-                    if is_luma:
-                        s += coef[0] * _clip_alf(clip[0], curr, S(y + o5, x), S(y + o6, x))
-                        s += coef[1] * _clip_alf(clip[1], curr, S(y + o3, x + 1), S(y + o4, x - 1))
-                        s += coef[2] * _clip_alf(clip[2], curr, S(y + o3, x), S(y + o4, x))
-                        s += coef[3] * _clip_alf(clip[3], curr, S(y + o3, x - 1), S(y + o4, x + 1))
-                        s += coef[4] * _clip_alf(clip[4], curr, S(y + o1, x + 2), S(y + o2, x - 2))
-                        s += coef[5] * _clip_alf(clip[5], curr, S(y + o1, x + 1), S(y + o2, x - 1))
-                        s += coef[6] * _clip_alf(clip[6], curr, S(y + o1, x), S(y + o2, x))
-                        s += coef[7] * _clip_alf(clip[7], curr, S(y + o1, x - 1), S(y + o2, x + 1))
-                        s += coef[8] * _clip_alf(clip[8], curr, S(y + o1, x - 2), S(y + o2, x + 2))
-                        s += coef[9] * _clip_alf(clip[9], curr, S(y, x + 3), S(y, x - 3))
-                        s += coef[10] * _clip_alf(clip[10], curr, S(y, x + 2), S(y, x - 2))
-                        s += coef[11] * _clip_alf(clip[11], curr, S(y, x + 1), S(y, x - 1))
-                    else:
-                        s += coef[0] * _clip_alf(clip[0], curr, S(y + o3, x), S(y + o4, x))
-                        s += coef[1] * _clip_alf(clip[1], curr, S(y + o1, x + 1), S(y + o2, x - 1))
-                        s += coef[2] * _clip_alf(clip[2], curr, S(y + o1, x), S(y + o2, x))
-                        s += coef[3] * _clip_alf(clip[3], curr, S(y + o1, x - 1), S(y + o2, x + 1))
-                        s += coef[4] * _clip_alf(clip[4], curr, S(y, x + 2), S(y, x - 2))
-                        s += coef[5] * _clip_alf(clip[5], curr, S(y, x + 1), S(y, x - 1))
-                    if not near_vb:
-                        s = (s + offset) >> shift
-                    else:
-                        s = (s + (1 << (shift + 3 - 1))) >> (shift + 3)
-                    s += curr
-                    dst[y, x] = _clip3(0, maxv, s)
+                cl = clip_1d[k]
+                co = coef_1d[k]
+            d = np.clip(a - curr, -cl, cl) + np.clip(b - curr, -cl, cl)
+            acc += co * d
+        if near_vb:
+            acc = (acc + (1 << (shift + 3 - 1))) >> (shift + 3)
+        else:
+            acc = (acc + offset) >> shift
+        dst[y, x0 : x0 + w] = np.clip(curr + acc, 0, maxv)
 
 
 def filter_block_ccalf(luma_pad, dst, x0c, y0c, wc, hc, scale_x, scale_y,
