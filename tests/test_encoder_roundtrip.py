@@ -100,3 +100,24 @@ def test_roundtrip_inter_ra_tiny64():
     assert len(dec.hash_results) == len(frames)
     for hr in dec.hash_results:
         assert hr.ok, f"decoded-picture-hash mismatch at POC {hr.poc}"
+
+
+def test_roundtrip_intra_sao():
+    """SAO parameter search: stream decodes hash-exact and improves PSNR
+    on edge-heavy content."""
+    fmt = YuvFormat(208, 120, ChromaFormat.YUV420, 8)
+    frames = read_yuv(f"{TESTDATA}/screen208_208x120_420_8.yuv", fmt, 1)
+
+    def enc_psnr(sao):
+        enc = IntraEncoder(EncoderConfig(width=208, height=120, qp=42,
+                                         max_mtt_depth_intra=0, sao=sao))
+        bits = enc.encode(frames)
+        dec = Decoder()
+        pics = dec.decode_stream(bits)
+        for hr in dec.hash_results:
+            assert hr.ok, f"hash mismatch at POC {hr.poc} (sao={sao})"
+        mse = np.mean((frames[0][0].astype(np.float64)
+                       - np.asarray(pics[0].planes[0], dtype=np.float64)) ** 2)
+        return 10 * np.log10(255 * 255 / mse)
+
+    assert enc_psnr(True) > enc_psnr(False) + 0.2

@@ -46,6 +46,63 @@ class SyntaxWriter:
         cu_ctx = CuCtx(0)
         self.coding_tree(part, cu_ctx)
 
+    def sao(self, ctu_rect, params):
+        """Mirror of CABACReader.sao (sao parameter writing per CTU)."""
+        sps = self.sps
+        sh = self.cs.sh
+        if not sps.sao:
+            return
+        luma_on = sh.sao_enabled[0]
+        chroma_on = sh.sao_enabled[1] and sps.chroma_format_idc != 0
+        if not luma_on and not chroma_on:
+            return
+        ctu = sps.ctu_size
+        left = self.cs.get_cu_restricted(
+            ctu_rect.x - ctu, ctu_rect.y, ctu_rect.x, ctu_rect.y, CH_L)
+        above = self.cs.get_cu_restricted(
+            ctu_rect.x, ctu_rect.y - ctu, ctu_rect.x, ctu_rect.y, CH_L)
+        merged = params.mode[0] == 2
+        merge_type = params.type_idc[0] if merged else -1
+        if left is not None:
+            self.e.encode_bin(int(merged and merge_type == 0), ctx("SaoMergeFlag"))
+            if merged and merge_type == 0:
+                return
+        if above is not None:
+            self.e.encode_bin(int(merged and merge_type == 1), ctx("SaoMergeFlag"))
+            if merged and merge_type == 1:
+                return
+        first = 0 if luma_on else 1
+        last = 2 if chroma_on else 0
+        max_offset = min((1 << (min(sps.bit_depth, 10) - 5)) - 1, 31)
+        for comp in range(first, last + 1):
+            if comp != 2:
+                on = params.mode[comp] != 0
+                self.e.encode_bin(int(on), ctx("SaoTypeIdx"))
+                if on:
+                    self.e.encode_bin_ep(int(params.type_idc[comp] != 4))
+            if params.mode[comp] == 0:
+                continue
+            is_bo = params.type_idc[comp] == 4
+            if is_bo:
+                offs = [params.offsets[comp][(params.type_aux[comp] + k) % 32]
+                        for k in range(4)]
+            else:
+                offs = [params.offsets[comp][0], params.offsets[comp][1],
+                        -params.offsets[comp][3], -params.offsets[comp][4]]
+            for v in offs:
+                k = abs(v)
+                for _ in range(k):
+                    self.e.encode_bin_ep(1)
+                if k < max_offset:
+                    self.e.encode_bin_ep(0)
+            if is_bo:
+                for v in offs:
+                    if v:
+                        self.e.encode_bin_ep(int(v < 0))
+                self.e.encode_bins_ep(params.type_aux[comp], 5)
+            elif comp != 2:
+                self.e.encode_bins_ep(params.type_idc[comp], 2)
+
     def coding_tree(self, part: P.Partitioner, cu_ctx: CuCtx):
         b = part.cur_block()
         cu = self.cs.get_cu(b.x, b.y, part.ch_type)

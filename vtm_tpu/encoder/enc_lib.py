@@ -60,6 +60,7 @@ class EncoderConfig:
     log2_max_tb_size: int = 6
     init_qp: int = 26
     num_rd_modes: int = 3  # finalists for full RD
+    sao: bool = False  # SAO search + signalling
 
 
 class IntraEncoder:
@@ -103,6 +104,7 @@ class IntraEncoder:
         sh = SliceHeader()
         sh.slice_type = SliceType.I
         sh.qp = self.frame_qp
+        sh.sao_enabled = [cfg.sao, cfg.sao and cfg.chroma_format_idc != 0]
         n_ctu = pps.pic_width_in_ctu(sps.ctu_size) * pps.pic_height_in_ctu(sps.ctu_size)
         dcs = D.DecCodingStructure(sps, pps, ph, sh, np.zeros(n_ctu, dtype=np.int32))
         dcs._slice_headers = [sh]
@@ -137,6 +139,8 @@ class IntraEncoder:
                 part = P.Partitioner(dcs)
                 part.init_ctu(ctu_rect, D.CH_L)
                 _, self._split_map = self._rd_node(part, est)
+                self.__dict__.setdefault("_ctu_split_maps", {})[
+                    (ctu_rect.x, ctu_rect.y)] = self._split_map
                 # final write: replay chosen tree with the real encoder
                 writer = SyntaxWriter(dcs, enc)
                 wpart = P.Partitioner(dcs)
@@ -148,12 +152,7 @@ class IntraEncoder:
                     enc.encode_bin_trm(1)
         enc.finish()
         slice_bw.write_byte_alignment()
-        # slice NAL = header + slice data
-        hdr = W.write_slice_header_head(cfg, poc, self.frame_qp)
-        rbsp = bytes(hdr.bytes) + slice_bw.data()
-        nal = make_nal(nalio.NAL_IDR_N_LP, rbsp)
-        # in-loop filters on reconstruction (DecLib::executeLoopFilters order);
-        # v1 signals deblocking on, SAO/ALF/LMCS off.
+        # in-loop filters on reconstruction (DecLib::executeLoopFilters order)
         from vtm_tpu.ops import deblock as DB
 
         class _PicShim:
@@ -163,11 +162,58 @@ class IntraEncoder:
         shim.planes = planes
         if not sh.deblocking_disable:
             DB.deblock_picture(dcs, shim)
+        if cfg.sao:
+            slice_bw = self._sao_and_rewrite(shim, SliceType.I)
+        # slice NAL = header + slice data
+        hdr = W.write_slice_header_head(cfg, poc, self.frame_qp,
+                                        sao=tuple(sh.sao_enabled))
+        rbsp = bytes(hdr.bytes) + slice_bw.data()
+        nal = make_nal(nalio.NAL_IDR_N_LP, rbsp)
         # hash SEI (computed on the filtered reconstruction, like VTM)
         digest = pic_hash.pic_md5(planes, [cfg.bit_depth] * len(planes))
         sei = W.write_hash_sei(digest)
         self.last_recon = planes
         return nal + sei
+
+    def _sao_and_rewrite(self, shim, slice_type):
+        """SAO parameter search on the deblocked recon, apply, and re-write
+        the slice data with per-CTU sao() syntax (the reference's two-pass
+        compressSlice -> filters -> encodeSlice flow, EncGOP.cpp:2874-3324)."""
+        from vtm_tpu.decoder.cabac_reader import SaoParams
+        from vtm_tpu.encoder.sao_search import sao_search
+        from vtm_tpu.ops import sao as SAOOP
+
+        cfg = self.cfg
+        dcs = self.dcs
+        n_ctu = dcs.pic_w_ctu * dcs.pic_h_ctu
+        shim.sao_params = [SaoParams() for _ in range(n_ctu)]
+        est_ctx = ContextModels()
+        est_ctx.init(self.frame_qp, int(slice_type))
+        est = BitEstimator(est_ctx)
+        sao_search(dcs, shim, self.src, self.lam, est)
+        SAOOP.sao_picture(dcs, shim)
+        # final write pass: sao params + replayed coding trees
+        ctx_m = ContextModels()
+        ctx_m.init(self.frame_qp, int(slice_type))
+        bw = BitWriter()
+        enc = BinEncoder(bw, ctx_m)
+        enc.start()
+        w_ctu, h_ctu = dcs.pic_w_ctu, dcs.pic_h_ctu
+        for cy in range(h_ctu):
+            for cx in range(w_ctu):
+                rect = Rect(cx * cfg.ctu_size, cy * cfg.ctu_size,
+                            cfg.ctu_size, cfg.ctu_size)
+                writer = SyntaxWriter(dcs, enc)
+                writer.sao(rect, shim.sao_params[cy * w_ctu + cx])
+                self._split_map = self._ctu_split_maps[(rect.x, rect.y)]
+                wpart = P.Partitioner(dcs)
+                wpart.init_ctu(rect, D.CH_L)
+                self._replay_node(writer, wpart)
+                if cy == h_ctu - 1 and cx == w_ctu - 1:
+                    enc.encode_bin_trm(1)
+        enc.finish()
+        bw.write_byte_alignment()
+        return bw
 
     # ------------------------------------------------------------------
     # state checkpointing
@@ -602,6 +648,7 @@ class InterEncoder(IntraEncoder):
             p <= poc for p in sh.ref_pocs[1])
         sh.bi_dir_pred = False
         sh.independent_slice_idx = 0
+        sh.sao_enabled = [cfg.sao, cfg.sao and cfg.chroma_format_idc != 0]
         self._rpl_deltas = (rpl0, rpl1)
         n_ctu = pps.pic_width_in_ctu(sps.ctu_size) * pps.pic_height_in_ctu(sps.ctu_size)
         dcs = D.DecCodingStructure(sps, pps, ph, sh, np.zeros(n_ctu, dtype=np.int32))
@@ -637,6 +684,8 @@ class InterEncoder(IntraEncoder):
                 part = P.Partitioner(dcs)
                 part.init_ctu(ctu_rect, D.CH_L)
                 _, self._split_map = self._rd_node(part, est)
+                self.__dict__.setdefault("_ctu_split_maps", {})[
+                    (ctu_rect.x, ctu_rect.y)] = self._split_map
                 writer = SyntaxWriter(dcs, enc)
                 wpart = P.Partitioner(dcs)
                 wpart.init_ctu(ctu_rect, D.CH_L)
@@ -645,16 +694,19 @@ class InterEncoder(IntraEncoder):
                     enc.encode_bin_trm(1)
         enc.finish()
         slice_bw.write_byte_alignment()
-        hdr = W.write_slice_header_head(cfg, poc, self.frame_qp,
-                                        slice_type=slice_type, rpl0=rpl0,
-                                        rpl1=rpl1, mvd_l1_zero=ph.mvd_l1_zero)
-        rbsp = bytes(hdr.bytes) + slice_bw.data()
-        nal = make_nal(nalio.NAL_TRAIL, rbsp)
         from vtm_tpu.ops import deblock as DB
 
         shim = SimpleNamespace(planes=planes)
         if not sh.deblocking_disable:
             DB.deblock_picture(dcs, shim)
+        if cfg.sao:
+            slice_bw = self._sao_and_rewrite(shim, slice_type)
+        hdr = W.write_slice_header_head(cfg, poc, self.frame_qp,
+                                        slice_type=slice_type, rpl0=rpl0,
+                                        rpl1=rpl1, mvd_l1_zero=ph.mvd_l1_zero,
+                                        sao=tuple(sh.sao_enabled))
+        rbsp = bytes(hdr.bytes) + slice_bw.data()
+        nal = make_nal(nalio.NAL_TRAIL, rbsp)
         digest = pic_hash.pic_md5(planes, [cfg.bit_depth] * len(planes))
         sei = W.write_hash_sei(digest)
         self.last_recon = planes

@@ -86,7 +86,7 @@ def write_sps(cfg) -> bytes:
     w.ue(0)  # num_points_minus1
     w.ue(0)  # delta_qp_in_val_minus1[0]
     w.ue(1)  # delta_qp_diff_val[0] → deltaOut = 1^0 = 1 (identity table)
-    w.flag(0)  # sao
+    w.flag(1 if getattr(cfg, "sao", False) else 0)  # sao
     w.flag(0)  # alf
     w.flag(0)  # transform_skip
     w.flag(0)  # weighted_pred
@@ -204,7 +204,8 @@ def _write_rpl_one_past_ref(w: BitWriter, delta: int):
 
 def write_slice_header_head(cfg, poc: int, qp: int, slice_type=None,
                             rpl0=None, rpl1=None, slice_type_p: bool = False,
-                            ref_delta: int = 1, mvd_l1_zero: bool = True) -> BitWriter:
+                            ref_delta: int = 1, mvd_l1_zero: bool = True,
+                            sao=(False, False)) -> BitWriter:
     """Slice header up to (and including) byte alignment before slice data.
 
     rpl0/rpl1: lists of POC deltas (positive = past, negative = future)."""
@@ -228,7 +229,11 @@ def write_slice_header_head(cfg, poc: int, qp: int, slice_type=None,
         if len(rpl0) > 1 or (slice_type == SliceType.B and len(rpl1) > 1):
             w.flag(0)  # use defaults (PPS num_ref_idx_default_active = 1)
     w.se(qp - cfg.init_qp)  # slice_qp_delta
-    # no sao, no deblocking override, no dep quant / sdh / ts flags
+    if getattr(cfg, "sao", False):
+        w.flag(1 if sao[0] else 0)  # sh_sao_used_flag (luma)
+        if cfg.chroma_format_idc != 0:
+            w.flag(1 if sao[1] else 0)  # sh_sao_used_flag (chroma)
+    # no deblocking override, no dep quant / sdh / ts flags
     # no entry points (entry_point_offsets_present=0)
     w.write_byte_alignment()
     return w
