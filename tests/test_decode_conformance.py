@@ -141,3 +141,22 @@ def test_bit_exact_decode_10bit_and_scaling_lists(name):
     assert dec.hash_results
     for hr in dec.hash_results:
         assert hr.ok, f"hash mismatch at POC {hr.poc}"
+
+
+FORMAT_TOOL_STREAMS = [
+    "ai444_screen_qp32",    # 4:4:4 chroma format
+    "act444_screen_qp32",   # adaptive color transform + IBC/PLT in 4:4:4
+    "wp_fade_ldb_qp32",     # explicit weighted prediction (uni + bi)
+]
+
+
+@pytest.mark.parametrize("name", FORMAT_TOOL_STREAMS)
+def test_bit_exact_decode_formats_and_wp(name):
+    path = os.path.join(TD, f"{name}.bit")
+    if not os.path.exists(path):
+        pytest.skip("golden streams not generated on this machine")
+    dec = Decoder()
+    dec.decode_stream(open(path, "rb").read())
+    assert dec.hash_results
+    for hr in dec.hash_results:
+        assert hr.ok, f"hash mismatch at POC {hr.poc}"

@@ -425,9 +425,10 @@ class SliceHeader:
             ri = ref_idx[lst]
             if ri is None or ri < 0:
                 continue
-            for comp in range(3):
-                w = self.wp_scaling[lst][ri][comp]
-                if w.get("present", False) if isinstance(w, dict) else getattr(w, "present", False):
+            if ri >= len(self.wp_scaling[lst]):
+                continue
+            for comp_wp in self.wp_scaling[lst][ri]:
+                if comp_wp["present"]:
                     return True
         return False
 

@@ -131,14 +131,70 @@ def _mc_one_list(recon, dcs, cu, lst: int, rnd_res: bool):
     return preds
 
 
+def _wp_apply_uni(dcs, cu, lst, preds, bd):
+    """WeightPrediction::addWeightUni (WeightPrediction.cpp:288) on
+    intermediate-precision predictions."""
+    wps = dcs.sh.wp_scaling[lst][cu.ref_idx[lst]]
+    shift_num = max(2, MC.IF_INTERNAL_PREC - bd)
+    maxv = (1 << bd) - 1
+    scale = 1 << (bd - 8)
+    out = []
+    for comp, p in enumerate(preds):
+        if p is None:
+            out.append(None)
+            continue
+        wp = wps[comp]
+        w = wp["w"]
+        off = wp["o"] * scale
+        shift = wp["denom"] + shift_num
+        rnd = 1 << (shift - 1) if shift > 0 else 0
+        v = ((w * (p + MC.IF_INTERNAL_OFFS) + rnd) >> shift) + off
+        out.append(np.clip(v, 0, maxv))
+    return out
+
+
+def _wp_apply_bi(dcs, cu, p0s, p1s, bd):
+    """WeightPrediction::addWeightBi (weightBidir, WeightPrediction.h:46)."""
+    wp0s = dcs.sh.wp_scaling[0][cu.ref_idx[0]]
+    wp1s = dcs.sh.wp_scaling[1][cu.ref_idx[1]]
+    shift_num = max(2, MC.IF_INTERNAL_PREC - bd)
+    maxv = (1 << bd) - 1
+    scale = 1 << (bd - 8)
+    out = []
+    for comp, (p0, p1) in enumerate(zip(p0s, p1s)):
+        if p0 is None:
+            out.append(None)
+            continue
+        wp0, wp1 = wp0s[comp], wp1s[comp]
+        o0 = wp0["o"] * scale
+        o1 = wp1["o"] * scale
+        shift = wp0["denom"] + 1 + shift_num
+        rnd = 1 << (shift - 1) if shift > 0 else 0
+        v = (
+            wp0["w"] * (p0 + MC.IF_INTERNAL_OFFS)
+            + wp1["w"] * (p1 + MC.IF_INTERNAL_OFFS)
+            + rnd + ((o0 + o1) << (shift - 1))
+        ) >> shift
+        out.append(np.clip(v, 0, maxv))
+    return out
+
+
 def motion_compensation(recon, dcs, cu):
     """InterPrediction::motionCompensation → [Y, Cb, Cr] final samples."""
+    from vtm_tpu.common.types import SliceType
+
     bd = recon.bit_depth
     fmt = dcs.chroma_format
     if getattr(cu, "_sbtmvp", None) is not None:
         return _sbtmvp_mc(recon, dcs, cu)
     if cu.affine:
         return _affine_mc(recon, dcs, cu)
+    pps = dcs.pps
+    sh = dcs.sh
+    wp_slice = (
+        (sh.slice_type == SliceType.P and pps.weighted_pred)
+        or (sh.is_b and pps.weighted_bipred)
+    )
     if cu.interdir == 3:
         if not cu.ciip_flag:
             from vtm_tpu.decoder import refine
@@ -156,6 +212,12 @@ def motion_compensation(recon, dcs, cu):
                 return refine.bdof_motion_compensation(recon, dcs, cu)
         p0 = _mc_one_list(recon, dcs, cu, 0, rnd_res=False)
         p1 = _mc_one_list(recon, dcs, cu, 1, rnd_res=False)
+        # explicit weighted bi-prediction (InterPrediction.cpp:631)
+        if (
+            pps.weighted_bipred and sh.is_b and not cu.geo_flag
+            and cu.bcw_idx == M.BCW_DEFAULT
+        ):
+            return _wp_apply_bi(dcs, cu, p0, p1, bd)
         out = []
         for comp in range(fmt.num_components):
             if cu.bcw_idx != M.BCW_DEFAULT and not cu.ciip_flag:
@@ -165,6 +227,10 @@ def motion_compensation(recon, dcs, cu):
                 out.append(MC.bi_average(p0[comp], p1[comp], bd))
         return out
     lst = 0 if cu.interdir == 1 else 1
+    if wp_slice:
+        # uni WP path (InterPrediction.cpp:1477-1485)
+        preds = _mc_one_list(recon, dcs, cu, lst, rnd_res=False)
+        return _wp_apply_uni(dcs, cu, lst, preds, bd)
     return _mc_one_list(recon, dcs, cu, lst, rnd_res=True)
 
 

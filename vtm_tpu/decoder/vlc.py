@@ -1493,25 +1493,46 @@ def _num_entry_points(sh: SliceHeader, sps: SPS, pps: PPS) -> int:
 
 
 def parse_pred_weight_table(r: BitReader, sps: SPS, sh: SliceHeader):
-    """Slice-header weighted prediction table (parsePredWeightTable:4448)."""
+    """Slice-header weighted prediction table (parsePredWeightTable:4448).
+
+    Returns wp[list][ref][comp] = {present, w, o, denom} with the weight/
+    offset reconstruction applied (VLCReader.cpp:4518-4559)."""
     chroma = sps.chroma_format_idc != 0
-    wp = {"luma_log2_denom": r.ue()}
-    if chroma:
-        wp["chroma_log2_denom"] = wp["luma_log2_denom"] + r.se()
-    weights = []
+    denom_y = r.ue()
+    denom_c = denom_y + r.se() if chroma else 0
+    out = []
     for list_idx in range(2 if sh.is_b else 1):
         n = sh.num_ref_idx[list_idx]
         luma_flags = [bool(r.flag()) for _ in range(n)]
         chroma_flags = [bool(r.flag()) for _ in range(n)] if chroma else [False] * n
         entries = []
         for i in range(n):
-            e = {"luma": None, "cb": None, "cr": None}
+            comps = []
             if luma_flags[i]:
-                e["luma"] = (r.se(), r.se())  # delta weight, offset
-            if chroma_flags[i]:
-                e["cb"] = (r.se(), r.se())
-                e["cr"] = (r.se(), r.se())
-            entries.append(e)
-        weights.append(entries)
-    wp["weights"] = weights
-    return wp
+                dw = r.se()
+                off = r.se()
+                comps.append({"present": True, "w": dw + (1 << denom_y),
+                              "o": off, "denom": denom_y})
+            else:
+                comps.append({"present": False, "w": 1 << denom_y, "o": 0,
+                              "denom": denom_y})
+            for _c in range(2):
+                if chroma_flags[i]:
+                    dw = r.se()
+                    doff = r.se()
+                    w = dw + (1 << denom_c)
+                    rng = 128
+                    pred = rng - ((rng * w) >> denom_c)
+                    o = max(-rng, min(rng - 1, doff + pred))
+                    comps.append({"present": True, "w": w, "o": o,
+                                  "denom": denom_c})
+                elif chroma:
+                    comps.append({"present": False, "w": 1 << denom_c,
+                                  "o": 0, "denom": denom_c})
+                else:
+                    comps.append({"present": False, "w": 1, "o": 0, "denom": 0})
+            entries.append(comps)
+        out.append(entries)
+    if len(out) == 1:
+        out.append([])
+    return out
