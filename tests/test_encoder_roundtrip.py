@@ -121,3 +121,51 @@ def test_roundtrip_intra_sao():
         return 10 * np.log10(255 * 255 / mse)
 
     assert enc_psnr(True) > enc_psnr(False) + 0.2
+
+
+def test_rate_control_ldb():
+    """λ-domain rate control steers per-picture QP toward the target."""
+    from vtm_tpu.encoder.enc_lib import LowDelayBEncoder
+
+    fmt = YuvFormat(208, 120, ChromaFormat.YUV420, 8)
+    frames = read_yuv(f"{TESTDATA}/small208_208x120_420_8.yuv", fmt, 3) * 2
+    sizes = {}
+    for target in (100_000, 400_000):
+        cfg = EncoderConfig(width=208, height=120, qp=32,
+                            max_mtt_depth_intra=0, target_bitrate=target,
+                            frame_rate=30.0)
+        enc = LowDelayBEncoder(cfg)
+        bits = enc.encode(frames)
+        dec = Decoder()
+        dec.decode_stream(bits)
+        assert all(hr.ok for hr in dec.hash_results)
+        actual = len(bits) * 8 / (len(frames) / 30.0)
+        sizes[target] = actual
+        assert 0.5 * target < actual < 2.0 * target, (target, actual)
+        assert len(set(enc.rc_qps)) >= 2  # RC actually adapted
+    assert sizes[400_000] > sizes[100_000]
+
+
+def test_mctf_prefilter():
+    """MCTF temporal prefilter reduces bits on noisy static content."""
+    from vtm_tpu.encoder.enc_lib import LowDelayBEncoder
+
+    fmt = YuvFormat(208, 120, ChromaFormat.YUV420, 8)
+    base = read_yuv(f"{TESTDATA}/small208_208x120_420_8.yuv", fmt, 1)[0]
+    rng = np.random.default_rng(1)
+    frames = [
+        [np.clip(b + rng.normal(0, 4, b.shape), 0, 255).astype(np.int32)
+         for b in base]
+        for _ in range(4)
+    ]
+    sizes = {}
+    for mctf in (False, True):
+        cfg = EncoderConfig(width=208, height=120, qp=30,
+                            max_mtt_depth_intra=0, mctf=mctf)
+        enc = LowDelayBEncoder(cfg)
+        bits = enc.encode(frames)
+        dec = Decoder()
+        dec.decode_stream(bits)
+        assert all(hr.ok for hr in dec.hash_results)
+        sizes[mctf] = len(bits)
+    assert sizes[True] < sizes[False]

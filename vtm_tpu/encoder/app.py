@@ -78,6 +78,9 @@ def main(argv=None):
     fmt = yuv_io.YuvFormat(w, h, ChromaFormat.YUV420, bd)
     frames = yuv_io.read_yuv(infile, fmt, n)
     cfg = EncoderConfig(width=w, height=h, qp=qp, bit_depth=bd)
+    if geti("RateControl", 0) and geti("TargetBitrate", 0):
+        cfg.target_bitrate = geti("TargetBitrate", 0)
+        cfg.frame_rate = float(opts.get("FrameRate", 30))
     gop_size = geti("GOPSize", 1)
     frame1 = opts.get("Frame1", "")
     if intra_period == 1:

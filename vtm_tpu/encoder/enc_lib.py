@@ -61,6 +61,9 @@ class EncoderConfig:
     init_qp: int = 26
     num_rd_modes: int = 3  # finalists for full RD
     sao: bool = False  # SAO search + signalling
+    target_bitrate: int = 0  # bits/s; 0 = fixed QP (rate control off)
+    frame_rate: float = 30.0
+    mctf: bool = False  # motion-compensated temporal prefilter
 
 
 class IntraEncoder:
@@ -1001,19 +1004,44 @@ class InterEncoder(IntraEncoder):
 
 class LowDelayBEncoder(InterEncoder):
     """IDR + low-delay B pictures (both lists = previous picture),
-    mirroring encoder_lowdelay_vtm.cfg's GOP-1 shape."""
+    mirroring encoder_lowdelay_vtm.cfg's GOP-1 shape. With
+    cfg.target_bitrate set, per-picture QP comes from the λ-domain rate
+    control (rate_ctrl.RateControl)."""
 
     def encode(self, frames):
+        cfg = self.cfg
+        if cfg.mctf and len(frames) > 1:
+            from vtm_tpu.encoder.mctf import mctf_filter
+
+            frames = mctf_filter(frames, cfg.qp, cfg.bit_depth)
+        rc = None
+        if cfg.target_bitrate:
+            from vtm_tpu.encoder.rate_ctrl import RateControl
+
+            rc = RateControl(cfg.target_bitrate, cfg.frame_rate,
+                             cfg.width, cfg.height)
+        self.rc_qps = []
         out = bytearray()
         out += self.sps_nal
         out += self.pps_nal
         for poc, planes in enumerate(frames):
-            if poc == 0:
-                out += self.encode_frame(planes, 0, is_p=False)
+            is_i = poc == 0
+            if rc:
+                lam, qp = rc.picture_lambda_qp(is_intra=is_i)
             else:
-                out += self.encode_inter_frame(
-                    planes, poc, SliceType.B, [1], [1],
-                    self.cfg.qp + getattr(self.cfg, "b_qp_offset", 5))
+                qp = cfg.qp if is_i else cfg.qp + getattr(cfg, "b_qp_offset", 5)
+            self.rc_qps.append(qp)
+            if is_i:
+                saved = cfg.qp
+                cfg.qp = qp
+                nal = self.encode_frame(planes, 0, is_p=False)
+                cfg.qp = saved
+            else:
+                nal = self.encode_inter_frame(planes, poc, SliceType.B,
+                                              [1], [1], qp)
+            out += nal
+            if rc:
+                rc.update_after_picture(len(nal) * 8, lam, is_intra=is_i)
         return bytes(out)
 
 
