@@ -169,3 +169,39 @@ def test_mctf_prefilter():
         assert all(hr.ok for hr in dec.hash_results)
         sizes[mctf] = len(bits)
     assert sizes[True] < sizes[False]
+
+
+def test_wpp_encode_roundtrip():
+    """WPP encode: per-CTU-row substreams with context sync + entry points;
+    decodes hash-exact in our (WPP-aware) decoder."""
+    from vtm_tpu.encoder.enc_lib import LowDelayBEncoder
+
+    fmt = YuvFormat(208, 120, ChromaFormat.YUV420, 8)
+    frames = read_yuv(f"{TESTDATA}/small208_208x120_420_8.yuv", fmt, 2)
+    cfg = EncoderConfig(width=208, height=120, qp=32, max_mtt_depth_intra=0,
+                        wpp=True, sao=True)
+    enc = LowDelayBEncoder(cfg)
+    bits = enc.encode(frames)
+    dec = Decoder()
+    pics = dec.decode_stream(bits)
+    assert len(pics) == 2
+    for hr in dec.hash_results:
+        assert hr.ok, f"hash mismatch at POC {hr.poc}"
+
+
+def test_decoder_bit_stats():
+    """Analyser-build equivalent: per-syntax bin/bit breakdown."""
+    import os
+
+    from vtm_tpu.decoder.stats import BitStats
+
+    path = os.path.join(TESTDATA, "ai_min_tiny64_qp27.bit")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("golden streams not generated")
+    dec = Decoder()
+    dec.bit_stats = BitStats()
+    dec.decode_stream(open(path, "rb").read())
+    rep = dec.bit_stats.report()
+    assert "SigFlag" in rep and "TOTAL" in rep

@@ -23,6 +23,8 @@ def main(argv=None):
     ap.add_argument("-d", "--output-bit-depth", type=int, default=0,
                     help="0 = native internal bit depth")
     ap.add_argument("--opl", default=None)
+    ap.add_argument("--stats", action="store_true",
+                    help="per-syntax bit statistics (analyser build)")
     args = ap.parse_args(argv)
 
     from vtm_tpu.decoder.declib import Decoder
@@ -30,6 +32,10 @@ def main(argv=None):
 
     data = open(args.bitstream, "rb").read()
     dec = Decoder()
+    if args.stats:
+        from vtm_tpu.decoder.stats import BitStats
+
+        dec.bit_stats = BitStats()
     t0 = time.time()
     pics = dec.decode_stream(data)
     dt = time.time() - t0
@@ -52,6 +58,8 @@ def main(argv=None):
                 digest = pic_hash.pic_md5(p.planes, [bd] * len(p.planes))
                 h, w = p.planes[0].shape
                 f.write(f"{p.poc},{w},{h},{digest.hex()}\n")
+    if args.stats and dec.bit_stats is not None:
+        print(dec.bit_stats.report())
     n = len(pics)
     print(f"decoded {n} pictures in {dt:.2f} s ({n / dt:.2f} fps), "
           f"{mismatches} hash mismatches")

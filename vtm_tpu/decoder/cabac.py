@@ -69,15 +69,17 @@ _RENORM = rom.renorm_table().astype(np.int32)
 _NATIVE = None
 
 
-def make_cabac_decoder(data: bytes, ctx: "ContextModels"):
+def make_cabac_decoder(data: bytes, ctx: "ContextModels", stats=None):
     """Engine factory: native C engine when available (vtm_tpu/native/
-    cabac.c), pure-Python fallback. Tracing always uses the Python engine
-    (the native one has no bin trace)."""
+    cabac.c), pure-Python fallback. Tracing and bit statistics always use
+    the Python engine (the native one has neither hook)."""
     global _NATIVE
     import os
 
-    if os.environ.get("VTM_TPU_CABAC_TRACE"):
-        return CabacDecoder(data, ctx)
+    if os.environ.get("VTM_TPU_CABAC_TRACE") or stats is not None:
+        d = CabacDecoder(data, ctx)
+        d.stats = stats
+        return d
     if _NATIVE is None:
         from vtm_tpu.native import load_cabac
 
@@ -91,7 +93,7 @@ class CabacDecoder:
     """Arithmetic decoder over one substream (BinDecoderBase + TBinDecoder)."""
 
     __slots__ = ("data", "pos", "range", "value", "bits_needed", "ctx", "trace",
-                 "trace_count")
+                 "trace_count", "stats")
 
     def __init__(self, data: bytes, ctx: ContextModels):
         self.data = data
@@ -102,6 +104,7 @@ class CabacDecoder:
         self.bits_needed = 0
         self.trace = None  # file-like; mirrors the reference D_CABAC channel
         self.trace_count = 0
+        self.stats = None  # BitStats for the analyser build (decoder --stats)
 
     def _read_byte(self) -> int:
         if self.pos < len(self.data):
@@ -165,6 +168,8 @@ class CabacDecoder:
         c.state1[ctx_id] = s1
         if self.trace is not None:
             self.trace.write(f"  -  {bin_val}\n")
+        if self.stats is not None:
+            self.stats.add_ctx(ctx_id, q, bin_val)
         return bin_val
 
     # -- bypass bins --------------------------------------------------------
@@ -184,11 +189,15 @@ class CabacDecoder:
         if self.trace is not None:
             self.trace.write(f"{self.trace_count}  {self.range}  EP={bin_val} \n")
             self.trace_count += 1
+        if self.stats is not None:
+            self.stats.ep_bins += 1
         return bin_val
 
     def decode_bins_ep(self, num_bins: int) -> int:
         if num_bins == 0:
             return 0
+        if self.stats is not None:
+            self.stats.ep_bins += num_bins
         if self.range == 256:
             return self._decode_aligned_bins_ep(num_bins)
         rem = num_bins

@@ -91,8 +91,9 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
             dec._trace_file = open(os.environ["VTM_TPU_CABAC_TRACE"], "w")
         trace_file = dec._trace_file
     dcs.prev_plt.reset()  # DecSlice.cpp:97
+    bit_stats = getattr(dec, "bit_stats", None)
     ctx = ContextModels()
-    cab = make_cabac_decoder(substreams[0], ctx)
+    cab = make_cabac_decoder(substreams[0], ctx, bit_stats)
     cab.trace = trace_file
     ctx.init(sh.qp, _ctx_init_id(sh))
     cab.start()
@@ -134,7 +135,7 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
         if new_substream:
             substream_idx += 1
             prev_count = cab.trace_count
-            cab = make_cabac_decoder(substreams[substream_idx], ctx)
+            cab = make_cabac_decoder(substreams[substream_idx], ctx, bit_stats)
             cab.trace = trace_file
             cab.trace_count = prev_count
             cab.start()

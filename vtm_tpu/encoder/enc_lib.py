@@ -64,6 +64,7 @@ class EncoderConfig:
     target_bitrate: int = 0  # bits/s; 0 = fixed QP (rate control off)
     frame_rate: float = 30.0
     mctf: bool = False  # motion-compensated temporal prefilter
+    wpp: bool = False  # wavefront parallel processing (entropy sync + entry points)
 
 
 class IntraEncoder:
@@ -165,11 +166,13 @@ class IntraEncoder:
         shim.planes = planes
         if not sh.deblocking_disable:
             DB.deblock_picture(dcs, shim)
-        if cfg.sao:
-            slice_bw = self._sao_and_rewrite(shim, SliceType.I)
+        entry_points = None
+        if cfg.sao or cfg.wpp:
+            slice_bw, entry_points = self._sao_and_rewrite(shim, SliceType.I)
         # slice NAL = header + slice data
         hdr = W.write_slice_header_head(cfg, poc, self.frame_qp,
-                                        sao=tuple(sh.sao_enabled))
+                                        sao=tuple(sh.sao_enabled),
+                                        entry_points=entry_points)
         rbsp = bytes(hdr.bytes) + slice_bw.data()
         nal = make_nal(nalio.NAL_IDR_N_LP, rbsp)
         # hash SEI (computed on the filtered reconstruction, like VTM)
@@ -179,9 +182,11 @@ class IntraEncoder:
         return nal + sei
 
     def _sao_and_rewrite(self, shim, slice_type):
-        """SAO parameter search on the deblocked recon, apply, and re-write
-        the slice data with per-CTU sao() syntax (the reference's two-pass
-        compressSlice -> filters -> encodeSlice flow, EncGOP.cpp:2874-3324)."""
+        """Filter-parameter search + final entropy pass (the reference's
+        two-pass compressSlice -> filters -> encodeSlice flow,
+        EncGOP.cpp:2874-3324). With cfg.wpp, writes one CABAC substream per
+        CTU row with the 1-CTU-delayed context sync (EncSlice.cpp:1833-1868)
+        and returns (BitWriter, entry_point_sizes)."""
         from vtm_tpu.decoder.cabac_reader import SaoParams
         from vtm_tpu.encoder.sao_search import sao_search
         from vtm_tpu.ops import sao as SAOOP
@@ -190,11 +195,12 @@ class IntraEncoder:
         dcs = self.dcs
         n_ctu = dcs.pic_w_ctu * dcs.pic_h_ctu
         shim.sao_params = [SaoParams() for _ in range(n_ctu)]
-        est_ctx = ContextModels()
-        est_ctx.init(self.frame_qp, int(slice_type))
-        est = BitEstimator(est_ctx)
-        sao_search(dcs, shim, self.src, self.lam, est)
-        SAOOP.sao_picture(dcs, shim)
+        if cfg.sao:
+            est_ctx = ContextModels()
+            est_ctx.init(self.frame_qp, int(slice_type))
+            est = BitEstimator(est_ctx)
+            sao_search(dcs, shim, self.src, self.lam, est)
+            SAOOP.sao_picture(dcs, shim)
         # final write pass: sao params + replayed coding trees
         ctx_m = ContextModels()
         ctx_m.init(self.frame_qp, int(slice_type))
@@ -202,7 +208,19 @@ class IntraEncoder:
         enc = BinEncoder(bw, ctx_m)
         enc.start()
         w_ctu, h_ctu = dcs.pic_w_ctu, dcs.pic_h_ctu
+        substreams = []
+        wpp_ctx = None
         for cy in range(h_ctu):
+            if cfg.wpp and cy > 0:
+                # start a fresh substream, synced from the above row's
+                # post-first-CTU context (DecSlice.cpp:186-210 mirror)
+                ctx_m = wpp_ctx.copy()
+                bw = BitWriter()
+                enc = BinEncoder(bw, ctx_m)
+                enc.start()
+            if cfg.wpp and hasattr(dcs, "motion_lut"):
+                dcs.motion_lut.clear()
+                dcs.motion_lut_ibc.clear()
             for cx in range(w_ctu):
                 rect = Rect(cx * cfg.ctu_size, cy * cfg.ctu_size,
                             cfg.ctu_size, cfg.ctu_size)
@@ -212,11 +230,23 @@ class IntraEncoder:
                 wpart = P.Partitioner(dcs)
                 wpart.init_ctu(rect, D.CH_L)
                 self._replay_node(writer, wpart)
-                if cy == h_ctu - 1 and cx == w_ctu - 1:
+                if cfg.wpp and cx == 0:
+                    wpp_ctx = ctx_m.copy()
+                if cx == w_ctu - 1 and (cfg.wpp or cy == h_ctu - 1):
                     enc.encode_bin_trm(1)
-        enc.finish()
-        bw.write_byte_alignment()
-        return bw
+            if cfg.wpp:
+                enc.finish()
+                bw.write_byte_alignment()
+                substreams.append(bw.data())
+        if not cfg.wpp:
+            enc.finish()
+            bw.write_byte_alignment()
+            return bw, None
+        out = BitWriter()
+        for sub in substreams:
+            for b in sub:
+                out.u(b, 8)
+        return out, [len(sub) for sub in substreams[:-1]]
 
     # ------------------------------------------------------------------
     # state checkpointing
@@ -702,12 +732,14 @@ class InterEncoder(IntraEncoder):
         shim = SimpleNamespace(planes=planes)
         if not sh.deblocking_disable:
             DB.deblock_picture(dcs, shim)
-        if cfg.sao:
-            slice_bw = self._sao_and_rewrite(shim, slice_type)
+        entry_points = None
+        if cfg.sao or cfg.wpp:
+            slice_bw, entry_points = self._sao_and_rewrite(shim, slice_type)
         hdr = W.write_slice_header_head(cfg, poc, self.frame_qp,
                                         slice_type=slice_type, rpl0=rpl0,
                                         rpl1=rpl1, mvd_l1_zero=ph.mvd_l1_zero,
-                                        sao=tuple(sh.sao_enabled))
+                                        sao=tuple(sh.sao_enabled),
+                                        entry_points=entry_points)
         rbsp = bytes(hdr.bytes) + slice_bw.data()
         nal = make_nal(nalio.NAL_TRAIL, rbsp)
         digest = pic_hash.pic_md5(planes, [cfg.bit_depth] * len(planes))

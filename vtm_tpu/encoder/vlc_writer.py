@@ -54,8 +54,8 @@ def write_sps(cfg) -> bytes:
     w.u(cfg.log2_ctu_size - 5, 2)
     w.flag(0)  # subpic_info_present
     w.ue(cfg.bit_depth - 8)
-    w.flag(0)  # entropy_coding_sync
-    w.flag(0)  # entry_point_offsets_present
+    w.flag(1 if getattr(cfg, "wpp", False) else 0)  # entropy_coding_sync
+    w.flag(1 if getattr(cfg, "wpp", False) else 0)  # entry_point_offsets_present
     w.u(4, 4)  # log2_max_pic_order_cnt_lsb_minus4 → 8 bits
     w.flag(0)  # poc_msb_flag
     w.u(0, 2)  # num_extra_ph_bits_bytes
@@ -205,7 +205,7 @@ def _write_rpl_one_past_ref(w: BitWriter, delta: int):
 def write_slice_header_head(cfg, poc: int, qp: int, slice_type=None,
                             rpl0=None, rpl1=None, slice_type_p: bool = False,
                             ref_delta: int = 1, mvd_l1_zero: bool = True,
-                            sao=(False, False)) -> BitWriter:
+                            sao=(False, False), entry_points=None) -> BitWriter:
     """Slice header up to (and including) byte alignment before slice data.
 
     rpl0/rpl1: lists of POC deltas (positive = past, negative = future)."""
@@ -234,7 +234,11 @@ def write_slice_header_head(cfg, poc: int, qp: int, slice_type=None,
         if cfg.chroma_format_idc != 0:
             w.flag(1 if sao[1] else 0)  # sh_sao_used_flag (chroma)
     # no deblocking override, no dep quant / sdh / ts flags
-    # no entry points (entry_point_offsets_present=0)
+    if entry_points:
+        offset_len = max(1, max(o - 1 for o in entry_points).bit_length())
+        w.ue(offset_len - 1)
+        for o in entry_points:
+            w.u(o - 1, offset_len)
     w.write_byte_alignment()
     return w
 
