@@ -205,3 +205,25 @@ def test_decoder_bit_stats():
     dec.decode_stream(open(path, "rb").read())
     rep = dec.bit_stats.report()
     assert "SigFlag" in rep and "TOTAL" in rep
+
+
+def test_mts_intra_search():
+    """Explicit MTS transform search: stream decodes hash-exact and does
+    not lose efficiency vs DCT2-only."""
+    fmt = YuvFormat(208, 120, ChromaFormat.YUV420, 8)
+    frames = read_yuv(f"{TESTDATA}/small208_208x120_420_8.yuv", fmt, 1)
+    results = {}
+    for mts in (False, True):
+        cfg = EncoderConfig(width=208, height=120, qp=32,
+                            max_mtt_depth_intra=2, mts=mts)
+        enc = IntraEncoder(cfg)
+        bits = enc.encode(frames)
+        dec = Decoder()
+        pics = dec.decode_stream(bits)
+        for hr in dec.hash_results:
+            assert hr.ok, f"hash mismatch at POC {hr.poc} (mts={mts})"
+        mse = np.mean((frames[0][0].astype(np.float64)
+                       - np.asarray(pics[0].planes[0], dtype=np.float64)) ** 2)
+        results[mts] = (len(bits), mse)
+    # MTS should not be worse on both axes
+    assert results[True][0] <= results[False][0] * 1.02

@@ -179,11 +179,47 @@ class SyntaxWriter:
             if cu.root_cbf:
                 for tu in cu.tus:
                     self.transform_unit(tu, cu_ctx, part)
+                self.mts_idx(cu)
             return
         self.intra_luma_pred_mode(cu)
         self.intra_chroma_pred_mode(cu)
         for tu in cu.tus:
             self.transform_unit(tu, cu_ctx, part)
+        self.mts_idx(cu)
+
+    def mts_idx(self, cu: CU):
+        """Mirror of CABACReader::mts_idx with the parse-gating flags
+        recomputed from the coefficients being written (violates_mts:
+        significant group outside 16x16; mts_last_scan_pos: last > 0)."""
+        import numpy as np
+
+        from vtm_tpu.decoder.cs import MTS_SKIP
+
+        if not self.helper._is_mts_allowed(cu):
+            return
+        if getattr(cu, "lfnst_idx", 0) != 0:
+            return
+        tu = cu.tus[0]
+        mts = tu.mts_idx[0]
+        if mts == MTS_SKIP:
+            return
+        lev = tu.coeffs[0]
+        if lev is None:
+            return
+        nzy, nzx = np.nonzero(lev)
+        if nzy.size == 0 or (nzy.size == 1 and nzy[0] == 0 and nzx[0] == 0):
+            return  # mts_last_scan_pos false → idx inferred 0
+        if (nzx >= 16).any() or (nzy >= 16).any():
+            return  # violates_mts → idx inferred 0
+        symbol = int(mts != 0)
+        self.e.encode_bin(symbol, ctx("MTSIdx", 0))
+        if symbol:
+            rem = mts - 2  # MTS_DST7_DST7 base
+            for i in range(1, 4):
+                bit = int(rem >= i)
+                self.e.encode_bin(bit, ctx("MTSIdx", i))
+                if not bit:
+                    break
 
     # -- inter prediction data (tools-off SPS: regular merge + AMVP only) --
 

@@ -65,6 +65,7 @@ class EncoderConfig:
     frame_rate: float = 30.0
     mctf: bool = False  # motion-compensated temporal prefilter
     wpp: bool = False  # wavefront parallel processing (entropy sync + entry points)
+    mts: bool = False  # explicit intra MTS (DST7/DCT8 transform search)
 
 
 class IntraEncoder:
@@ -541,16 +542,23 @@ class IntraEncoder:
             else:
                 pred = self._predict_chroma(cu, tu, comp)
             resi = src - pred
-            coeffs = TX.fwd_transform_2d_np(resi.astype(np.int32), self.cfg.bit_depth)
             qp = self.recon._qp_for(tu, comp)
-            lev = Q.quant_rdoq(coeffs, qp, self.cfg.bit_depth, self.lam)
-            tu.coeffs[comp] = lev
-            tu.cbf[comp] = int(np.any(lev))
-            if tu.cbf[comp]:
-                deq = Q.dequant(lev, qp, self.cfg.bit_depth)
-                rec_resi = TX.inv_transform_2d_np(deq, self.cfg.bit_depth)
+            if comp == 0 and self.cfg.mts and 4 <= b.w <= 32 and 4 <= b.h <= 32:
+                lev, rec_resi, mts = self._search_luma_transform(
+                    resi.astype(np.int32), qp, est)
+                tu.mts_idx[0] = mts
+                tu.coeffs[comp] = lev
+                tu.cbf[comp] = int(np.any(lev))
             else:
-                rec_resi = np.zeros_like(src)
+                coeffs = TX.fwd_transform_2d_np(resi.astype(np.int32), self.cfg.bit_depth)
+                lev = Q.quant_rdoq(coeffs, qp, self.cfg.bit_depth, self.lam)
+                tu.coeffs[comp] = lev
+                tu.cbf[comp] = int(np.any(lev))
+                if tu.cbf[comp]:
+                    deq = Q.dequant(lev, qp, self.cfg.bit_depth)
+                    rec_resi = TX.inv_transform_2d_np(deq, self.cfg.bit_depth)
+                else:
+                    rec_resi = np.zeros_like(src)
             recon = np.clip(pred + rec_resi, 0, maxv).astype(np.int32)
             self.recon.planes[comp][b.y : b.y1, b.x : b.x1] = recon
             self.recon.set_decomp(comp, b)
@@ -562,6 +570,47 @@ class IntraEncoder:
         writer = SyntaxWriter(dcs, est)
         writer.coding_unit(cu, part, CuCtx(self.frame_qp))
         return dist
+
+    def _search_luma_transform(self, resi, qp, est):
+        """Explicit MTS candidate loop (IntraSearch MTS pass analogue):
+        DCT2 + the four DST7/DCT8 combos, priced by distortion + a level
+        magnitude rate proxy; returns (levels, rec_resi, mts_idx)."""
+        from vtm_tpu.decoder.cs import (
+            MTS_DCT2_DCT2, MTS_DST7_DST7, MTS_DCT8_DST7, MTS_DST7_DCT8,
+            MTS_DCT8_DCT8,
+        )
+
+        bd = self.cfg.bit_depth
+        cands = [
+            (MTS_DCT2_DCT2, TX.DCT2, TX.DCT2, 0),
+            (MTS_DST7_DST7, TX.DST7, TX.DST7, 2),
+            (MTS_DCT8_DST7, TX.DCT8, TX.DST7, 3),
+            (MTS_DST7_DCT8, TX.DST7, TX.DCT8, 3),
+            (MTS_DCT8_DCT8, TX.DCT8, TX.DCT8, 4),
+        ]
+        best = None
+        for mts, th, tv, sig_bins in cands:
+            coeffs = TX.fwd_transform_2d_np(resi, bd, th, tv)
+            lev = Q.quant_rdoq(coeffs, qp, bd, self.lam)
+            nzy, nzx = np.nonzero(lev)
+            if mts != MTS_DCT2_DCT2:
+                # must be signalable: last scan pos > 0, nothing outside 16x16
+                if nzy.size == 0 or (nzy.size == 1 and nzy[0] == 0 and nzx[0] == 0):
+                    continue
+                if (nzx >= 16).any() or (nzy >= 16).any():
+                    continue
+            if nzy.size:
+                deq = Q.dequant(lev, qp, bd)
+                rec = TX.inv_transform_2d_np(deq, bd, th, tv)
+            else:
+                rec = np.zeros_like(resi, dtype=np.int64)
+            dist = float(np.sum((resi.astype(np.int64) - rec) ** 2))
+            # rate proxy: level magnitudes + signalling bins
+            rate = float(np.abs(lev).sum() + nzy.size) + sig_bins
+            cost = dist + self.lam * rate
+            if best is None or cost < best[0]:
+                best = (cost, lev, rec, mts)
+        return best[1], best[2], best[3]
 
     def _predict_chroma(self, cu: CU, tu: TU, comp: int) -> np.ndarray:
         b = tu.blocks[comp]

@@ -116,7 +116,12 @@ def write_sps(cfg) -> bytes:
     if cfg.chroma_format_idc == 1:
         w.flag(1)  # chroma_horizontal_collocated
         w.flag(0)  # chroma_vertical_collocated
-    w.flag(0)  # mts
+    if getattr(cfg, "mts", False):
+        w.flag(1)  # mts
+        w.flag(1)  # explicit_mts_intra
+        w.flag(0)  # explicit_mts_inter
+    else:
+        w.flag(0)  # mts
     w.flag(0)  # palette
     w.flag(0)  # ibc
     w.flag(0)  # lmcs
