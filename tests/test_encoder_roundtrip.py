@@ -207,6 +207,28 @@ def test_decoder_bit_stats():
     assert "SigFlag" in rep and "TOTAL" in rep
 
 
+def test_alf_search():
+    """ALF search: stream self-decodes hash-exact and improves PSNR at a
+    small bit cost (EncAdaptiveLoopFilter analogue)."""
+    fmt = YuvFormat(208, 120, ChromaFormat.YUV420, 8)
+    frames = read_yuv(f"{TESTDATA}/small208_208x120_420_8.yuv", fmt, 1)
+    results = {}
+    for alf in (False, True):
+        cfg = EncoderConfig(width=208, height=120, qp=32,
+                            max_mtt_depth_intra=1, sao=True, alf=alf)
+        enc = IntraEncoder(cfg)
+        bits = enc.encode(frames)
+        dec = Decoder()
+        pics = dec.decode_stream(bits)
+        for hr in dec.hash_results:
+            assert hr.ok, f"hash mismatch at POC {hr.poc} (alf={alf})"
+        mse = np.mean((frames[0][0].astype(np.float64)
+                       - np.asarray(pics[0].planes[0], dtype=np.float64)) ** 2)
+        results[alf] = (len(bits), mse)
+    assert results[True][1] < results[False][1]  # luma MSE must improve
+    assert results[True][0] < results[False][0] * 1.10  # bounded bit cost
+
+
 def test_mts_intra_search():
     """Explicit MTS transform search: stream decodes hash-exact and does
     not lose efficiency vs DCT2-only."""

@@ -103,6 +103,72 @@ class SyntaxWriter:
             elif comp != 2:
                 self.e.encode_bins_ep(params.type_idc[comp], 2)
 
+    def alf_ctb(self, ctu_rect, ctu_rs_addr: int, pic):
+        """Mirror of SyntaxReader._alf_ctb: per-component ctb flag with
+        left/above context, APS-vs-fixed filter index for luma, chroma
+        alternative index (CABACWriter::codeAlfCtuEnableFlag analogue)."""
+        sps = self.sps
+        sh = self.cs.sh
+        if not sps.alf or not sh.alf_enabled[0]:
+            return
+        w_ctu = self.cs.pic_w_ctu
+        ctu = sps.ctu_size
+        left = self.cs.get_cu_restricted(
+            ctu_rect.x - ctu, ctu_rect.y, ctu_rect.x, ctu_rect.y, CH_L)
+        above = self.cs.get_cu_restricted(
+            ctu_rect.x, ctu_rect.y - ctu, ctu_rect.x, ctu_rect.y, CH_L)
+        left_addr = ctu_rs_addr - 1 if left else -1
+        above_addr = ctu_rs_addr - w_ctu if above else -1
+        for comp in range(3):
+            if not sh.alf_enabled[comp]:
+                continue
+            flags = pic.alf_ctb_flag[comp]
+            c = 0
+            c += 1 if (left_addr > -1 and flags[left_addr]) else 0
+            c += 1 if (above_addr > -1 and flags[above_addr]) else 0
+            on = int(flags[ctu_rs_addr])
+            self.e.encode_bin(on, ctx("ctbAlfFlag", comp * 3 + c))
+            if comp == 0 and on:
+                self._alf_ctb_filter_index(int(pic.alf_ctb_filter_index[ctu_rs_addr]))
+            if comp > 0 and on:
+                aps = self.cs.aps_map[(0, sh.alf_aps_id_chroma)]
+                num_alts = aps.alf.num_alternatives_chroma
+                alt = int(pic.alf_ctb_alt[comp][ctu_rs_addr])
+                for i in range(alt):
+                    self.e.encode_bin(1, ctx("ctbAlfAlternative", comp - 1))
+                if alt < num_alts - 1:
+                    self.e.encode_bin(0, ctx("ctbAlfAlternative", comp - 1))
+
+    NUM_ALF_FIXED = 16
+
+    def _alf_ctb_filter_index(self, filt_index: int):
+        sh = self.cs.sh
+        num_aps = sh.num_alf_aps
+        num_avail = num_aps + self.NUM_ALF_FIXED
+        if num_avail > self.NUM_ALF_FIXED:
+            use_prev = int(filt_index >= self.NUM_ALF_FIXED)
+            self.e.encode_bin(use_prev, ctx("AlfUseTemporalFilt"))
+            if use_prev:
+                if num_aps > 1:
+                    self._write_trunc_bin(filt_index - self.NUM_ALF_FIXED,
+                                          num_avail - self.NUM_ALF_FIXED)
+            else:
+                self._write_trunc_bin(filt_index, self.NUM_ALF_FIXED)
+        else:
+            self._write_trunc_bin(filt_index, self.NUM_ALF_FIXED)
+
+    def _write_trunc_bin(self, symbol: int, max_symbol: int):
+        """Inverse of SyntaxReader._trunc_bin."""
+        thresh = max_symbol.bit_length() - 1
+        val = 1 << thresh
+        b = max_symbol - val
+        if symbol < val - b:
+            self.e.encode_bins_ep(symbol, thresh)
+        else:
+            t = symbol + (val - b)
+            self.e.encode_bins_ep(t >> 1, thresh)
+            self.e.encode_bin_ep(t & 1)
+
     def coding_tree(self, part: P.Partitioner, cu_ctx: CuCtx):
         b = part.cur_block()
         cu = self.cs.get_cu(b.x, b.y, part.ch_type)

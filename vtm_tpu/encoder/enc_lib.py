@@ -66,6 +66,7 @@ class EncoderConfig:
     mctf: bool = False  # motion-compensated temporal prefilter
     wpp: bool = False  # wavefront parallel processing (entropy sync + entry points)
     mts: bool = False  # explicit intra MTS (DST7/DCT8 transform search)
+    alf: bool = False  # adaptive loop filter (LS-trained APS + CTU RD)
 
 
 class IntraEncoder:
@@ -168,19 +169,21 @@ class IntraEncoder:
         if not sh.deblocking_disable:
             DB.deblock_picture(dcs, shim)
         entry_points = None
-        if cfg.sao or cfg.wpp:
+        self._alf_aps_nal = b""
+        if cfg.sao or cfg.wpp or cfg.alf:
             slice_bw, entry_points = self._sao_and_rewrite(shim, SliceType.I)
         # slice NAL = header + slice data
         hdr = W.write_slice_header_head(cfg, poc, self.frame_qp,
                                         sao=tuple(sh.sao_enabled),
-                                        entry_points=entry_points)
+                                        entry_points=entry_points,
+                                        alf=sh)
         rbsp = bytes(hdr.bytes) + slice_bw.data()
         nal = make_nal(nalio.NAL_IDR_N_LP, rbsp)
         # hash SEI (computed on the filtered reconstruction, like VTM)
         digest = pic_hash.pic_md5(planes, [cfg.bit_depth] * len(planes))
         sei = W.write_hash_sei(digest)
         self.last_recon = planes
-        return nal + sei
+        return self._alf_aps_nal + nal + sei
 
     def _sao_and_rewrite(self, shim, slice_type):
         """Filter-parameter search + final entropy pass (the reference's
@@ -202,6 +205,23 @@ class IntraEncoder:
             est = BitEstimator(est_ctx)
             sao_search(dcs, shim, self.src, self.lam, est)
             SAOOP.sao_picture(dcs, shim)
+        alf_on = getattr(cfg, "alf", False)
+        if alf_on:
+            # ALF param search + exact integer application on the
+            # post-SAO reconstruction (EncGOP.cpp:2918 ALFProcess slot)
+            from vtm_tpu.encoder.alf_search import alf_search
+            from vtm_tpu.encoder.vlc_writer import write_aps_alf
+            from vtm_tpu.ops import alf as ALFOP
+
+            param = alf_search(dcs, shim, self.src, self.lam)
+            if param is not None:
+                ALFOP.alf_picture(dcs, shim)
+                self._alf_aps_nal = write_aps_alf(param, aps_id=0)
+            else:
+                n = dcs.pic_w_ctu * dcs.pic_h_ctu
+                shim.alf_ctb_flag = [np.zeros(n, dtype=np.int64) for _ in range(3)]
+                shim.alf_ctb_filter_index = np.zeros(n, dtype=np.int64)
+                shim.alf_ctb_alt = [np.zeros(n, dtype=np.int64) for _ in range(3)]
         # final write pass: sao params + replayed coding trees
         ctx_m = ContextModels()
         ctx_m.init(self.frame_qp, int(slice_type))
@@ -227,6 +247,8 @@ class IntraEncoder:
                             cfg.ctu_size, cfg.ctu_size)
                 writer = SyntaxWriter(dcs, enc)
                 writer.sao(rect, shim.sao_params[cy * w_ctu + cx])
+                if alf_on:
+                    writer.alf_ctb(rect, cy * w_ctu + cx, shim)
                 self._split_map = self._ctu_split_maps[(rect.x, rect.y)]
                 wpart = P.Partitioner(dcs)
                 wpart.init_ctu(rect, D.CH_L)

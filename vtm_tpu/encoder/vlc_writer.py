@@ -87,7 +87,12 @@ def write_sps(cfg) -> bytes:
     w.ue(0)  # delta_qp_in_val_minus1[0]
     w.ue(1)  # delta_qp_diff_val[0] → deltaOut = 1^0 = 1 (identity table)
     w.flag(1 if getattr(cfg, "sao", False) else 0)  # sao
-    w.flag(0)  # alf
+    if getattr(cfg, "alf", False):
+        w.flag(1)  # alf
+        if cfg.chroma_format_idc != 0:
+            w.flag(0)  # ccalf (search not enabled yet)
+    else:
+        w.flag(0)  # alf
     w.flag(0)  # transform_skip
     w.flag(0)  # weighted_pred
     w.flag(0)  # weighted_bipred
@@ -169,6 +174,60 @@ def write_pps(cfg) -> bytes:
     return make_nal(nalio.NAL_PPS, w.data())
 
 
+def write_aps_alf(p, aps_id: int = 0) -> bytes:
+    """ALF APS NAL (field order mirrors vlc.parse_aps, which is bit-exact
+    against VTM 9.3 ALF streams: aps_id u(5), type u(3), payload)."""
+    w = BitWriter()
+    w.u(aps_id, 5)
+    w.u(0, 3)  # APS_ALF
+    w.flag(1 if p.new_filter_luma else 0)
+    w.flag(1 if p.new_filter_chroma else 0)
+    w.flag(1 if p.new_ccalf[0] else 0)
+    w.flag(1 if p.new_ccalf[1] else 0)
+
+    def coeffs(row, n):
+        for i in range(n - 1):
+            v = int(row[i])
+            w.ue(abs(v))
+            if v:
+                w.flag(1 if v < 0 else 0)
+
+    if p.new_filter_luma:
+        w.flag(1 if p.nonlinear_luma else 0)
+        w.ue(p.num_luma_filters - 1)
+        if p.num_luma_filters > 1:
+            length = max(1, (p.num_luma_filters - 1).bit_length())
+            for i in range(25):
+                w.u(p.filter_coeff_delta_idx[i], length)
+        for f in range(p.num_luma_filters):
+            coeffs(p.luma_coeff[f], 13)
+        if p.nonlinear_luma:
+            for f in range(p.num_luma_filters):
+                for i in range(12):
+                    w.u(p.luma_clip[f][i], 2)
+    if p.new_filter_chroma:
+        w.flag(1 if p.nonlinear_chroma else 0)
+        w.ue(p.num_alternatives_chroma - 1)
+        for alt in range(p.num_alternatives_chroma):
+            coeffs(p.chroma_coeff[alt], 7)
+            if p.nonlinear_chroma:
+                for i in range(6):
+                    w.u(p.chroma_clip[alt][i], 2)
+    for cc_idx in range(2):
+        if p.new_ccalf[cc_idx]:
+            w.ue(p.ccalf_filter_count[cc_idx] - 1)
+            for f in range(p.ccalf_filter_count[cc_idx]):
+                for i in range(7 - 1):
+                    v = int(p.ccalf_coeff[cc_idx][f][i])
+                    code = 0 if v == 0 else abs(v).bit_length()
+                    w.u(code, 3)
+                    if code:
+                        w.flag(1 if v < 0 else 0)
+    w.flag(0)  # aps_extension
+    w.write_rbsp_trailing()
+    return make_nal(nalio.NAL_PREFIX_APS, w.data())
+
+
 def write_picture_header(w: BitWriter, cfg, poc: int, is_irap: bool = True,
                          mvd_l1_zero: bool = True):
     """PH embedded in slice header (mirrors vlc.parse_picture_header)."""
@@ -210,7 +269,8 @@ def _write_rpl_one_past_ref(w: BitWriter, delta: int):
 def write_slice_header_head(cfg, poc: int, qp: int, slice_type=None,
                             rpl0=None, rpl1=None, slice_type_p: bool = False,
                             ref_delta: int = 1, mvd_l1_zero: bool = True,
-                            sao=(False, False), entry_points=None) -> BitWriter:
+                            sao=(False, False), entry_points=None,
+                            alf=None) -> BitWriter:
     """Slice header up to (and including) byte alignment before slice data.
 
     rpl0/rpl1: lists of POC deltas (positive = past, negative = future)."""
@@ -227,6 +287,22 @@ def write_slice_header_head(cfg, poc: int, qp: int, slice_type=None,
     # no subpics, rect slice single → no address; no extra bits
     if slice_type != SliceType.I:
         w.ue(int(slice_type))  # sh_slice_type (B=0, P=1)
+    if getattr(cfg, "alf", False):
+        # sh ALF info (parse mirror vlc.parse_slice_header: right after
+        # sh_slice_type, before RPL/QP/SAO)
+        luma_on = bool(alf and alf.alf_enabled[0])
+        w.flag(1 if luma_on else 0)
+        if luma_on:
+            w.u(alf.num_alf_aps, 3)
+            for aid in alf.alf_aps_ids:
+                w.u(aid, 3)
+            if cfg.chroma_format_idc != 0:
+                w.u(1 if alf.alf_enabled[1] else 0, 1)
+                w.u(1 if alf.alf_enabled[2] else 0, 1)
+                if alf.alf_enabled[1] or alf.alf_enabled[2]:
+                    w.u(alf.alf_aps_id_chroma, 3)
+            # sps.ccalf is 0 → no ccalf syntax
+    if slice_type != SliceType.I:
         # explicit RPLs (no SPS candidate lists): L0 then L1
         _write_rpl(w, rpl0)
         _write_rpl(w, rpl1)
