@@ -447,10 +447,11 @@ class SyntaxWriter:
         w = min(32, tu.blocks[comp].w)
         h = min(32, tu.blocks[comp].h)
         cctx.reg_bin_limit = (w * h * ratio) >> 4
+        state_trans = 32040 if self.cs.sh.dep_quant else 0
         state = 0
         for subset in range(last_scan_pos >> cctx.log2_cg_size, -1, -1):
             cctx.init_subblock(subset)
-            state = self._write_subblock(cctx, coeff, state)
+            state = self._write_subblock(cctx, coeff, state_trans, state)
 
     def _write_last_pos(self, cctx: CoeffCtx, last_scan_pos: int):
         pos_x = int(cctx.scan[last_scan_pos][1])
@@ -474,7 +475,8 @@ class SyntaxWriter:
             n = (gy - 2) >> 1
             self.e.encode_bins_ep(pos_y - int(_MIN_IN_GROUP[gy]), n)
 
-    def _write_subblock(self, cctx: CoeffCtx, coeff: np.ndarray, state: int) -> int:
+    def _write_subblock(self, cctx: CoeffCtx, coeff: np.ndarray,
+                        state_trans: int, state: int) -> int:
         e = self.e
         min_sub_pos = cctx.min_sub_pos
         is_last = cctx.is_last()
@@ -524,6 +526,9 @@ class SyntaxWriter:
                     gt2 = int(level > 3)
                     e.encode_bin(gt2, cctx.gt2_ctx_id(off))
                     rem_reg_bins -= 1
+            # dep-quant state machine (parity of the full level equals the
+            # parity of the partial level the reader tracks here)
+            state = (state_trans >> ((state << 2) + ((level & 1) << 1))) & 3
             pos -= 1
         first_pos_mode2 = pos
         cctx.reg_bin_limit = rem_reg_bins
@@ -550,6 +555,7 @@ class SyntaxWriter:
             else:
                 rem = level
             e.encode_rem_abs_ep(rem, rice, COEF_REMAIN_BIN_REDUCTION, 15)
+            state = (state_trans >> ((state << 2) + ((level & 1) << 1))) & 3
             if level:
                 num_nonzero += 1
         # signs

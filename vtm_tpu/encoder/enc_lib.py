@@ -67,6 +67,26 @@ class EncoderConfig:
     wpp: bool = False  # wavefront parallel processing (entropy sync + entry points)
     mts: bool = False  # explicit intra MTS (DST7/DCT8 transform search)
     alf: bool = False  # adaptive loop filter (LS-trained APS + CTU RD)
+    dep_quant: bool = True  # dependent quantization (trellis, DepQuant analogue)
+
+
+def _quantize_tu(coeffs, qp, bd, lam, dep):
+    """Forward quantization: DQ trellis (quant_dep) or RDOQ by slice flag."""
+    from vtm_tpu.common import rom as _rom
+
+    if dep:
+        scan = _rom.scan(1, coeffs.shape[1], coeffs.shape[0])
+        return Q.quant_dep(coeffs, qp, bd, lam, scan)
+    return Q.quant_rdoq(coeffs, qp, bd, lam)
+
+
+def _dequantize_tu(lev, qp, bd, dep):
+    from vtm_tpu.common import rom as _rom
+
+    if dep:
+        scan = _rom.scan(1, lev.shape[1], lev.shape[0])
+        return Q.dequant_dep(lev, qp, bd, scan)
+    return Q.dequant(lev, qp, bd)
 
 
 class IntraEncoder:
@@ -111,6 +131,7 @@ class IntraEncoder:
         sh.slice_type = SliceType.I
         sh.qp = self.frame_qp
         sh.sao_enabled = [cfg.sao, cfg.sao and cfg.chroma_format_idc != 0]
+        sh.dep_quant = cfg.dep_quant
         n_ctu = pps.pic_width_in_ctu(sps.ctu_size) * pps.pic_height_in_ctu(sps.ctu_size)
         dcs = D.DecCodingStructure(sps, pps, ph, sh, np.zeros(n_ctu, dtype=np.int32))
         dcs._slice_headers = [sh]
@@ -573,11 +594,13 @@ class IntraEncoder:
                 tu.cbf[comp] = int(np.any(lev))
             else:
                 coeffs = TX.fwd_transform_2d_np(resi.astype(np.int32), self.cfg.bit_depth)
-                lev = Q.quant_rdoq(coeffs, qp, self.cfg.bit_depth, self.lam)
+                lev = _quantize_tu(coeffs, qp, self.cfg.bit_depth, self.lam,
+                                   self.cfg.dep_quant)
                 tu.coeffs[comp] = lev
                 tu.cbf[comp] = int(np.any(lev))
                 if tu.cbf[comp]:
-                    deq = Q.dequant(lev, qp, self.cfg.bit_depth)
+                    deq = _dequantize_tu(lev, qp, self.cfg.bit_depth,
+                                         self.cfg.dep_quant)
                     rec_resi = TX.inv_transform_2d_np(deq, self.cfg.bit_depth)
                 else:
                     rec_resi = np.zeros_like(src)
@@ -613,7 +636,7 @@ class IntraEncoder:
         best = None
         for mts, th, tv, sig_bins in cands:
             coeffs = TX.fwd_transform_2d_np(resi, bd, th, tv)
-            lev = Q.quant_rdoq(coeffs, qp, bd, self.lam)
+            lev = _quantize_tu(coeffs, qp, bd, self.lam, self.cfg.dep_quant)
             nzy, nzx = np.nonzero(lev)
             if mts != MTS_DCT2_DCT2:
                 # must be signalable: last scan pos > 0, nothing outside 16x16
@@ -622,7 +645,7 @@ class IntraEncoder:
                 if (nzx >= 16).any() or (nzy >= 16).any():
                     continue
             if nzy.size:
-                deq = Q.dequant(lev, qp, bd)
+                deq = _dequantize_tu(lev, qp, bd, self.cfg.dep_quant)
                 rec = TX.inv_transform_2d_np(deq, bd, th, tv)
             else:
                 rec = np.zeros_like(resi, dtype=np.int64)
@@ -753,6 +776,7 @@ class InterEncoder(IntraEncoder):
         sh.bi_dir_pred = False
         sh.independent_slice_idx = 0
         sh.sao_enabled = [cfg.sao, cfg.sao and cfg.chroma_format_idc != 0]
+        sh.dep_quant = cfg.dep_quant
         self._rpl_deltas = (rpl0, rpl1)
         n_ctu = pps.pic_width_in_ctu(sps.ctu_size) * pps.pic_height_in_ctu(sps.ctu_size)
         dcs = D.DecCodingStructure(sps, pps, ph, sh, np.zeros(n_ctu, dtype=np.int32))
@@ -937,7 +961,8 @@ class InterEncoder(IntraEncoder):
                 resi = src - pred
                 coeffs = TX.fwd_transform_2d_np(resi.astype(np.int32), self.cfg.bit_depth)
                 qp = self.recon._qp_for(tu, comp)
-                lev = Q.quant_rdoq(coeffs, qp, self.cfg.bit_depth, self.lam)
+                lev = _quantize_tu(coeffs, qp, self.cfg.bit_depth, self.lam,
+                                   self.cfg.dep_quant)
             tu.coeffs[comp] = lev
             tu.cbf[comp] = int(np.any(lev))
             cbfs.append(tu.cbf[comp])

@@ -133,7 +133,7 @@ def write_sps(cfg) -> bytes:
     w.flag(0)  # lfnst
     w.flag(0)  # ladf
     w.flag(0)  # explicit_scaling_list
-    w.flag(0)  # dep_quant
+    w.flag(1 if getattr(cfg, "dep_quant", False) else 0)  # dep_quant
     w.flag(0)  # sign_data_hiding
     w.flag(0)  # virtual_boundaries_enabled
     w.flag(0)  # general_hrd_params_present
@@ -314,7 +314,10 @@ def write_slice_header_head(cfg, poc: int, qp: int, slice_type=None,
         w.flag(1 if sao[0] else 0)  # sh_sao_used_flag (luma)
         if cfg.chroma_format_idc != 0:
             w.flag(1 if sao[1] else 0)  # sh_sao_used_flag (chroma)
-    # no deblocking override, no dep quant / sdh / ts flags
+    # no deblocking override
+    if getattr(cfg, "dep_quant", False):
+        w.flag(1)  # sh_dep_quant_used_flag
+    # no sdh / ts flags (sps flags off)
     if entry_points:
         offset_len = max(1, max(o - 1 for o in entry_points).bit_length())
         w.ue(offset_len - 1)

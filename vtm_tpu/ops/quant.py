@@ -152,6 +152,132 @@ def dequant_dep(
     return out.reshape(h, w)
 
 
+_DQ_STATE_TRANS = 32040  # DepQuant.cpp state transition table (2 bits/entry)
+_DQ_NATIVE = None  # lazily loaded native trellis (False = build failed)
+
+
+def _dq_rate(level: int) -> float:
+    """Context-free bin-count model for one coded |level| (sig/gt1/par/gt2 +
+    golomb remainder) — encoder-side approximation shared with quant_rdoq."""
+    if level == 0:
+        return 0.55
+    r = 2.0  # sig + sign
+    if level == 1:
+        return r + 1.0
+    if level <= 3:
+        return r + 3.0
+    rem = (level - 4) >> 1
+    return r + 4.0 + 2.0 + float(rem.bit_length() * 2 if rem else 0)
+
+
+def quant_dep(
+    coeff: np.ndarray,
+    qp: tuple[int, int, int],
+    bit_depth: int,
+    lam: float,
+    scan: np.ndarray,
+) -> np.ndarray:
+    """Dependent-quantization trellis (encoder side of DepQuant.cpp
+    :806-1008 / quant:1582, re-designed): a 4-state Viterbi over the scan
+    order choosing per-coefficient levels so that reconstruction through
+    the normative inverse (dequant_dep, QP+1 half-step quantizers Q0/Q1
+    selected by state>>1) minimises SSD + lambda*bins.  Non-normative —
+    any level choice is legal; reconstruction must use dequant_dep on the
+    returned levels.
+    """
+    h, w = coeff.shape
+    max_range = 15
+    lg = (floor_log2(w) + floor_log2(h)) >> 1
+    transform_shift = max_range - bit_depth - lg
+    needs_sqrt2 = ((floor_log2(w) + floor_log2(h)) & 1) == 1
+    d_trans_shift = transform_shift + (-0.5 if needs_sqrt2 else 0.0)
+    if needs_sqrt2:
+        transform_shift -= 1
+    qp_dq = qp[0] + 1
+    qp_per, qp_rem = qp_dq // 6, qp_dq % 6
+    qbits = QUANT_SHIFT + qp_per + transform_shift
+    scale = rom.quant_scale(qp_rem, needs_sqrt2)
+    err_scale = (2.0 ** (-2.0 * d_trans_shift)) / (scale * scale)
+    half = 1 << (qbits - 1)
+
+    flat = coeff.ravel()
+    n = w * h
+    sidx = scan[:, 0].astype(np.int64)
+    mags = np.abs(flat[sidx]).astype(np.int64)  # magnitude per scan pos
+    u = mags * scale  # scaled-domain magnitudes
+    # candidate last: highest scan pos whose round-to-nearest level is >=1
+    nz = np.nonzero((u << 1) >= (1 << qbits))[0]
+    if len(nz) == 0:
+        return np.zeros_like(coeff, dtype=np.int32)
+    last = int(nz[-1])
+    INF = float("inf")
+
+    npos = last + 1
+    global _DQ_NATIVE
+    if _DQ_NATIVE is None:
+        from vtm_tpu import native as _native
+
+        _DQ_NATIVE = _native.load_depquant() or False
+    if _DQ_NATIVE:
+        # coding order: last .. DC
+        u_cod = np.ascontiguousarray(u[last::-1], dtype=np.int64)
+        lev_cod = np.zeros(npos, dtype=np.int32)
+        keep = _DQ_NATIVE.trellis(u_cod, lev_cod, qbits, err_scale, lam)
+        out = np.zeros(n, dtype=np.int64)
+        if keep:
+            lv = lev_cod[::-1].astype(np.int64)  # index by scan pos 0..last
+            sgn = np.where(flat[sidx[: last + 1]] < 0, -1, 1)
+            out[sidx[: last + 1]] = sgn * lv
+        return np.clip(out, -(1 << max_range), (1 << max_range) - 1).astype(
+            np.int32).reshape(h, w)
+    cost = [0.0, INF, INF, INF]
+    back = np.zeros((npos, 4, 2), dtype=np.int64)  # (prev_state, level)
+    zero_run_cost = 0.0  # accumulated cost of the all-zero alternative
+    for i in range(npos):
+        p = last - i  # coding order: last -> DC
+        up = float(u[p])
+        zero_run_cost += up * up * err_scale
+        new = [INF, INF, INF, INF]
+        for s in range(4):
+            cs = cost[s]
+            if cs == INF:
+                continue
+            hq = s >> 1  # quantizer offset (Q0/Q1)
+            l0 = int((int(u[p]) + hq * half) >> qbits)
+            cands = (0, l0, l0 + 1) if l0 > 0 else (0, 1)
+            for lv in cands:
+                if p == last and lv == 0:
+                    continue  # last position is signalled significant
+                if lv > 0:
+                    q_idx = 2 * lv - hq
+                    e = up - float(q_idx * half)
+                else:
+                    e = up
+                c = cs + e * e * err_scale + lam * _dq_rate(lv)
+                ns = (_DQ_STATE_TRANS >> ((s << 2) + ((lv & 1) << 1))) & 3
+                if c < new[ns]:
+                    new[ns] = c
+                    back[i, ns, 0] = s
+                    back[i, ns, 1] = lv
+        cost = new
+    best_s = int(np.argmin(cost))
+    best_cost = cost[best_s]
+    # compare against dropping the block entirely (caller signals cbf=0)
+    if best_cost + lam * 4.0 >= zero_run_cost:
+        return np.zeros_like(coeff, dtype=np.int32)
+    out = np.zeros(n, dtype=np.int64)
+    s = best_s
+    for i in range(npos - 1, -1, -1):
+        p = last - i
+        lv = int(back[i, s, 1])
+        if lv:
+            sgn = -1 if flat[sidx[p]] < 0 else 1
+            out[sidx[p]] = sgn * lv
+        s = int(back[i, s, 0])
+    return np.clip(out, -(1 << max_range), (1 << max_range) - 1).astype(
+        np.int32).reshape(h, w)
+
+
 def inv_transform_ict(mode: int, resi_cb: np.ndarray, resi_cr: np.ndarray):
     """TrQuant::invTransformICT (TrQuant.cpp:627): joint Cb-Cr inverse.
 
