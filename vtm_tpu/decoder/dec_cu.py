@@ -835,16 +835,13 @@ class CuReconstructor:
                 out[y, :] = np.clip(out[y - 1, :] + out[y, :], -32768, 32767)
         return out.astype(np.int32)
 
-    def inv_lfnst(self, tu: TU, comp: int, coeffs: np.ndarray) -> np.ndarray:
-        """TrQuant::xInvLfnst (TrQuant.cpp) — low-frequency non-separable
-        secondary transform inverse on the top-left 4x4/8x8 region."""
+    def _lfnst_setup(self, tu: TU, comp: int, lfnst_idx: int):
+        """Shared geometry/matrix derivation for the LFNST inverse
+        (xInvLfnst) and the encoder-side forward (xFwdLfnst): returns
+        (scan, mat, transpose, sb_size, zero_out) for this TU/component."""
         cu = tu.cu
         b = tu.blocks[comp]
         w, h = b.w, b.h
-        if not (cu.lfnst_idx and tu.mts_idx[comp] != D.MTS_SKIP and (
-            True if cu.is_sep_tree else comp == 0
-        )):
-            return coeffs
         whge3 = w >= 8 and h >= 8
         if whge3:
             scan = rom.get(f"scanTL8x8_w{w}")
@@ -888,37 +885,74 @@ class CuReconstructor:
         tu4x4 = w == 4 and h == 4
         tu8x8 = w == 8 and h == 8
         zero_out = 8 if (tu4x4 or tu8x8) else 16
-        # gather the 16 input coefficients in scan order
+        mode_group = int(rom.lfnst_lut()[intra_mode])
+        mat = rom.lfnst_matrix(mode_group, lfnst_idx - 1, sb_size).astype(np.int64)
+        return scan, mat, transpose, sb_size, zero_out
+
+    @staticmethod
+    def _lfnst_layout(transpose: bool, sb_size: int):
+        """(y, x) spatial position of each entry of the LFNST sample vector
+        (the layout xInvLfnst scatters to / xFwdLfnst gathers from)."""
+        pos = []
+        if transpose:
+            if sb_size == 4:
+                for x in range(4):
+                    for y in range(4):
+                        pos.append((y, x))
+            else:
+                for x in range(4):
+                    for y in range(8):
+                        pos.append((y, x))
+                for x in range(4, 8):
+                    for y in range(4):
+                        pos.append((y, x))
+        else:
+            for y in range(sb_size):
+                stride = sb_size if y < 4 else 4
+                for x in range(stride):
+                    pos.append((y, x))
+        return pos
+
+    def inv_lfnst(self, tu: TU, comp: int, coeffs: np.ndarray) -> np.ndarray:
+        """TrQuant::xInvLfnst (TrQuant.cpp:270) — low-frequency non-separable
+        secondary transform inverse on the top-left 4x4/8x8 region."""
+        cu = tu.cu
+        if not (cu.lfnst_idx and tu.mts_idx[comp] != D.MTS_SKIP and (
+            True if cu.is_sep_tree else comp == 0
+        )):
+            return coeffs
+        scan, mat, transpose, sb_size, zero_out = self._lfnst_setup(
+            tu, comp, cu.lfnst_idx)
         flat = coeffs.ravel().astype(np.int64)
         src = np.array([flat[int(scan[i][0])] for i in range(16)], dtype=np.int64)
-        mode_group = int(rom.lfnst_lut()[intra_mode])
-        mat = rom.lfnst_matrix(mode_group, cu.lfnst_idx - 1, sb_size).astype(np.int64)
         # invLfnstNxN: out[j] = clip((sum_i src[i] * mat[i][j] + 64) >> 7)
-        tr_size = 48 if sb_size > 4 else 16
         out_v = np.clip(
             (src[:zero_out] @ mat[:zero_out, :] + 64) >> 7, -32768, 32767
         )
         result = coeffs.astype(np.int64).copy()
-        if transpose:
-            if sb_size == 4:
-                for y in range(4):
-                    for x in range(4):
-                        result[y, x] = out_v[x * 4 + y]
-            else:
-                for y in range(8):
-                    for x in range(4):
-                        result[y, x] = out_v[x * 8 + y]
-                    if y < 4:
-                        for x in range(4, 8):
-                            result[y, x] = out_v[32 + (x - 4) * 4 + y]
-        else:
-            pos = 0
-            for y in range(sb_size):
-                stride = sb_size if y < 4 else 4
-                for x in range(stride):
-                    result[y, x] = out_v[pos]
-                    pos += 1
+        for i, (y, x) in enumerate(self._lfnst_layout(transpose, sb_size)):
+            result[y, x] = out_v[i]
         return result.astype(np.int32)
+
+    def fwd_lfnst(self, tu: TU, comp: int, coeffs: np.ndarray,
+                  lfnst_idx: int) -> np.ndarray:
+        """Encoder forward LFNST (TrQuant::xFwdLfnst, TrQuant.cpp:436):
+        gathers the top-left primary coefficients in the inverse's scatter
+        layout, projects onto the 16 LFNST basis rows, places the first
+        `zero_out` outputs at the head of the coding scan, zeroing the rest
+        of the block (the normative LFNST zero-out)."""
+        scan, mat, transpose, sb_size, zero_out = self._lfnst_setup(
+            tu, comp, lfnst_idx)
+        c64 = coeffs.astype(np.int64)
+        src = np.array(
+            [c64[y, x] for (y, x) in self._lfnst_layout(transpose, sb_size)],
+            dtype=np.int64,
+        )
+        fwd = (mat @ src + 64) >> 7
+        out = np.zeros_like(coeffs, dtype=np.int64).ravel()
+        for i in range(zero_out):
+            out[int(scan[i][0])] = fwd[i]
+        return np.clip(out, -32768, 32767).astype(np.int32).reshape(coeffs.shape)
 
     def _colocated_luma(self, cu: CU):
         b = cu.blocks[1]

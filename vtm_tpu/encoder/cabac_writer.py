@@ -251,7 +251,79 @@ class SyntaxWriter:
         self.intra_chroma_pred_mode(cu)
         for tu in cu.tus:
             self.transform_unit(tu, cu_ctx, part)
+        self.residual_lfnst_mode(cu)
         self.mts_idx(cu)
+
+    def residual_lfnst_mode(self, cu: CU):
+        """Mirror of SyntaxReader.residual_lfnst_mode (CABACWriter
+        ::residual_lfnst_mode analogue) with the parse-gating flags
+        (violates_lfnst, lfnst_last_scan_pos, ts presence) recomputed from
+        the coefficients being written."""
+        from vtm_tpu.decoder.cabac_reader import LFNST_LAST_SIG_LUMA
+        from vtm_tpu.decoder.cs import MTS_SKIP
+
+        sps = self.sps
+        ch_idx = 1 if (cu.is_sep_tree and cu.ch_type == CH_C) else 0
+        if getattr(cu, "isp_mode", 0) and not self.helper._can_lfnst_with_isp(cu):
+            return
+        if (
+            sps.lfnst
+            and cu.pred_mode == MODE_INTRA
+            and getattr(cu, "mip_flag", False)
+            and not (cu.lwidth >= 16 and cu.lheight >= 16)
+        ):
+            return
+        if cu.is_sep_tree and cu.ch_type == CH_C and min(
+            cu.blocks[1].w, cu.blocks[1].h
+        ) < 4:
+            return
+        ref = cu.blocks[ch_idx]
+        ref_lw = ref.w << (self.cs.chroma_format.scale_x if ch_idx else 0)
+        ref_lh = ref.h << (self.cs.chroma_format.scale_y if ch_idx else 0)
+        max_tb = 1 << sps.log2_max_tb_size
+        if ref_lw > max_tb or ref_lh > max_tb:
+            return
+        if not (sps.lfnst and cu.pred_mode == MODE_INTRA):
+            return
+        violates = [False, False]
+        last_ok = False
+        is_ts = False
+        for tu in cu.tus:
+            for comp in range(3):
+                b = tu.blocks[comp] if comp < len(tu.blocks) else None
+                if b is None or not tu.cbf[comp]:
+                    continue
+                if tu.mts_idx[comp] == MTS_SKIP:
+                    is_ts = True
+                    continue
+                if b.h >= 4 and b.w >= 4:
+                    last = self._last_scan_pos(tu, comp)
+                    maxp = 7 if ((b.h == 4 and b.w == 4) or
+                                 (b.h == 8 and b.w == 8)) else 15
+                    violates[0 if comp == 0 else 1] |= last > maxp
+                    last_ok |= last >= LFNST_LAST_SIG_LUMA
+        luma_flag = (cu.ch_type == CH_L) if cu.is_sep_tree else True
+        chroma_flag = (cu.ch_type == CH_C) if cu.is_sep_tree else True
+        non_zero_corner = (luma_flag and violates[0]) or (
+            chroma_flag and violates[1])
+        if ((not last_ok and not getattr(cu, "isp_mode", 0))
+                or non_zero_corner or is_ts):
+            assert getattr(cu, "lfnst_idx", 0) == 0, \
+                "encoder chose unsignalable lfnst_idx"
+            return
+        c = 1 if cu.is_sep_tree else 0
+        idx = getattr(cu, "lfnst_idx", 0)
+        self.e.encode_bin(int(idx != 0), ctx("LFNSTIdx", c))
+        if idx:
+            self.e.encode_bin(int(idx == 2), ctx("LFNSTIdx", 2))
+
+    def _last_scan_pos(self, tu: TU, comp: int) -> int:
+        cctx = CoeffCtx(tu, comp, False, self.sps)
+        coeff = tu.coeffs[comp].ravel()
+        for sp in range(cctx.max_num_coeff - 1, -1, -1):
+            if coeff[cctx.blockpos(sp)]:
+                return sp
+        return -1
 
     def mts_idx(self, cu: CU):
         """Mirror of CABACReader::mts_idx with the parse-gating flags

@@ -68,6 +68,7 @@ class EncoderConfig:
     mts: bool = False  # explicit intra MTS (DST7/DCT8 transform search)
     alf: bool = False  # adaptive loop filter (LS-trained APS + CTU RD)
     dep_quant: bool = True  # dependent quantization (trellis, DepQuant analogue)
+    lfnst: bool = False  # LFNST secondary transform search
 
 
 def _quantize_tu(coeffs, qp, bd, lam, dep):
@@ -586,10 +587,17 @@ class IntraEncoder:
                 pred = self._predict_chroma(cu, tu, comp)
             resi = src - pred
             qp = self.recon._qp_for(tu, comp)
-            if comp == 0 and self.cfg.mts and 4 <= b.w <= 32 and 4 <= b.h <= 32:
-                lev, rec_resi, mts = self._search_luma_transform(
-                    resi.astype(np.int32), qp, est)
+            use_tx_search = comp == 0 and (
+                (self.cfg.mts and 4 <= b.w <= 32 and 4 <= b.h <= 32)
+                or (self.cfg.lfnst and min(b.w, b.h) >= 4)
+            )
+            if comp == 0:
+                luma_ctx = (b, pred, resi, qp)
+            if use_tx_search:
+                lev, rec_resi, mts, lfn = self._search_luma_transform(
+                    tu, resi.astype(np.int32), qp, est)
                 tu.mts_idx[0] = mts
+                cu.lfnst_idx = lfn
                 tu.coeffs[comp] = lev
                 tu.cbf[comp] = int(np.any(lev))
             else:
@@ -611,31 +619,95 @@ class IntraEncoder:
                 dcs.qp_map_l[b.y >> 2 : b.y1 >> 2, b.x >> 2 : b.x1 >> 2] = cu.qp
             w = 1.0
             dist += w * float(np.sum((src - recon.astype(np.int64)) ** 2))
+        if getattr(cu, "lfnst_idx", 0) and not self._lfnst_signalable(tu):
+            # a chroma TB put its last significant coefficient outside the
+            # LFNST corner (residual_lfnst_mode parse gate) — redo luma
+            # with the secondary transform off
+            b, pred, resi, qp = luma_ctx
+            cu.lfnst_idx = 0
+            coeffs = TX.fwd_transform_2d_np(resi.astype(np.int32), self.cfg.bit_depth)
+            lev = _quantize_tu(coeffs, qp, self.cfg.bit_depth, self.lam,
+                               self.cfg.dep_quant)
+            tu.mts_idx[0] = 0
+            tu.coeffs[0] = lev
+            tu.cbf[0] = int(np.any(lev))
+            if tu.cbf[0]:
+                deq = _dequantize_tu(lev, qp, self.cfg.bit_depth, self.cfg.dep_quant)
+                rec_resi = TX.inv_transform_2d_np(deq, self.cfg.bit_depth)
+            else:
+                rec_resi = np.zeros((b.h, b.w), dtype=np.int64)
+            src = self.src[0][b.y : b.y1, b.x : b.x1].astype(np.int64)
+            recon = np.clip(pred + rec_resi, 0, maxv).astype(np.int32)
+            old = self.recon.planes[0][b.y : b.y1, b.x : b.x1].astype(np.int64)
+            dist -= float(np.sum((src - old) ** 2))
+            dist += float(np.sum((src - recon.astype(np.int64)) ** 2))
+            self.recon.planes[0][b.y : b.y1, b.x : b.x1] = recon
         # bits
         writer = SyntaxWriter(dcs, est)
         writer.coding_unit(cu, part, CuCtx(self.frame_qp))
         return dist
 
-    def _search_luma_transform(self, resi, qp, est):
-        """Explicit MTS candidate loop (IntraSearch MTS pass analogue):
-        DCT2 + the four DST7/DCT8 combos, priced by distortion + a level
-        magnitude rate proxy; returns (levels, rec_resi, mts_idx)."""
+    def _lfnst_signalable(self, tu) -> bool:
+        """Chroma side of the residual_lfnst_mode parse gate (the luma TB is
+        constrained at candidate time in _search_luma_transform)."""
+        from vtm_tpu.common import rom as _rom
+
+        for comp in (1, 2):
+            if comp >= len(tu.blocks) or tu.blocks[comp] is None:
+                continue
+            if not tu.cbf[comp]:
+                continue
+            bb = tu.blocks[comp]
+            if bb.w < 4 or bb.h < 4:
+                continue
+            scan = _rom.scan(1, bb.w, bb.h)
+            nz = np.nonzero(tu.coeffs[comp].ravel()[scan[:, 0].astype(np.int64)])[0]
+            if nz.size == 0:
+                continue
+            maxp = 7 if ((bb.w == 4 and bb.h == 4) or
+                         (bb.w == 8 and bb.h == 8)) else 15
+            if int(nz[-1]) > maxp:
+                return False
+        return True
+
+    def _search_luma_transform(self, tu, resi, qp, est):
+        """Luma transform candidate loop (IntraSearch MTS/LFNST pass
+        analogue, IntraSearch.cpp:3591 xRecurIntraCodingLumaQT tests):
+        DCT2, the four explicit-MTS DST7/DCT8 combos, and LFNST idx 1/2 on
+        top of DCT2, priced by distortion + a level-magnitude rate proxy;
+        returns (levels, rec_resi, mts_idx, lfnst_idx)."""
+        from vtm_tpu.common import rom as _rom
         from vtm_tpu.decoder.cs import (
             MTS_DCT2_DCT2, MTS_DST7_DST7, MTS_DCT8_DST7, MTS_DST7_DCT8,
             MTS_DCT8_DCT8,
         )
 
         bd = self.cfg.bit_depth
-        cands = [
-            (MTS_DCT2_DCT2, TX.DCT2, TX.DCT2, 0),
-            (MTS_DST7_DST7, TX.DST7, TX.DST7, 2),
-            (MTS_DCT8_DST7, TX.DCT8, TX.DST7, 3),
-            (MTS_DST7_DCT8, TX.DST7, TX.DCT8, 3),
-            (MTS_DCT8_DCT8, TX.DCT8, TX.DCT8, 4),
-        ]
+        b = tu.blocks[0]
+        w, h = b.w, b.h
         best = None
-        for mts, th, tv, sig_bins in cands:
+
+        def consider(lev, rec, sig_bins, mts, lfn):
+            nonlocal best
+            dist = float(np.sum((resi.astype(np.int64) - rec) ** 2))
+            rate = float(np.abs(lev).sum() + np.count_nonzero(lev)) + sig_bins
+            cost = dist + self.lam * rate
+            if best is None or cost < best[0]:
+                best = (cost, lev, rec, mts, lfn)
+
+        prim = [(MTS_DCT2_DCT2, TX.DCT2, TX.DCT2, 0)]
+        if self.cfg.mts and 4 <= w <= 32 and 4 <= h <= 32:
+            prim += [
+                (MTS_DST7_DST7, TX.DST7, TX.DST7, 2),
+                (MTS_DCT8_DST7, TX.DCT8, TX.DST7, 3),
+                (MTS_DST7_DCT8, TX.DST7, TX.DCT8, 3),
+                (MTS_DCT8_DCT8, TX.DCT8, TX.DCT8, 4),
+            ]
+        coeffs_dct2 = None
+        for mts, th, tv, sig_bins in prim:
             coeffs = TX.fwd_transform_2d_np(resi, bd, th, tv)
+            if mts == MTS_DCT2_DCT2:
+                coeffs_dct2 = coeffs
             lev = _quantize_tu(coeffs, qp, bd, self.lam, self.cfg.dep_quant)
             nzy, nzx = np.nonzero(lev)
             if mts != MTS_DCT2_DCT2:
@@ -649,13 +721,27 @@ class IntraEncoder:
                 rec = TX.inv_transform_2d_np(deq, bd, th, tv)
             else:
                 rec = np.zeros_like(resi, dtype=np.int64)
-            dist = float(np.sum((resi.astype(np.int64) - rec) ** 2))
-            # rate proxy: level magnitudes + signalling bins
-            rate = float(np.abs(lev).sum() + nzy.size) + sig_bins
-            cost = dist + self.lam * rate
-            if best is None or cost < best[0]:
-                best = (cost, lev, rec, mts)
-        return best[1], best[2], best[3]
+            consider(lev, rec, sig_bins, mts, 0)
+        max_tb = 1 << self.sps.log2_max_tb_size
+        if (self.cfg.lfnst and min(w, h) >= 4 and w <= max_tb and h <= max_tb
+                and coeffs_dct2 is not None):
+            scan = _rom.scan(1, w, h)
+            sidx = scan[:, 0].astype(np.int64)
+            maxp = 7 if ((w == 4 and h == 4) or (w == 8 and h == 8)) else 15
+            for lfn in (1, 2):
+                lfc = self.recon.fwd_lfnst(tu, 0, coeffs_dct2, lfn)
+                lev = _quantize_tu(lfc, qp, bd, self.lam, self.cfg.dep_quant)
+                nz = np.nonzero(lev.ravel()[sidx])[0]
+                # residual_lfnst_mode parse gate: last in [1, maxp]
+                if nz.size == 0 or int(nz[-1]) < 1 or int(nz[-1]) > maxp:
+                    continue
+                deq = _dequantize_tu(lev, qp, bd, self.cfg.dep_quant)
+                tu.cu.lfnst_idx = lfn
+                inv = self.recon.inv_lfnst(tu, 0, deq)
+                tu.cu.lfnst_idx = 0
+                rec = TX.inv_transform_2d_np(inv, bd)
+                consider(lev, rec, 2.0, MTS_DCT2_DCT2, lfn)
+        return best[1], best[2], best[3], best[4]
 
     def _predict_chroma(self, cu: CU, tu: TU, comp: int) -> np.ndarray:
         b = tu.blocks[comp]

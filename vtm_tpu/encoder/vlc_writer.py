@@ -130,7 +130,7 @@ def write_sps(cfg) -> bytes:
     w.flag(0)  # palette
     w.flag(0)  # ibc
     w.flag(0)  # lmcs
-    w.flag(0)  # lfnst
+    w.flag(1 if getattr(cfg, 'lfnst', False) else 0)  # lfnst
     w.flag(0)  # ladf
     w.flag(0)  # explicit_scaling_list
     w.flag(1 if getattr(cfg, "dep_quant", False) else 0)  # dep_quant
