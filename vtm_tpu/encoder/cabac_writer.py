@@ -424,10 +424,47 @@ class SyntaxWriter:
             self.e.encode_bin_ep(int(ver < 0))
 
     def intra_luma_pred_mode(self, cu: CU):
+        """Mirror of SyntaxReader.intra_luma_pred_modes (CABACWriter
+        ::intra_luma_pred_modes analogue): mip_flag + mip modes, MRL index,
+        then MPM/non-MPM signalling with the MRL inference."""
         if cu.blocks[0] is None:
             return
+        if getattr(cu, "bdpcm_mode", 0):
+            return
         mode = cu.intra_dir[0]
+        if self.sps.mip:
+            x, y = cu.lx, cu.ly
+            left_cu = self.cs.get_cu_restricted(x - 1, y, x, y, CH_L)
+            above_cu = self.cs.get_cu_restricted(x, y - 1, x, y, CH_L)
+            c = (1 if (left_cu and getattr(left_cu, "mip_flag", False)) else 0) \
+                + (1 if (above_cu and getattr(above_cu, "mip_flag", False)) else 0)
+            if cu.lwidth > 2 * cu.lheight or cu.lheight > 2 * cu.lwidth:
+                c = 3
+            mip = bool(getattr(cu, "mip_flag", False))
+            self.e.encode_bin(int(mip), ctx("MipFlag", c))
+            if mip:
+                self.e.encode_bin_ep(int(cu.mip_transposed))
+                num_modes = SyntaxReader._num_mip_modes(cu.lwidth, cu.lheight)
+                self._write_trunc_bin(mode, num_modes)
+                return
+        mrl = getattr(cu, "multi_ref_idx", 0)
+        if (self.sps.mrl
+                and (cu.blocks[0].y & (self.sps.ctu_size - 1)) != 0):
+            self.e.encode_bin(int(mrl > 0), ctx("MultiRefLineIdx", 0))
+            if mrl > 0:
+                self.e.encode_bin(int(mrl > 1), ctx("MultiRefLineIdx", 1))
         mpm = self.helper._get_intra_mpms(cu)
+        if mrl:
+            idx = mpm.index(mode)
+            assert idx >= 1, "MRL excludes planar (mpm[0])"
+            self.e.encode_bin_ep(int(idx > 1))
+            if idx > 1:
+                self.e.encode_bin_ep(int(idx > 2))
+            if idx > 2:
+                self.e.encode_bin_ep(int(idx > 3))
+            if idx > 3:
+                self.e.encode_bin_ep(int(idx > 4))
+            return
         if mode in mpm:
             idx = mpm.index(mode)
             self.e.encode_bin(1, ctx("IntraLumaMpmFlag"))

@@ -69,6 +69,8 @@ class EncoderConfig:
     alf: bool = False  # adaptive loop filter (LS-trained APS + CTU RD)
     dep_quant: bool = True  # dependent quantization (trellis, DepQuant analogue)
     lfnst: bool = False  # LFNST secondary transform search
+    mip: bool = False  # matrix intra prediction search
+    mrl: bool = False  # multi-reference-line intra search
 
 
 def _quantize_tu(coeffs, qp, bd, lam, dep):
@@ -499,6 +501,39 @@ class IntraEncoder:
         est.frac_bits = est_c.frac_bits
         return dist
 
+    def _predict_luma_cu(self, cu, b) -> np.ndarray:
+        """Luma prediction dispatch matching the decoder's intra_rec_blk
+        (DecCu.cpp xIntraRecBlk): MIP, MRL reference lines, or the regular
+        angular/planar/DC path."""
+        if getattr(cu, "mip_flag", False):
+            top, left = self.recon.fill_reference_samples(b, cu, 0, 0)
+            return I.pred_mip(
+                top[1 : b.w + 1], left[1 : b.h + 1], b.w, b.h,
+                cu.intra_dir[0], cu.mip_transposed, self.cfg.bit_depth)
+        mrl = getattr(cu, "multi_ref_idx", 0)
+        mode = cu.intra_dir[0]
+        p = I.IntraParams(mode, b.w, b.h, b.w, b.h, True, mrl, False, False)
+        top, left = self.recon.fill_reference_samples(b, cu, 0, mrl)
+        if p.ref_filter_flag:
+            ftop, fleft = I.filter_reference_samples(top, left, b.w * 2,
+                                                     b.h * 2, mrl)
+        else:
+            ftop, fleft = top, left
+        if mode == D.PLANAR_IDX:
+            pred = I.pred_planar(ftop, fleft, b.w, b.h)
+            if p.apply_pdpc:
+                pred = I.pdpc_planar_dc(pred, ftop, fleft)
+        elif mode == D.DC_IDX:
+            dc = I.pred_dc(top, left, b.w, b.h, p.multi_ref_idx)
+            pred = np.full((b.h, b.w), dc, dtype=np.int64)
+            if p.apply_pdpc:
+                pred = I.pdpc_planar_dc(pred, top, left)
+        else:
+            use_t, use_l = (ftop, fleft) if p.ref_filter_flag else (top, left)
+            pred = I.pred_angular(use_t, use_l, b.w, b.h, p, True,
+                                  self.cfg.bit_depth)
+        return pred
+
     def _preselect_modes(self, a: Rect, src_y: np.ndarray) -> list[int]:
         """Coarse angular sweep + refinement, SAD cost on luma prediction."""
         cu_probe = self._make_cu(a)  # temporary for ref fetch (not committed)
@@ -524,6 +559,47 @@ class IntraEncoder:
                 finalists.append(m)
             if len(finalists) >= 2 + self.cfg.num_rd_modes:
                 break
+        # MIP candidates (MatrixIntraPrediction SATD pass,
+        # IntraSearch.cpp estIntraPredLumaQT MIP preselection analogue)
+        if self.cfg.mip:
+            from vtm_tpu.ops.intra import mip_size_id
+
+            num_modes = {0: 16, 1: 8, 2: 6}[mip_size_id(a.w, a.h)]
+            t1 = top[1 : a.w + 1]
+            l1 = left[1 : a.h + 1]
+            best_mip = None
+            for idx in range(num_modes):
+                for tr in (False, True):
+                    pred = I.pred_mip(t1, l1, a.w, a.h, idx, tr,
+                                      self.cfg.bit_depth)
+                    c = float(np.abs(src_y - pred).sum())
+                    if best_mip is None or c < best_mip[0]:
+                        best_mip = (c, idx, tr)
+            finalists.append(("mip", best_mip[1], best_mip[2]))
+        # MRL candidates: reference lines 1/2 over the non-planar MPMs
+        if self.cfg.mrl and (a.y & (self.cfg.ctu_size - 1)) != 0:
+            mpm = self._helper._get_intra_mpms(cu_probe)
+            best_mrl = None
+            for ref in (1, 2):
+                top_r, left_r = self.recon.fill_reference_samples(
+                    Rect(a.x, a.y, a.w, a.h), cu_probe, 0, ref)
+                for m in mpm[1:]:
+                    if m < 2:
+                        continue
+                    p = I.IntraParams(m, a.w, a.h, a.w, a.h, True, ref,
+                                      False, False)
+                    if p.ref_filter_flag:
+                        ft, fl = I.filter_reference_samples(
+                            top_r, left_r, a.w * 2, a.h * 2, ref)
+                    else:
+                        ft, fl = top_r, left_r
+                    pred = I.pred_angular(ft, fl, a.w, a.h, p, True,
+                                          self.cfg.bit_depth)
+                    c = float(np.abs(src_y - pred).sum())
+                    if best_mrl is None or c < best_mrl[0]:
+                        best_mrl = (c, ref, m)
+            if best_mrl is not None:
+                finalists.append(("mrl", best_mrl[1], best_mrl[2]))
         return finalists
 
     def _pred_cost(self, mode, a, src_y, top, left, ftop, fleft) -> float:
@@ -564,7 +640,19 @@ class IntraEncoder:
         dcs = self.dcs
         fmt = dcs.chroma_format
         cu = self._make_cu(a)
-        cu.intra_dir = [mode, D.DM_CHROMA_IDX]
+        cu.mip_flag = False
+        cu.mip_transposed = False
+        cu.multi_ref_idx = 0
+        if isinstance(mode, tuple):
+            if mode[0] == "mip":
+                cu.mip_flag = True
+                cu.intra_dir = [mode[1], D.DM_CHROMA_IDX]
+                cu.mip_transposed = bool(mode[2])
+            else:  # ("mrl", ref_idx, mode)
+                cu.multi_ref_idx = mode[1]
+                cu.intra_dir = [mode[2], D.DM_CHROMA_IDX]
+        else:
+            cu.intra_dir = [mode, D.DM_CHROMA_IDX]
         cu.qt_depth = part.cur_qt_depth
         cu.depth = part.cur_depth
         cu.split_series = tuple(lvl.split for lvl in part.stack[1:])
@@ -580,9 +668,7 @@ class IntraEncoder:
             src = self.src[comp][b.y : b.y1, b.x : b.x1].astype(np.int64)
             # prediction via the shared reconstructor path
             if comp == 0:
-                top, left = self.recon.fill_reference_samples(b, cu, 0, 0)
-                ftop, fleft = I.filter_reference_samples(top, left, b.w * 2, b.h * 2, 0)
-                pred = self._predict_luma(mode, b, top, left, ftop, fleft)
+                pred = self._predict_luma_cu(cu, b)
             else:
                 pred = self._predict_chroma(cu, tu, comp)
             resi = src - pred
@@ -723,8 +809,10 @@ class IntraEncoder:
                 rec = np.zeros_like(resi, dtype=np.int64)
             consider(lev, rec, sig_bins, mts, 0)
         max_tb = 1 << self.sps.log2_max_tb_size
+        mip_blocks_lfnst = getattr(tu.cu, "mip_flag", False) and not (
+            w >= 16 and h >= 16)
         if (self.cfg.lfnst and min(w, h) >= 4 and w <= max_tb and h <= max_tb
-                and coeffs_dct2 is not None):
+                and not mip_blocks_lfnst and coeffs_dct2 is not None):
             scan = _rom.scan(1, w, h)
             sidx = scan[:, 0].astype(np.int64)
             maxp = 7 if ((w == 4 and h == 4) or (w == 8 and h == 8)) else 15

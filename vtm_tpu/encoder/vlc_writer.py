@@ -115,8 +115,8 @@ def write_sps(cfg) -> bytes:
     w.flag(0)  # gpm (max merge cand >= 2)
     w.ue(0)  # log2_parallel_merge_level_minus2
     w.flag(0)  # isp
-    w.flag(0)  # mrl
-    w.flag(0)  # mip
+    w.flag(1 if getattr(cfg, 'mrl', False) else 0)  # mrl
+    w.flag(1 if getattr(cfg, 'mip', False) else 0)  # mip
     w.flag(0)  # cclm
     if cfg.chroma_format_idc == 1:
         w.flag(1)  # chroma_horizontal_collocated
