@@ -49,3 +49,24 @@ def test_mrl_signalling_roundtrip():
     assert dec.hash_results and all(hr.ok for hr in dec.hash_results)
     for c in range(3):
         assert np.array_equal(pics[0].planes[c], enc.last_recon[c])
+
+
+def test_cclm_chroma_search_roundtrip():
+    """CCLM chroma search: LM modes selected on natural content; bit-exact
+    self-decode with the chroma linear-model signalling."""
+    from vtm_tpu.decoder import cs as D
+
+    fmt = YuvFormat(208, 120, ChromaFormat.YUV420, 8)
+    frames = read_yuv("testdata/small208_208x120_420_8.yuv", fmt, 1)
+    cfg = EncoderConfig(width=208, height=120, qp=32, max_mtt_depth_intra=1,
+                        cclm=True)
+    enc = IntraEncoder(cfg)
+    bs = enc.encode([list(frames[0])])
+    n_lm = sum(1 for cu in enc.dcs.cus if cu.intra_dir[1] in
+               (D.LM_CHROMA_IDX, D.MDLM_L_IDX, D.MDLM_T_IDX))
+    assert n_lm > 0, "CCLM never selected"
+    dec = Decoder()
+    pics = dec.decode_stream(bs)
+    assert dec.hash_results and all(hr.ok for hr in dec.hash_results)
+    for c in range(3):
+        assert np.array_equal(pics[0].planes[c], enc.last_recon[c])

@@ -504,7 +504,16 @@ class SyntaxWriter:
         if cu.blocks[1] is None:
             return
         mode = cu.intra_dir[1]
-        # no CCLM in v1 SPS
+        if self.sps.cclm and self.helper._cclm_allowed(cu):
+            is_lm = mode in (D.LM_CHROMA_IDX, D.MDLM_L_IDX, D.MDLM_T_IDX)
+            self.e.encode_bin(int(is_lm), ctx("CclmModeFlag"))
+            if is_lm:
+                symbol = [D.LM_CHROMA_IDX, D.MDLM_L_IDX,
+                          D.MDLM_T_IDX].index(mode)
+                self.e.encode_bin(int(symbol > 0), ctx("CclmModeIdx"))
+                if symbol > 0:
+                    self.e.encode_bin_ep(symbol - 1)
+                return
         if mode == D.DM_CHROMA_IDX:
             self.e.encode_bin(0, ctx("IntraChromaPredMode"))
             return

@@ -71,6 +71,7 @@ class EncoderConfig:
     lfnst: bool = False  # LFNST secondary transform search
     mip: bool = False  # matrix intra prediction search
     mrl: bool = False  # multi-reference-line intra search
+    cclm: bool = False  # cross-component linear model chroma search
 
 
 def _quantize_tu(coeffs, qp, bd, lam, dep):
@@ -670,6 +671,8 @@ class IntraEncoder:
             if comp == 0:
                 pred = self._predict_luma_cu(cu, b)
             else:
+                if comp == 1:
+                    self._choose_chroma_mode(cu, tu)
                 pred = self._predict_chroma(cu, tu, comp)
             resi = src - pred
             qp = self.recon._qp_for(tu, comp)
@@ -831,8 +834,46 @@ class IntraEncoder:
                 consider(lev, rec, 2.0, MTS_DCT2_DCT2, lfn)
         return best[1], best[2], best[3], best[4]
 
+    def _choose_chroma_mode(self, cu: CU, tu: TU):
+        """Chroma mode RD (IntraSearch::estIntraPredChromaQT analogue):
+        DM vs the three CCLM linear models, priced by joint Cb+Cr
+        distortion + a level-magnitude rate proxy.  Runs after the luma
+        pass so CCLM sees this CU's reconstructed luma."""
+        if not self.cfg.cclm:
+            return
+        bd = self.cfg.bit_depth
+        cands = [D.DM_CHROMA_IDX, D.LM_CHROMA_IDX, D.MDLM_L_IDX, D.MDLM_T_IDX]
+        best = None
+        for m in cands:
+            cu.intra_dir[1] = m
+            cost = 2.0 if m != D.DM_CHROMA_IDX else 1.0  # mode bins proxy
+            for comp in (1, 2):
+                b = tu.blocks[comp]
+                if b is None:
+                    continue
+                src = self.src[comp][b.y : b.y1, b.x : b.x1].astype(np.int64)
+                pred = self._predict_chroma(cu, tu, comp)
+                resi = (src - pred).astype(np.int64)
+                coeffs = TX.fwd_transform_2d_np(resi.astype(np.int32), bd)
+                qp = self.recon._qp_for(tu, comp)
+                lev = _quantize_tu(coeffs, qp, bd, self.lam, self.cfg.dep_quant)
+                if np.any(lev):
+                    deq = _dequantize_tu(lev, qp, bd, self.cfg.dep_quant)
+                    rec = TX.inv_transform_2d_np(deq, bd)
+                    d = float(np.sum((resi - rec) ** 2))
+                    r = float(np.abs(lev).sum() + np.count_nonzero(lev))
+                else:
+                    d = float(np.sum(resi.astype(np.float64) ** 2))
+                    r = 0.0
+                cost += d + self.lam * r
+            if best is None or cost < best[0]:
+                best = (cost, m)
+        cu.intra_dir[1] = best[1]
+
     def _predict_chroma(self, cu: CU, tu: TU, comp: int) -> np.ndarray:
         b = tu.blocks[comp]
+        if cu.intra_dir[1] in (D.LM_CHROMA_IDX, D.MDLM_L_IDX, D.MDLM_T_IDX):
+            return self.recon._pred_cclm(tu, comp, cu.intra_dir[1])
         mode = self.recon._final_intra_mode(cu, comp)
         top, left = self.recon.fill_reference_samples(b, cu, comp, 0)
         p = I.IntraParams(mode, b.w, b.h, b.w, b.h, False, 0, False, False)

@@ -117,7 +117,7 @@ def write_sps(cfg) -> bytes:
     w.flag(0)  # isp
     w.flag(1 if getattr(cfg, 'mrl', False) else 0)  # mrl
     w.flag(1 if getattr(cfg, 'mip', False) else 0)  # mip
-    w.flag(0)  # cclm
+    w.flag(1 if getattr(cfg, 'cclm', False) else 0)  # cclm
     if cfg.chroma_format_idc == 1:
         w.flag(1)  # chroma_horizontal_collocated
         w.flag(0)  # chroma_vertical_collocated
