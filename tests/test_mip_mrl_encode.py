@@ -70,3 +70,20 @@ def test_cclm_chroma_search_roundtrip():
     assert dec.hash_results and all(hr.ok for hr in dec.hash_results)
     for c in range(3):
         assert np.array_equal(pics[0].planes[c], enc.last_recon[c])
+
+
+def test_isp_all_intra_tools_roundtrip():
+    """All intra tools on together (MTS+LFNST+MIP+MRL+CCLM+ISP): streams
+    must stay bit-exact through our decoder; ISP must be selectable."""
+    fmt = YuvFormat(208, 120, ChromaFormat.YUV420, 8)
+    frames = read_yuv("testdata/small208_208x120_420_8.yuv", fmt, 1)
+    cfg = EncoderConfig(width=208, height=120, qp=27, max_mtt_depth_intra=1,
+                        mts=True, lfnst=True, mip=True, mrl=True, cclm=True,
+                        isp=True)
+    enc = IntraEncoder(cfg)
+    bs = enc.encode([list(frames[0])])
+    dec = Decoder()
+    pics = dec.decode_stream(bs)
+    assert dec.hash_results and all(hr.ok for hr in dec.hash_results)
+    for c in range(3):
+        assert np.array_equal(pics[0].planes[c], enc.last_recon[c])

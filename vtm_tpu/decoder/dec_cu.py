@@ -193,9 +193,13 @@ class CuReconstructor:
                 if tu.blocks[comp] is not None:
                     self.intra_rec_blk(tu, comp)
 
-    def _recon_isp_luma(self, cu: CU):
+    def _recon_isp_luma(self, cu: CU, quantize_cb=None):
         """ISP luma reconstruction with incremental reference updates
-        (DecCu.cpp xIntraRecBlk ISP paths + initIntraPatternChTypeISP:802)."""
+        (DecCu.cpp xIntraRecBlk ISP paths + initIntraPatternChTypeISP:802).
+
+        quantize_cb(tu, pred_tb): encoder hook invoked with each sub-TB's
+        prediction before reconstruction, letting the encoder quantize the
+        residual against the exact decoder-side prediction chain."""
         cb = cu.blocks[0]
         horizontal = cu.isp_mode == 1
         maxv = (1 << self.bit_depth) - 1
@@ -298,12 +302,14 @@ class CuReconstructor:
                 pred_cache = pred
                 pred_cache_x0 = b.x
             # residual + recon for this TB
+            off = b.x - pred_cache_x0
+            pred_tb = pred_cache[:, off : off + b.w]
+            if quantize_cb is not None:
+                quantize_cb(tu, pred_tb)
             if tu.cbf[0]:
                 resi = self._inv_tx_one(tu, 0)
             else:
                 resi = np.zeros((b.h, b.w), dtype=np.int32)
-            off = b.x - pred_cache_x0
-            pred_tb = pred_cache[:, off : off + b.w]
             recon = np.clip(pred_tb + resi, 0, maxv).astype(np.int32)
             self.planes[0][b.y : b.y1, b.x : b.x1] = recon
             self.set_decomp(0, b)

@@ -249,10 +249,41 @@ class SyntaxWriter:
             return
         self.intra_luma_pred_mode(cu)
         self.intra_chroma_pred_mode(cu)
-        for tu in cu.tus:
-            self.transform_unit(tu, cu_ctx, part)
+        if getattr(cu, "isp_mode", 0):
+            n = len(cu.tus)
+            for i, tu in enumerate(cu.tus):
+                self._write_isp_transform_unit(tu, i, n)
+        else:
+            for tu in cu.tus:
+                self.transform_unit(tu, cu_ctx, part)
         self.residual_lfnst_mode(cu)
         self.mts_idx(cu)
+
+    def _write_isp_transform_unit(self, tu: TU, sub_idx: int, n_tus: int):
+        """Mirror of SyntaxReader._isp_transform_unit: chroma cbfs on the
+        last sub-TU, luma cbf with the all-previous-zero inference."""
+        cu = tu.cu
+        has_chroma = (tu.blocks[1] is not None
+                      and self.sps.chroma_format_idc != 0)
+        if has_chroma:
+            self.e.encode_bin(tu.cbf[1], self._cbf_ctx(1, False, False, cu))
+            self.e.encode_bin(tu.cbf[2],
+                              self._cbf_ctx(2, bool(tu.cbf[1]), False, cu))
+        last_cbf_inferred = False
+        if sub_idx == n_tus - 1:
+            if not any(t.cbf[0] for t in cu.tus[:sub_idx]):
+                last_cbf_inferred = True
+        if not last_cbf_inferred:
+            prev_cbf = bool(cu.tus[sub_idx - 1].cbf[0]) if sub_idx > 0 else False
+            self.e.encode_bin(tu.cbf[0], self._cbf_ctx(0, prev_cbf, True, cu))
+        else:
+            assert tu.cbf[0], "ISP last sub-TU cbf inferred 1 but no residual"
+        if tu.cbf[0]:
+            self.residual_coding(tu, 0)
+        if has_chroma:
+            for comp in (1, 2):
+                if tu.cbf[comp]:
+                    self.residual_coding(tu, comp)
 
     def residual_lfnst_mode(self, cu: CU):
         """Mirror of SyntaxReader.residual_lfnst_mode (CABACWriter
@@ -369,8 +400,33 @@ class SyntaxWriter:
         if not cu.skip:
             self.e.encode_bin(int(cu.merge_flag), ctx("MergeFlag"))
         if cu.merge_flag:
-            # merge_data: no subblock (affine cand 0), no mmvd/geo/ciip bins
-            self.merge_idx(cu)
+            # merge_data mirror (subblock_merge_flag: sps affine/sbtmvp off
+            # → no bins; geo off → ciip inferred from regular_merge_flag)
+            sps = self.sps
+            mmvd = bool(getattr(cu, "mmvd_flag", False)
+                        or getattr(cu, "mmvd_skip", False))
+            ciip_avail = (sps.ciip and not cu.skip and cu.lwidth < 128
+                          and cu.lheight < 128
+                          and cu.lwidth * cu.lheight >= 64)
+            geo_avail = (getattr(sps, "geo", False) and sh.is_b
+                         and sps.max_num_geo_cand > 1
+                         and 8 <= cu.lwidth <= 64 and 8 <= cu.lheight <= 64
+                         and cu.lwidth < 8 * cu.lheight
+                         and cu.lheight < 8 * cu.lwidth)
+            regular = bool(getattr(cu, "regular_merge_flag", True))
+            if geo_avail or ciip_avail:
+                self.e.encode_bin(int(regular),
+                                  ctx("RegularMergeFlag", 0 if cu.skip else 1))
+            if regular:
+                if sps.mmvd:
+                    self.e.encode_bin(int(mmvd), ctx("MmvdFlag", 0))
+            else:
+                if geo_avail and ciip_avail:
+                    self.e.encode_bin(int(cu.ciip_flag), ctx("CiipFlag"))
+            if mmvd:
+                self.mmvd_merge_idx(cu)
+            else:
+                self.merge_idx(cu)
             return
         if sh.slice_type == SliceType.B:
             self.inter_pred_idc(cu)
@@ -394,6 +450,22 @@ class SyntaxWriter:
             if cu.interdir == 3:
                 return
         self.e.encode_bin(int(cu.interdir == 2), ctx("InterDir", 5))
+
+    def mmvd_merge_idx(self, cu: CU):
+        """Mirror of SyntaxReader.mmvd_merge_idx (base, step, direction)."""
+        var0 = cu.mmvd_idx // 32
+        var1 = (cu.mmvd_idx % 32) // 4
+        var2 = cu.mmvd_idx % 4
+        if self.sps.max_num_merge_cand > 1:
+            self.e.encode_bin(var0, ctx("MmvdMergeIdx"))
+        self.e.encode_bin(int(var1 > 0), ctx("MmvdStepMvpIdx"))
+        if var1 > 0:
+            for _ in range(var1 - 1):
+                self.e.encode_bin_ep(1)
+            if var1 < 7:
+                self.e.encode_bin_ep(0)
+        self.e.encode_bin_ep(var2 >> 1)
+        self.e.encode_bin_ep(var2 & 1)
 
     def merge_idx(self, cu: CU):
         n_minus1 = self.sps.max_num_merge_cand - 1
@@ -453,6 +525,14 @@ class SyntaxWriter:
             self.e.encode_bin(int(mrl > 0), ctx("MultiRefLineIdx", 0))
             if mrl > 0:
                 self.e.encode_bin(int(mrl > 1), ctx("MultiRefLineIdx", 1))
+        if (self.sps.isp and mrl == 0
+                and not getattr(cu, "bdpcm_mode", 0)
+                and self.helper._can_use_isp(cu)
+                and not getattr(cu, "color_transform", False)):
+            isp = getattr(cu, "isp_mode", 0)
+            self.e.encode_bin(int(isp != 0), ctx("ISPMode", 0))
+            if isp:
+                self.e.encode_bin(isp - 1, ctx("ISPMode", 1))
         mpm = self.helper._get_intra_mpms(cu)
         if mrl:
             idx = mpm.index(mode)
@@ -527,14 +607,14 @@ class SyntaxWriter:
         cu = tu.cu
         has_chroma = self.sps.chroma_format_idc != 0 and tu.blocks[1] is not None
         if has_chroma and (not cu.is_sep_tree or part.ch_type == CH_C):
-            self.e.encode_bin(tu.cbf[1], self._cbf_ctx(1, False, cu))
-            self.e.encode_bin(tu.cbf[2], self._cbf_ctx(2, bool(tu.cbf[1]), cu))
+            self.e.encode_bin(tu.cbf[1], self._cbf_ctx(1, False, False, cu))
+            self.e.encode_bin(tu.cbf[2], self._cbf_ctx(2, bool(tu.cbf[1]), False, cu))
         if part.ch_type == CH_L and tu.blocks[0] is not None:
             sig_chroma = bool(tu.cbf[1] or tu.cbf[2]) if has_chroma else False
             if cu.pred_mode != MODE_INTRA and tu.depth == 0 and not sig_chroma:
                 assert tu.cbf[0], "inter root TU luma cbf inferred 1"
             else:
-                self.e.encode_bin(tu.cbf[0], self._cbf_ctx(0, False, cu))
+                self.e.encode_bin(tu.cbf[0], self._cbf_ctx(0, False, False, cu))
         if tu.cbf[0]:
             self.residual_coding(tu, 0)
         if has_chroma:
@@ -542,11 +622,16 @@ class SyntaxWriter:
                 if tu.cbf[comp]:
                     self.residual_coding(tu, comp)
 
-    def _cbf_ctx(self, comp: int, prev_cbf: bool, cu) -> int:
-        if comp == 2:
+    def _cbf_ctx(self, comp: int, prev_cbf: bool, use_isp: bool, cu) -> int:
+        if use_isp and comp == 0:
+            c = 2 + int(prev_cbf)
+        elif comp == 2:
             c = 1 if prev_cbf else 0
         else:
             c = 0
+        if (comp == 0 and getattr(cu, "bdpcm_mode", 0)) or (
+                comp != 0 and getattr(cu, "bdpcm_mode_chroma", 0)):
+            c = 1 if comp in (0, 1) else 2
         return ctx(f"QtCbf_{comp}", c)
 
     def residual_coding(self, tu: TU, comp: int):

@@ -72,6 +72,7 @@ class EncoderConfig:
     mip: bool = False  # matrix intra prediction search
     mrl: bool = False  # multi-reference-line intra search
     cclm: bool = False  # cross-component linear model chroma search
+    isp: bool = False  # intra sub-partition search
 
 
 def _quantize_tu(coeffs, qp, bd, lam, dep):
@@ -560,6 +561,18 @@ class IntraEncoder:
                 finalists.append(m)
             if len(finalists) >= 2 + self.cfg.num_rd_modes:
                 break
+        # ISP candidates: both split directions with the best SATD mode
+        # (IntraSearch ISP candidate handling analogue)
+        if (self.cfg.isp and a.w <= 64 and a.h <= 64 and a.w * a.h > 16):
+            from vtm_tpu.decoder.cabac_reader import SyntaxReader as _SR
+
+            for split in (1, 2):
+                if split == 1:
+                    tw, th = a.w, _SR.isp_split_dim(a.w, a.h, True)
+                else:
+                    tw, th = _SR.isp_split_dim(a.w, a.h, False), a.h
+                if tw >= 4 and th >= 4:
+                    finalists.append(("isp", split, ranked[0]))
         # MIP candidates (MatrixIntraPrediction SATD pass,
         # IntraSearch.cpp estIntraPredLumaQT MIP preselection analogue)
         if self.cfg.mip:
@@ -644,6 +657,8 @@ class IntraEncoder:
         cu.mip_flag = False
         cu.mip_transposed = False
         cu.multi_ref_idx = 0
+        if isinstance(mode, tuple) and mode[0] == "isp":
+            return self._encode_cu_isp(a, part, mode[1], mode[2], est)
         if isinstance(mode, tuple):
             if mode[0] == "mip":
                 cu.mip_flag = True
@@ -732,6 +747,83 @@ class IntraEncoder:
             dist += float(np.sum((src - recon.astype(np.int64)) ** 2))
             self.recon.planes[0][b.y : b.y1, b.x : b.x1] = recon
         # bits
+        writer = SyntaxWriter(dcs, est)
+        writer.coding_unit(cu, part, CuCtx(self.frame_qp))
+        return dist
+
+    def _encode_cu_isp(self, a: Rect, part: P.Partitioner, split: int,
+                       mode: int, est: BitEstimator) -> float:
+        """Commit an ISP candidate (split 1=horizontal, 2=vertical): builds
+        the sub-TU chain (reader _isp_transform_tree layout), quantizes each
+        sub-TB against the decoder-exact sequential prediction via the
+        _recon_isp_luma hook, then codes chroma on the last sub-TU.
+        Returns inf when the candidate is unsignalable (all-zero luma)."""
+        dcs = self.dcs
+        fmt = dcs.chroma_format
+        cu = self._make_cu(a)
+        cu.mip_flag = False
+        cu.mip_transposed = False
+        cu.multi_ref_idx = 0
+        cu.intra_dir = [mode, D.DM_CHROMA_IDX]
+        cu.isp_mode = split
+        cu.qt_depth = part.cur_qt_depth
+        cu.depth = part.cur_depth
+        cu.split_series = tuple(lvl.split for lvl in part.stack[1:])
+        dcs.add_cu(cu)
+        parts = self._helper.isp_partitions(cu)
+        has_chroma = fmt.num_components > 1
+        for idx, sub in enumerate(parts):
+            blocks = [sub, None, None]
+            if idx == len(parts) - 1 and has_chroma:
+                blocks[1] = Rect(cu.blocks[1].x, cu.blocks[1].y,
+                                 cu.blocks[1].w, cu.blocks[1].h)
+                blocks[2] = Rect(cu.blocks[2].x, cu.blocks[2].y,
+                                 cu.blocks[2].w, cu.blocks[2].h)
+            tu = TU(blocks=blocks, cu=cu, depth=1)
+            cu.tus.append(tu)
+            dcs.add_tu(tu)
+        bd = self.cfg.bit_depth
+
+        def qcb(tu, pred_tb):
+            b = tu.blocks[0]
+            src = self.src[0][b.y : b.y1, b.x : b.x1].astype(np.int64)
+            resi = (src - pred_tb).astype(np.int32)
+            coeffs = TX.fwd_transform_2d_np(resi, bd)
+            qp = self.recon._qp_for(tu, 0)
+            lev = _quantize_tu(coeffs, qp, bd, self.lam, self.cfg.dep_quant)
+            tu.coeffs[0] = lev
+            tu.cbf[0] = int(np.any(lev))
+
+        self.recon._recon_isp_luma(cu, quantize_cb=qcb)
+        if not any(t.cbf[0] for t in cu.tus):
+            return float("inf")  # last-cbf inference needs a nonzero luma TB
+        src_l = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
+        rec_l = self.recon.planes[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
+        dist = float(np.sum((src_l - rec_l) ** 2))
+        tu = cu.tus[-1]
+        maxv = (1 << bd) - 1
+        if has_chroma:
+            for comp in (1, 2):
+                b = tu.blocks[comp]
+                if comp == 1:
+                    self._choose_chroma_mode(cu, tu)
+                src = self.src[comp][b.y : b.y1, b.x : b.x1].astype(np.int64)
+                pred = self._predict_chroma(cu, tu, comp)
+                resi = src - pred
+                coeffs = TX.fwd_transform_2d_np(resi.astype(np.int32), bd)
+                qp = self.recon._qp_for(tu, comp)
+                lev = _quantize_tu(coeffs, qp, bd, self.lam, self.cfg.dep_quant)
+                tu.coeffs[comp] = lev
+                tu.cbf[comp] = int(np.any(lev))
+                if tu.cbf[comp]:
+                    deq = _dequantize_tu(lev, qp, bd, self.cfg.dep_quant)
+                    rec_resi = TX.inv_transform_2d_np(deq, bd)
+                else:
+                    rec_resi = np.zeros_like(src)
+                recon = np.clip(pred + rec_resi, 0, maxv).astype(np.int32)
+                self.recon.planes[comp][b.y : b.y1, b.x : b.x1] = recon
+                self.recon.set_decomp(comp, b)
+                dist += float(np.sum((src - recon.astype(np.int64)) ** 2))
         writer = SyntaxWriter(dcs, est)
         writer.coding_unit(cu, part, CuCtx(self.frame_qp))
         return dist

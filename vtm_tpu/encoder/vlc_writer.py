@@ -106,15 +106,19 @@ def write_sps(cfg) -> bytes:
     w.flag(0)  # bdof
     w.flag(0)  # smvd
     w.flag(0)  # dmvr
-    w.flag(0)  # mmvd
+    if getattr(cfg, "mmvd", False):
+        w.flag(1)  # mmvd
+        w.flag(0)  # mmvd_fullpel_only
+    else:
+        w.flag(0)  # mmvd
     w.ue(1)  # six_minus_max_num_merge_cand → 5
     w.flag(0)  # sbt
     w.flag(0)  # affine
     w.flag(0)  # bcw
-    w.flag(0)  # ciip
+    w.flag(1 if getattr(cfg, "ciip", False) else 0)  # ciip
     w.flag(0)  # gpm (max merge cand >= 2)
     w.ue(0)  # log2_parallel_merge_level_minus2
-    w.flag(0)  # isp
+    w.flag(1 if getattr(cfg, 'isp', False) else 0)  # isp
     w.flag(1 if getattr(cfg, 'mrl', False) else 0)  # mrl
     w.flag(1 if getattr(cfg, 'mip', False) else 0)  # mip
     w.flag(1 if getattr(cfg, 'cclm', False) else 0)  # cclm
