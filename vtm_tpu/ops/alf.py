@@ -300,7 +300,17 @@ def filter_block_ccalf(luma_pad, dst, x0c, y0c, wc, hc, scale_x, scale_y,
 
 
 def alf_picture(dcs, pic) -> None:
-    """ALFProcess over the picture (no in-picture virtual boundaries)."""
+    """ALFProcess over the picture — vectorized whole-plane path.
+
+    Per-CTU filter selections (fixed/APS set index, transposes, chroma
+    alternatives, CC-ALF idc) are folded into per-4x4 coefficient/clip maps
+    on host; the sample work runs in ops/alf_kernel.py as dense integer
+    kernels (classification + clipped diamond filtering + CC-ALF).
+    """
+    import jax.numpy as jnp
+
+    from vtm_tpu.ops import alf_kernel as K
+
     sps = dcs.sps
     bit_depth = sps.bit_depth
     fmt = dcs.chroma_format
@@ -309,27 +319,31 @@ def alf_picture(dcs, pic) -> None:
     vb_chroma_ctu = ctu >> (1 if fmt.value == 1 else 0)
     vb_chroma_pos = vb_chroma_ctu - 2
     # pre-ALF padded source planes
-    src_pads = [np.pad(p, PAD, mode="edge") for p in pic.planes]
+    src_pads = [np.pad(p, PAD, mode="edge").astype(np.int32) for p in pic.planes]
     fixed_sets, clip_default = fixed_filter_sets(bit_depth)
-    # per-slice-dependent APS coefficients — cache per aps id
     aps_luma_cache = {}
     chroma_cache = {}
     n_comp = fmt.num_components
     w_ctu = dcs.pic_w_ctu
-    for addr in range(w_ctu * dcs.pic_h_ctu):
-        cx, cy = addr % w_ctu, addr // w_ctu
-        x0, y0 = cx * ctu, cy * ctu
+    n_ctu = w_ctu * dcs.pic_h_ctu
+    h, w = dcs.pic_h, dcs.pic_w
+    sxc, syc = fmt.scale_x, fmt.scale_y
+    hc, wc = h >> syc, w >> sxc
+
+    # ---- per-CTU filter tables (zeros = identity) ----
+    any_luma = False
+    ctb_coeff = np.zeros((n_ctu, MAX_NUM_ALF_CLASSES, 13), dtype=np.int32)
+    ctb_clip = np.zeros_like(ctb_coeff)
+    chroma_coeff = np.zeros((n_comp, n_ctu, 7), dtype=np.int32)
+    chroma_clip = np.zeros_like(chroma_coeff)
+    cc_coeff = np.zeros((n_comp, n_ctu, 7), dtype=np.int32)
+    any_chroma = [False] * n_comp
+    any_cc = [False] * n_comp
+    for addr in range(n_ctu):
         sl_idx = int(dcs.slice_idx_of_ctu[addr])
         sh = dcs._slice_headers[sl_idx]
-        if not (sh.alf_enabled[0] or sh.alf_enabled[1] or sh.alf_enabled[2]
-                or sh.ccalf_cb_enabled or sh.ccalf_cr_enabled):
-            continue
-        w = min(ctu, dcs.pic_w - x0)
-        h = min(ctu, dcs.pic_h - y0)
         if pic.alf_ctb_flag[0][addr] and sh.alf_enabled[0]:
-            classes, transposes = classify_block(
-                src_pads[0], x0, y0, w, h, bit_depth, ctu, vb_luma_pos
-            )
+            any_luma = True
             fset = int(pic.alf_ctb_filter_index[addr])
             if fset >= NUM_FIXED_FILTER_SETS:
                 aps_id = sh.alf_aps_ids[fset - NUM_FIXED_FILTER_SETS]
@@ -339,14 +353,11 @@ def alf_picture(dcs, pic) -> None:
                 coeffs, clips = aps_luma_cache[aps_id]
             else:
                 coeffs, clips = fixed_sets[fset], clip_default
-            filter_block(src_pads[0], pic.planes[0], x0, y0, w, h, True,
-                         classes, transposes, coeffs, clips, bit_depth, ctu, vb_luma_pos)
+            ctb_coeff[addr] = coeffs
+            ctb_clip[addr] = clips
         for comp in (1, 2):
             if comp >= n_comp:
                 continue
-            sxc, syc = fmt.scale_x, fmt.scale_y
-            x0c, y0c = x0 >> sxc, y0 >> syc
-            wcc, hcc = w >> sxc, h >> syc
             if pic.alf_ctb_flag[comp][addr] and sh.alf_enabled[comp]:
                 aps_id = sh.alf_aps_id_chroma
                 alt = int(pic.alf_ctb_alt[comp][addr])
@@ -355,17 +366,69 @@ def alf_picture(dcs, pic) -> None:
                     aps = dcs.aps_map[(0, aps_id)]
                     chroma_cache[key] = reconstruct_chroma_coeffs(aps.alf, alt, bit_depth)
                 ccoef, cclip = chroma_cache[key]
-                filter_block(src_pads[comp], pic.planes[comp], x0c, y0c, wcc, hcc,
-                             False, None, None, ccoef, cclip, bit_depth,
-                             vb_chroma_ctu, vb_chroma_pos)
+                chroma_coeff[comp][addr] = ccoef
+                chroma_clip[comp][addr] = cclip
+                any_chroma[comp] = True
             cc_enabled = sh.ccalf_cb_enabled if comp == 1 else sh.ccalf_cr_enabled
             if cc_enabled:
                 idc = int(pic.ccalf_control[comp - 1][addr])
                 if idc:
                     aps_id = sh.ccalf_cb_aps_id if comp == 1 else sh.ccalf_cr_aps_id
                     aps = dcs.aps_map[(0, aps_id)]
-                    coeffs = aps.alf.ccalf_coeff[comp - 1][idc - 1]
-                    filter_block_ccalf(
-                        src_pads[0], pic.planes[comp], x0c, y0c, wcc, hcc,
-                        sxc, syc, coeffs, bit_depth, ctu, vb_luma_pos
-                    )
+                    cc_coeff[comp][addr] = aps.alf.ccalf_coeff[comp - 1][idc - 1]
+                    any_cc[comp] = True
+
+    # ---- luma: classify + filter ----
+    if any_luma:
+        y_i, yd_i, yu_i, yu2_i = K.classify_row_indices(h, ctu, vb_luma_pos)
+        drop_f, drop_l, mult = K.classify_block_rows(h, ctu, vb_luma_pos)
+        classes, transposes = K.classify_picture(
+            jnp.asarray(src_pads[0]), jnp.asarray(y_i), jnp.asarray(yd_i),
+            jnp.asarray(yu_i), jnp.asarray(yu2_i), jnp.asarray(drop_f),
+            jnp.asarray(drop_l), jnp.asarray(mult), bit_depth=bit_depth)
+        classes = np.asarray(classes)
+        transposes = np.asarray(transposes)
+        # pre-permuted per-CTU tables → per-4x4 coeff/clip maps
+        perm = np.array([_TR7[t][:12] for t in range(4)], dtype=np.int32)
+        cperm = ctb_coeff[:, :, perm]   # [nctu, 25, 4, 12]
+        lperm = ctb_clip[:, :, perm]
+        h4, w4 = h // 4, w // 4
+        by, bx = np.mgrid[0:h4, 0:w4]
+        ctu_of = (by * 4 // ctu) * w_ctu + (bx * 4 // ctu)
+        coefmap = cperm[ctu_of, classes, transposes]
+        clipmap = lperm[ctu_of, classes, transposes]
+        o_rows, near = K.vb_row_offsets(h, ctu, vb_luma_pos, True)
+        out = K.alf_filter(
+            jnp.asarray(src_pads[0]), jnp.asarray(coefmap), jnp.asarray(clipmap),
+            jnp.asarray(o_rows), jnp.asarray(near),
+            taps=K.LUMA_TAPS, bit_depth=bit_depth)
+        pic.planes[0][:] = np.asarray(out).astype(pic.planes[0].dtype)
+
+    # ---- chroma ALF + CC-ALF ----
+    perm5 = np.array(_TR5[0][:6], dtype=np.int32)
+    hc4, wc4 = hc // 4, wc // 4
+    cby, cbx = np.mgrid[0:hc4, 0:wc4]
+    ctu_of_c = ((cby * 4) << syc) // ctu * w_ctu + ((cbx * 4) << sxc) // ctu
+    for comp in (1, 2):
+        if comp >= n_comp:
+            continue
+        if any_chroma[comp]:
+            ccoefs = chroma_coeff[comp][:, perm5]   # [nctu, 6]
+            cclips = chroma_clip[comp][:, perm5]
+            coefmap = ccoefs[ctu_of_c]              # [hc4, wc4, 6]
+            clipmap = cclips[ctu_of_c]
+            o_rows, near = K.vb_row_offsets(hc, vb_chroma_ctu, vb_chroma_pos, False)
+            out = K.alf_filter(
+                jnp.asarray(src_pads[comp]), jnp.asarray(coefmap),
+                jnp.asarray(clipmap), jnp.asarray(o_rows), jnp.asarray(near),
+                taps=K.CHROMA_TAPS, bit_depth=bit_depth)
+            pic.planes[comp][:] = np.asarray(out).astype(pic.planes[comp].dtype)
+        if any_cc[comp]:
+            coefmap = cc_coeff[comp][ctu_of_c]      # [hc4, wc4, 7]
+            o_rows, skip = K.ccalf_row_offsets(hc, syc, ctu, vb_luma_pos)
+            out = K.ccalf_filter(
+                jnp.asarray(src_pads[0]),
+                jnp.asarray(pic.planes[comp].astype(np.int32)),
+                jnp.asarray(coefmap), jnp.asarray(o_rows), jnp.asarray(skip),
+                scale_x=sxc, scale_y=syc, bit_depth=bit_depth)
+            pic.planes[comp][:] = np.asarray(out).astype(pic.planes[comp].dtype)

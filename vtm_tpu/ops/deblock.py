@@ -273,12 +273,42 @@ class DeblockState:
         self.transform_edge[:] = False
 
 
+class PicDeblockMaps:
+    """Picture-wide per-segment filter parameters on the 4x4 luma grid.
+
+    Collected by the (sample-independent) marking pass, consumed by the
+    dense vectorized kernels in ops/deblock_kernel.py.
+    """
+
+    def __init__(self, h: int, w: int):
+        h4, w4 = h // 4, w // 4
+        z = lambda dt=np.int32: np.zeros((h4, w4), dtype=dt)
+        self.l_active = z(bool)
+        self.l_tc = z()
+        self.l_beta = z()
+        self.l_maxp = z()
+        self.l_maxq = z()
+        self.l_nop = z(bool)
+        self.l_noq = z(bool)
+        # chroma (indexed on the luma grid; sliced per chroma format)
+        for c in ("cb", "cr"):
+            setattr(self, f"{c}_active", z(bool))
+            setattr(self, f"{c}_tc", z())
+            setattr(self, f"{c}_beta", z())
+        self.c_large = z(bool)
+        self.c_nop = z(bool)
+        self.c_noq = z(bool)
+        self.c_horctb = z(bool)
+
+
 def deblock_picture(dcs, pic) -> None:
     """loopFilterPic equivalent over the decode coding structure."""
     ctu = dcs.sps.ctu_size
     state = DeblockState(ctu)
     is_dual = dcs.cus and any(c.blocks[0] is None for c in dcs.cus)
+    h, w = pic.planes[0].shape
     for edge_dir in (EDGE_VER, EDGE_HOR):
+        maps = PicDeblockMaps(h, w)
         for cy in range(dcs.pic_h_ctu):
             for cx in range(dcs.pic_w_ctu):
                 x0, y0 = cx * ctu, cy * ctu
@@ -289,7 +319,7 @@ def deblock_picture(dcs, pic) -> None:
                     and x0 <= c.blocks[0].x < x0 + ctu and y0 <= c.blocks[0].y < y0 + ctu
                 ]
                 for cu in luma_cus:
-                    _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0)
+                    _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0, maps)
                 if is_dual:
                     state.reset(edge_dir)
                     chroma_cus = [
@@ -299,7 +329,63 @@ def deblock_picture(dcs, pic) -> None:
                         and y0 <= (c.blocks[1].y << dcs.chroma_format.scale_y) < y0 + ctu
                     ]
                     for cu in chroma_cus:
-                        _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0)
+                        _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0, maps)
+        _apply_maps(dcs, pic, maps, edge_dir)
+
+
+def _apply_maps(dcs, pic, maps: PicDeblockMaps, edge_dir) -> None:
+    """Run the dense vectorized edge filters for one direction."""
+    import jax.numpy as jnp
+
+    from vtm_tpu.ops import deblock_kernel as K
+
+    bd = dcs.sps.bit_depth
+    fmt = dcs.chroma_format
+    sx, sy = fmt.scale_x, fmt.scale_y
+
+    if maps.l_active.any():
+        pl = pic.planes[0]
+        j = lambda a: jnp.asarray(a)
+        if edge_dir == EDGE_VER:
+            out = K.deblock_luma_ver(
+                j(pl.astype(np.int32)), j(maps.l_active), j(maps.l_tc),
+                j(maps.l_beta), j(maps.l_maxp), j(maps.l_maxq),
+                j(maps.l_nop), j(maps.l_noq), bit_depth=bd)
+            pl[:] = np.asarray(out).astype(pl.dtype)
+        else:
+            out = K.deblock_luma_ver(
+                j(pl.T.astype(np.int32)), j(maps.l_active.T), j(maps.l_tc.T),
+                j(maps.l_beta.T), j(maps.l_maxp.T), j(maps.l_maxq.T),
+                j(maps.l_nop.T), j(maps.l_noq.T), bit_depth=bd)
+            pl[:] = np.asarray(out).T.astype(pl.dtype)
+
+    if fmt.num_components > 1 and (maps.cb_active.any() or maps.cr_active.any()):
+        import jax.numpy as jnp
+        j = lambda a: jnp.asarray(a)
+        for comp, pre in ((1, "cb"), (2, "cr")):
+            act = getattr(maps, f"{pre}_active")
+            if not act.any():
+                continue
+            plc = pic.planes[comp]
+            tcm = getattr(maps, f"{pre}_tc")
+            btm = getattr(maps, f"{pre}_beta")
+            if edge_dir == EDGE_VER:
+                # kernel grid rows = lpy//4, cols = gx >> sx
+                sl = (slice(None), slice(None, None, 1 << sx))
+                out = K.deblock_chroma_ver(
+                    j(plc.astype(np.int32)), j(act[sl]), j(tcm[sl]), j(btm[sl]),
+                    j(maps.c_large[sl]), j(maps.c_nop[sl]), j(maps.c_noq[sl]),
+                    j(maps.c_horctb[sl]), bit_depth=bd,
+                    loop_len=4 >> sy, dec_line=1 if sy else 3)
+                plc[:] = np.asarray(out).astype(plc.dtype)
+            else:
+                sl = (slice(None), slice(None, None, 1 << sy))
+                out = K.deblock_chroma_ver(
+                    j(plc.T.astype(np.int32)), j(act.T[sl]), j(tcm.T[sl]),
+                    j(btm.T[sl]), j(maps.c_large.T[sl]), j(maps.c_nop.T[sl]),
+                    j(maps.c_noq.T[sl]), j(maps.c_horctb.T[sl]), bit_depth=bd,
+                    loop_len=4 >> sx, dec_line=1 if sx else 3)
+                plc[:] = np.asarray(out).T.astype(plc.dtype)
 
 
 def _lf_params(dcs, cu):
@@ -341,7 +427,7 @@ def _lf_available(dcs, cu, cu2) -> bool:
     return True
 
 
-def _deblock_cu(dcs, pic, cu, edge_dir, state: DeblockState, ctu_x, ctu_y):
+def _deblock_cu(dcs, pic, cu, edge_dir, state: DeblockState, ctu_x, ctu_y, maps=None):
     fmt = dcs.chroma_format
     sps = dcs.sps
     area_x, area_y = cu.lx, cu.ly
@@ -416,14 +502,24 @@ def _deblock_cu(dcs, pic, cu, edge_dir, state: DeblockState, ctu_x, ctu_y):
             if cu.blocks[1] is not None and fmt.num_components > 1:
                 bs |= _bs_single(dcs, cu, edge_dir, lx, ly, CH_C, preset)
             state.bs[edge_dir][gy, gx] = bs
-    # --- filter edges ---
+    # --- filter edges (collect per-segment params into the picture maps;
+    #     the sample filtering itself runs densely in ops/deblock_kernel) ---
     maxv = (1 << sps.bit_depth) - 1
     for edge in sorted(set(edge_idx_list)):
-        if cu.blocks[0] is not None:
-            _edge_filter_luma(dcs, pic, cu, edge_dir, edge, state, ctu_x, ctu_y, maxv)
-        if fmt.num_components > 1 and cu.blocks[1] is not None:
-            if not cu.isp_mode or edge == 0:
-                _edge_filter_chroma(dcs, pic, cu, edge_dir, edge, state, ctu_x, ctu_y, maxv)
+        if maps is not None:
+            if cu.blocks[0] is not None:
+                _collect_edge_params_luma(dcs, cu, edge_dir, edge, state,
+                                          ctu_x, ctu_y, maps)
+            if fmt.num_components > 1 and cu.blocks[1] is not None:
+                if not cu.isp_mode or edge == 0:
+                    _collect_edge_params_chroma(dcs, cu, edge_dir, edge, state,
+                                                ctu_x, ctu_y, maps)
+        else:
+            if cu.blocks[0] is not None:
+                _edge_filter_luma(dcs, pic, cu, edge_dir, edge, state, ctu_x, ctu_y, maxv)
+            if fmt.num_components > 1 and cu.blocks[1] is not None:
+                if not cu.isp_mode or edge == 0:
+                    _edge_filter_chroma(dcs, pic, cu, edge_dir, edge, state, ctu_x, ctu_y, maxv)
 
 
 def _set_edge_multiple(state, edge_dir, x, y, w, h, value, ctu_x, ctu_y, edge_flag_only):
@@ -688,6 +784,158 @@ def _bs_single(dcs, cu, edge_dir, lx, ly, ch, preset: int = 0) -> int:
     if abs(mv_q0[0] - mv_p0[0]) >= thr or abs(mv_q0[1] - mv_p0[1]) >= thr:
         return tmp_bs + 1
     return tmp_bs
+
+
+def _collect_edge_params_luma(dcs, cu, edge_dir, edge, state, ctu_x, ctu_y,
+                              maps: "PicDeblockMaps"):
+    """Per-segment parameter emission — mirrors _edge_filter_luma up to (but
+    excluding) the sample-dependent decisions, which run in the kernel."""
+    b = cu.blocks[0]
+    sps = dcs.sps
+    sh_q = _slice_of(dcs, cu)
+    beta_off2 = sh_q.beta_offset_div2
+    tc_off2 = sh_q.tc_offset_div2
+    bit_depth = sps.bit_depth
+    bd_scale = 1 << (bit_depth - 8)
+    num_parts = b.h // 4 if edge_dir == EDGE_VER else b.w // 4
+    for idx in range(num_parts):
+        if edge_dir == EDGE_VER:
+            px = b.x + edge * 4
+            py = b.y + idx * 4
+        else:
+            px = b.x + idx * 4
+            py = b.y + edge * 4
+        gx, gy = (px - ctu_x) >> 2, (py - ctu_y) >> 2
+        bs = state.bs[edge_dir][gy, gx] & 3
+        if not bs:
+            continue
+        cu_p = dcs.get_cu(px - (1 if edge_dir == EDGE_VER else 0),
+                          py - (1 if edge_dir == EDGE_HOR else 0), CH_L)
+        if cu_p is None or not _lf_available(dcs, cu, cu_p):
+            state.bs[edge_dir][gy, gx] = 0
+            continue
+        qp = (cu_p.qp + cu.qp + 1) >> 1
+        max_p = int(state.max_len_p[0, px - ctu_x, py - ctu_y])
+        max_q = int(state.max_len_q[0, px - ctu_x, py - ctu_y])
+        # side_p_large clamps folded into max_p (equivalent: the short path
+        # only tests max_p>1 / max_p>2, and n_p = max_p when side_p_large)
+        if max_p > 5 and cu_p.affine:
+            max_p = 5
+        if edge_dir == EDGE_HOR and py % sps.ctu_size == 0:
+            max_p = min(max_p, 3)
+        idx_tc = _clip3(0, 63 + DEFAULT_INTRA_TC_OFFSET,
+                        qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + (tc_off2 << 1))
+        idx_b = _clip3(0, 63, qp + (beta_off2 << 1))
+        tc = (
+            (TC_TABLE[idx_tc] + (1 << (9 - bit_depth))) >> (10 - bit_depth)
+            if bit_depth < 10 else TC_TABLE[idx_tc] << (bit_depth - 10)
+        )
+        beta = BETA_TABLE[idx_b] * bd_scale
+        no_p = no_q = False
+        if sps.palette:
+            no_p = cu_p.pred_mode == 3
+            no_q = cu.pred_mode == 3
+        pgy, pgx = py >> 2, px >> 2
+        maps.l_active[pgy, pgx] = True
+        maps.l_tc[pgy, pgx] = tc
+        maps.l_beta[pgy, pgx] = beta
+        maps.l_maxp[pgy, pgx] = max_p
+        maps.l_maxq[pgy, pgx] = max_q
+        maps.l_nop[pgy, pgx] = no_p
+        maps.l_noq[pgy, pgx] = no_q
+
+
+def _collect_edge_params_chroma(dcs, cu, edge_dir, edge, state, ctu_x, ctu_y,
+                                maps: "PicDeblockMaps"):
+    """Mirror of _edge_filter_chroma up to the sample-dependent decisions."""
+    fmt = dcs.chroma_format
+    sps = dcs.sps
+    sx, sy = fmt.scale_x, fmt.scale_y
+    if cu.blocks[0] is not None:
+        luma_x, luma_y = cu.blocks[0].x, cu.blocks[0].y
+        luma_w, luma_h = cu.blocks[0].w, cu.blocks[0].h
+    else:
+        luma_x, luma_y = cu.blocks[1].x << sx, cu.blocks[1].y << sy
+        luma_w, luma_h = cu.blocks[1].w << sx, cu.blocks[1].h << sy
+    pels_chroma_h = 4 >> sx
+    pels_chroma_v = 4 >> sy
+    edge_num_ver = ((luma_x - ctu_x) >> 2) + edge
+    edge_num_hor = ((luma_y - ctu_y) >> 2) + edge
+    if pels_chroma_h < 8 and pels_chroma_v < 8:
+        if edge_dir == EDGE_VER and (edge_num_ver % (8 // pels_chroma_h)):
+            return
+        if edge_dir == EDGE_HOR and (edge_num_hor % (8 // pels_chroma_v)):
+            return
+    sh_q = _slice_of(dcs, cu)
+    tc_off2 = [sh_q.cb_tc_offset_div2, sh_q.cr_tc_offset_div2]
+    beta_off2 = [sh_q.cb_beta_offset_div2, sh_q.cr_beta_offset_div2]
+    num_parts = luma_h // 4 if edge_dir == EDGE_VER else luma_w // 4
+    bit_depth = sps.bit_depth
+    bd_scale = 1 << (bit_depth - 8)
+    for idx in range(num_parts):
+        if edge_dir == EDGE_VER:
+            lpx = luma_x + edge * 4
+            lpy = luma_y + idx * 4
+        else:
+            lpx = luma_x + idx * 4
+            lpy = luma_y + edge * 4
+        gx, gy = (lpx - ctu_x) >> 2, (lpy - ctu_y) >> 2
+        tmp_bs = int(state.bs[edge_dir][gy, gx])
+        bs_cb = (tmp_bs >> 2) & 3
+        bs_cr = (tmp_bs >> 4) & 3
+        if bs_cb == 0 and bs_cr == 0:
+            continue
+        ppx = lpx - (4 if edge_dir == EDGE_VER else 0)
+        ppy = lpy - (4 if edge_dir == EDGE_HOR else 0)
+        cu_p1 = dcs.get_cu(ppx, ppy, CH_L)
+        if cu_p1 is not None and not cu_p1.is_sep_tree:
+            cu_p = cu_p1
+        else:
+            cu_p = dcs.get_cu(ppx >> sx, ppy >> sy, CH_C)
+        if cu_p is None:
+            continue
+        max_p = int(state.max_len_p[1, (lpx - ctu_x) >> sx, (lpy - ctu_y) >> sy])
+        max_q = int(state.max_len_q[1, (lpx - ctu_x) >> sx, (lpy - ctu_y) >> sy])
+        large_boundary = max_p >= 3 and max_q >= 3
+        chroma_hor_ctb = edge_dir == EDGE_HOR and lpy % sps.ctu_size == 0
+        no_p = no_q = False
+        cpx = lpx >> sx
+        cpy = lpy >> sy
+        tu_q = dcs.get_tu(cpx, cpy, CH_C)
+        tu_p = dcs.get_tu(
+            cpx - (1 if edge_dir == EDGE_VER else 0),
+            cpy - (1 if edge_dir == EDGE_HOR else 0), CH_C)
+        if sps.palette:
+            no_p = tu_p.cu.pred_mode == 3
+            no_q = tu_q.cu.pred_mode == 3
+        pgy, pgx = lpy >> 2, lpx >> 2
+        any_active = False
+        for c_idx in range(2):
+            bs = bs_cb if c_idx == 0 else bs_cr
+            if not (bs == 2 or (large_boundary and bs == 1)):
+                continue
+            comp = c_idx + 1
+            qp_p = _chroma_base_qp(dcs, tu_p, comp)
+            qp_q = _chroma_base_qp(dcs, tu_q, comp)
+            qp = (qp_p + qp_q + 1) >> 1
+            idx_tc = _clip3(0, 63 + DEFAULT_INTRA_TC_OFFSET,
+                            qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + (tc_off2[c_idx] << 1))
+            tc = (
+                (TC_TABLE[idx_tc] + (1 << (9 - bit_depth))) >> (10 - bit_depth)
+                if bit_depth < 10 else TC_TABLE[idx_tc] << (bit_depth - 10)
+            )
+            idx_b = _clip3(0, 63, qp + (beta_off2[c_idx] << 1))
+            beta = BETA_TABLE[idx_b] * bd_scale
+            pre = "cb" if c_idx == 0 else "cr"
+            getattr(maps, f"{pre}_active")[pgy, pgx] = True
+            getattr(maps, f"{pre}_tc")[pgy, pgx] = tc
+            getattr(maps, f"{pre}_beta")[pgy, pgx] = beta
+            any_active = True
+        if any_active:
+            maps.c_large[pgy, pgx] = large_boundary
+            maps.c_nop[pgy, pgx] = no_p
+            maps.c_noq[pgy, pgx] = no_q
+            maps.c_horctb[pgy, pgx] = chroma_hor_ctb
 
 
 def _edge_filter_luma(dcs, pic, cu, edge_dir, edge, state, ctu_x, ctu_y, maxv):

@@ -1,0 +1,182 @@
+"""Batched (TPU) motion-compensation interpolation.
+
+All translational MC of a slice runs as ONE batched kernel call per
+component class: blocks are decomposed into fixed-size tiles (4x4 luma,
+2x2 chroma), windows are gathered on device from a stacked reference-plane
+array, and a uniform two-pass FIR produces either the 14-bit intermediate
+(bi) or the final clipped sample (uni) per tile.
+
+Exactness notes (vs InterpolationFilter.cpp filter/filterCopy dispatch,
+mirrored by ops/mc.py):
+- the H(first,notlast) pass with the phase-0 identity coefficient row is
+  bit-exact to filterCopy(first,notlast): (64x - OFFS<<s)>>s == (x<<hr)-OFFS.
+- the V(notfirst,notlast) pass with identity is exact: (64t)>>6 == t.
+- for the final (isLast) stage, V(notfirst,last) applied to the uniform tmp
+  is exact for fy!=0 (both fx cases), and copyLast applied to the uniform
+  intermediate is exact for fy==0 (both fx cases):
+  ((Σc x)>>s - OFFS + OFFS + 2^(hr-1))>>hr == (Σc x + 32)>>6 because the
+  discarded low s bits never affect the bit-5 rounding decision (s < 6).
+Hence one branch-free kernel reproduces all four scalar dispatch paths.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+IF_INTERNAL_PREC = 14
+IF_OFFS = 1 << (IF_INTERNAL_PREC - 1)
+
+
+@partial(jax.jit, static_argnames=("taps", "tile", "bd"))
+def mc_tiles(refs, r_idx, x0, y0, cH, cV, fy_nz, rnd, taps: int, tile: int,
+             bd: int):
+    """Batched tile MC.
+
+    refs:  int32 [R, H, W] stacked reference planes (one component class).
+    r_idx: int32 [N] plane index per tile.
+    x0,y0: int32 [N] top-left of the FIR support window
+           (block_x + int_mv - (taps/2 - 1)).
+    cH,cV: int32 [N, taps] filter coefficients (phase already selected;
+           identity row for frac 0).
+    fy_nz: bool [N] — vertical phase nonzero (selects the isLast variant).
+    rnd:   bool [N] — True → final clipped sample (uni), False → 14-bit
+           intermediate (bi).
+    Returns int32 [N, tile, tile].
+    """
+    R, H, W = refs.shape
+    n = taps
+    hr = max(2, IF_INTERNAL_PREC - bd)
+    s1 = 6 - hr
+    off1 = -(IF_OFFS << s1)
+    maxv = (1 << bd) - 1
+
+    iy = jnp.clip(y0[:, None] + jnp.arange(tile + n - 1), 0, H - 1)
+    ix = jnp.clip(x0[:, None] + jnp.arange(tile + n - 1), 0, W - 1)
+    win = refs[r_idx[:, None, None], iy[:, :, None], ix[:, None, :]]
+
+    # H pass: isFirst, notLast
+    tmp = jnp.zeros((win.shape[0], tile + n - 1, tile), dtype=jnp.int32)
+    for k in range(n):
+        tmp = tmp + cH[:, k, None, None] * win[:, :, k:k + tile]
+    tmp = (tmp + off1) >> s1
+
+    # V pass: notFirst, notLast → intermediate
+    acc = jnp.zeros((win.shape[0], tile, tile), dtype=jnp.int32)
+    for k in range(n):
+        acc = acc + cV[:, k, None, None] * tmp[:, k:k + tile, :]
+    inter = acc >> 6
+
+    # final stage variants for uni
+    shl = 6 + hr
+    offl = (1 << (shl - 1)) + (IF_OFFS << 6)
+    r_v = jnp.clip((acc + offl) >> shl, 0, maxv)
+    r_c = jnp.clip((inter + IF_OFFS + (1 << (hr - 1))) >> hr, 0, maxv)
+    uni = jnp.where(fy_nz[:, None, None], r_v, r_c)
+    return jnp.where(rnd[:, None, None], uni, inter)
+
+
+def _bucket(n: int) -> int:
+    """Pad batch size to a small set of bucket sizes to bound jit compiles."""
+    b = 64
+    while b < n:
+        b <<= 1
+    return b
+
+
+class McBatch:
+    """Per-slice collector for translational MC tile jobs.
+
+    Usage: add blocks via `add_block` (returns an index range), call
+    `execute()`, then read back with `block_result`.
+    """
+
+    def __init__(self, bd: int):
+        self.bd = bd
+        # separate batches: (is_luma,) → columns
+        self.cols = {True: None, False: None}
+        self.planes = {True: [], False: []}   # list of np planes
+        self.plane_ids = {True: {}, False: {}}
+        self.results = {True: None, False: None}
+        for lum in (True, False):
+            self.cols[lum] = dict(r=[], x=[], y=[], ch=[], cv=[],
+                                  fy=[], rnd=[])
+        self.n = {True: 0, False: 0}
+
+    def _plane_idx(self, lum: bool, plane: np.ndarray) -> int:
+        key = id(plane)
+        d = self.plane_ids[lum]
+        if key not in d:
+            d[key] = len(self.planes[lum])
+            self.planes[lum].append(plane)
+        return d[key]
+
+    def add_block(self, plane, x0, y0, w, h, cf_h, cf_v, frac_y_nz: bool,
+                  rnd_res: bool, is_luma: bool):
+        """Register one mc_block; (x0, y0) is the *sample* position of the
+        block (integer MV applied), support offset handled here."""
+        lum = is_luma
+        tile = 4 if lum else 2
+        taps = 8 if lum else 4
+        half = (taps >> 1) - 1
+        r = self._plane_idx(lum, plane)
+        nbx, nby = w // tile, h // tile
+        xs = (x0 - half) + np.arange(nbx, dtype=np.int32) * tile
+        ys = (y0 - half) + np.arange(nby, dtype=np.int32) * tile
+        gx, gy = np.meshgrid(xs, ys)
+        cnt = nbx * nby
+        c = self.cols[lum]
+        c["r"].append(np.full(cnt, r, dtype=np.int32))
+        c["x"].append(gx.ravel())
+        c["y"].append(gy.ravel())
+        c["ch"].append(np.broadcast_to(cf_h.astype(np.int32), (cnt, taps)))
+        c["cv"].append(np.broadcast_to(cf_v.astype(np.int32), (cnt, taps)))
+        c["fy"].append(np.full(cnt, frac_y_nz, dtype=bool))
+        c["rnd"].append(np.full(cnt, rnd_res, dtype=bool))
+        start = self.n[lum]
+        self.n[lum] += cnt
+        return (lum, start, nby, nbx, tile)
+
+    def execute(self):
+        for lum in (True, False):
+            n = self.n[lum]
+            if n == 0:
+                continue
+            tile = 4 if lum else 2
+            taps = 8 if lum else 4
+            c = self.cols[lum]
+            nb = _bucket(n)
+            cat = {k: np.concatenate(v) for k, v in c.items()}
+            # stack planes (shapes within a component class are identical)
+            refs = np.stack(self.planes[lum]).astype(np.int32)
+
+            def padded(a, fill=0):
+                out = np.full((nb,) + a.shape[1:], fill, dtype=a.dtype)
+                out[:n] = a
+                return out
+
+            res = mc_tiles(
+                jnp.asarray(refs),
+                jnp.asarray(padded(cat["r"])),
+                jnp.asarray(padded(cat["x"])),
+                jnp.asarray(padded(cat["y"])),
+                jnp.asarray(padded(cat["ch"].reshape(-1, taps))),
+                jnp.asarray(padded(cat["cv"].reshape(-1, taps))),
+                jnp.asarray(padded(cat["fy"])),
+                jnp.asarray(padded(cat["rnd"])),
+                taps=taps, tile=tile, bd=self.bd)
+            self.results[lum] = np.asarray(res[:n])
+
+    def block_result(self, handle) -> np.ndarray:
+        lum, start, nby, nbx, tile = handle
+        r = self.results[lum][start : start + nby * nbx]
+        return (
+            r.reshape(nby, nbx, tile, tile)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * tile, nbx * tile)
+            .astype(np.int64)
+        )
