@@ -73,29 +73,79 @@ class CuReconstructor:
 
     # -- top level ----------------------------------------------------------
 
-    def reconstruct_cus(self, cus: list[CU]):
+    def derive_cus(self, cus: list[CU]):
+        """Parse-phase pass: MV derivation + HMVP updates in exact CU order
+        (sample-independent — DecCu::xDeriveCUMV semantics).  Sample
+        reconstruction is deferred to finish_slice() so all inter MC of the
+        slice can run as batched device kernels."""
         from vtm_tpu.decoder import inter_cu
         from vtm_tpu.decoder import motion as M
 
         ibc = self.cs.sps.ibc
         for cu in cus:
+            if ibc and getattr(self.cs, "reset_ibc_buffer", False):
+                cu._ibc_row_reset = True
+                self.cs.reset_ibc_buffer = False
+            if cu.pred_mode in (D.MODE_INTER, D.MODE_IBC):
+                inter_cu.derive_cu_mv(self.cs, cu)
+                M.save_motion_hmvp(self.cs, cu)
+        if not hasattr(self, "_pending"):
+            self._pending = []
+        self._pending.extend(cus)
+
+    def finish_slice(self):
+        """Deferred sample reconstruction: batch-plan all inter MC of the
+        slice, execute the batched kernels, then walk CUs in coding order
+        applying predictions/residuals (intra/IBC/PLT stay order-dependent)."""
+        from vtm_tpu.decoder import inter_cu
+        from vtm_tpu.ops.mc_kernel import McBatch
+
+        cus = getattr(self, "_pending", [])
+        self._pending = []
+        batch = McBatch(self.bit_depth)
+        fins = {}
+        dmvr_jobs = []
+        bdof_cus = []
+        ref_results = {}
+        for cu in cus:
+            if cu.pred_mode in (D.MODE_INTER, D.MODE_IBC):
+                p = inter_cu.plan_cu_mc(batch, self, cu)
+                if isinstance(p, tuple):
+                    if p[0] == "dmvr":
+                        dmvr_jobs.append((cu, p[1]))
+                    else:
+                        bdof_cus.append(cu)
+                    p = (lambda c=cu: ref_results[id(c)])
+                fins[id(cu)] = p
+        batch.execute()
+        if dmvr_jobs or bdof_cus:
+            from vtm_tpu.decoder import refine
+
+            if dmvr_jobs:
+                ref_results.update(refine.dmvr_batch(self, self.cs, dmvr_jobs))
+            if bdof_cus:
+                ref_results.update(refine.bdof_batch(self, self.cs, bdof_cus))
+        ibc = self.cs.sps.ibc
+        for cu in cus:
             if ibc:
-                if getattr(self.cs, "reset_ibc_buffer", False):
+                if getattr(cu, "_ibc_row_reset", False):
                     for b in self.ibc_buf:
                         b.fill(-1)
-                    self.cs.reset_ibc_buffer = False
                 if cu.blocks[0] is not None:
                     self._ibc_vpdu_reset(cu)
             if cu.pred_mode == MODE_INTRA:
                 self.recon_intra_cu(cu)
             elif cu.pred_mode in (D.MODE_INTER, D.MODE_IBC):
-                inter_cu.derive_cu_mv(self.cs, cu)
-                inter_cu.recon_inter_cu(self, cu)
-                M.save_motion_hmvp(self.cs, cu)
+                inter_cu.recon_inter_cu(self, cu, fins[id(cu)])
             else:
                 self.recon_plt_cu(cu)
             if ibc:
                 self._ibc_fill_buffer(cu)
+
+    def reconstruct_cus(self, cus: list[CU]):
+        """Immediate-mode path (derive + reconstruct in one go)."""
+        self.derive_cus(cus)
+        self.finish_slice()
 
     def recon_plt_cu(self, cu: CU):
         """DecCu::xReconPLT (DecCu.cpp:502): palette colors + dequantized

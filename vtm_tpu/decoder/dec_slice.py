@@ -150,10 +150,11 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
             dcs.motion_lut_ibc.clear()
             dcs.reset_ibc_buffer = True
         reader.coding_tree_unit(pos, qps, ctu_addr, pic)
-        # reconstruct the CUs parsed for this CTU
+        # derive MVs for the CUs parsed for this CTU (order-exact HMVP);
+        # sample reconstruction is deferred and batched at end of slice
         new_cus = dcs.cus[prev_cus:]
         prev_cus = len(dcs.cus)
-        pic.recon.reconstruct_cus(new_cus)
+        pic.recon.derive_cus(new_cus)
         if cx == tile_x and wpp:
             dec._wpp_ctx = cab.ctx.copy()
             dec._wpp_plt = dcs.prev_plt.copy()  # DecSlice.cpp:239
@@ -171,3 +172,5 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
             if end_of_tile or end_of_row:
                 term = cab.decode_bin_trm()
                 assert term == 1, "missing terminating bit at tile/row end"
+    # batched sample reconstruction for the whole slice
+    pic.recon.finish_slice()

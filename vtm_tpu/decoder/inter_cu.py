@@ -179,6 +179,142 @@ def _wp_apply_bi(dcs, cu, p0s, p1s, bd):
     return out
 
 
+def _plan_one_list(batch, dcs, cu, lst: int, rnd_res: bool, blocks=None,
+                   mv=None, ref_idx=None, use_alt_hpel=None):
+    """Batched twin of _mc_one_list: registers per-component tile jobs on
+    the McBatch and returns handles (resolved after batch.execute())."""
+    sh = dcs.sh
+    if blocks is None:
+        blocks = cu.blocks
+    if mv is None:
+        mv = cu.mv[lst]
+    if ref_idx is None:
+        ref_idx = cu.ref_idx[lst]
+    if use_alt_hpel is None:
+        use_alt_hpel = cu.imv == M.IMV_HPEL
+    ref_pic = sh.ref_pics[lst][ref_idx]
+    bd = dcs.sps.bit_depth
+    fmt = dcs.chroma_format
+    b = blocks[0]
+    mv = M.clip_mv_in_pic(mv, b.x, b.y, dcs)
+    handles = []
+    for comp in range(fmt.num_components):
+        cb = blocks[comp]
+        sx = fmt.scale_x if comp else 0
+        sy = fmt.scale_y if comp else 0
+        shift_h = MV_FRAC + sx
+        shift_v = MV_FRAC + sy
+        frac_x = mv[0] & ((1 << shift_h) - 1)
+        frac_y = mv[1] & ((1 << shift_v) - 1)
+        x0 = cb.x + (mv[0] >> shift_h)
+        y0 = cb.y + (mv[1] >> shift_v)
+        if comp == 0:
+            hor_h = cb.h if frac_y == 0 else cb.h + MC.NTAPS_LUMA - 1
+            cf_h = MC.luma_coeffs(frac_x, cb.w, hor_h, use_alt_hpel, True)
+            cf_v = MC.luma_coeffs(frac_y, cb.w, cb.h, use_alt_hpel, False)
+        else:
+            cf_h = MC._CHROMA[frac_x << (1 - sx)]
+            cf_v = MC._CHROMA[frac_y << (1 - sy)]
+        handles.append(
+            batch.add_block(ref_pic.planes[comp], x0, y0, cb.w, cb.h,
+                            cf_h, cf_v, frac_y != 0, rnd_res, comp == 0)
+        )
+    return handles
+
+
+def plan_cu_mc(batch, recon, cu):
+    """Plan the inter prediction of one CU on the slice-level MC batch.
+
+    Returns a finalize closure to be invoked (in coding order) after
+    batch.execute(); the closure returns [Y, Cb, Cr] predictions.
+    Sub-PU / sample-adaptive modes (DMVR, BDOF, affine, SbTMVP) currently
+    fall back to the scalar path inside the closure."""
+    from vtm_tpu.common.types import SliceType
+
+    dcs = recon.cs
+    bd = recon.bit_depth
+    fmt = dcs.chroma_format
+    if cu.pred_mode == D.MODE_IBC:
+        return lambda: ibc_block_copy(recon, dcs, cu)
+    if cu.geo_flag:
+        geo = cu._geo_mrg
+        parts = []
+        for cand in cu.geo_merge_idx:
+            interdir = geo.interdir[cand]
+            lst = 0 if interdir == 1 else 1
+            parts.append(
+                _plan_one_list(batch, dcs, cu, lst, rnd_res=False,
+                               mv=geo.mv[cand][lst], ref_idx=geo.ref_idx[cand][lst],
+                               use_alt_hpel=False)
+            )
+
+        def fin_geo():
+            out = []
+            b = cu.blocks[0]
+            for comp in range(fmt.num_components):
+                sx = fmt.scale_x if comp else 0
+                sy = fmt.scale_y if comp else 0
+                wts = MC.geo_weight_block(cu.geo_split_dir, b.w, b.h, sx, sy,
+                                          b.w >> sx, b.h >> sy)
+                p0 = batch.block_result(parts[0][comp])
+                p1 = batch.block_result(parts[1][comp])
+                out.append(MC.geo_blend(p0, p1, wts, bd))
+            return out
+
+        return fin_geo
+    if getattr(cu, "_sbtmvp", None) is not None:
+        return lambda: _sbtmvp_mc(recon, dcs, cu)
+    if cu.affine:
+        return lambda: _affine_mc(recon, dcs, cu)
+    pps = dcs.pps
+    sh = dcs.sh
+    wp_slice = (
+        (sh.slice_type == SliceType.P and pps.weighted_pred)
+        or (sh.is_b and pps.weighted_bipred)
+    )
+    if cu.interdir == 3:
+        if not cu.ciip_flag:
+            bdof_ok = (
+                dcs.sps.bdof and not dcs.ph.dis_bdof and _bdof_condition(dcs, cu)
+            )
+            if dcs.sps.dmvr and not dcs.ph.dis_dmvr and _dmvr_condition(dcs, cu):
+                return ("dmvr", bdof_ok)
+            if bdof_ok:
+                return ("bdof",)
+        h0 = _plan_one_list(batch, dcs, cu, 0, rnd_res=False)
+        h1 = _plan_one_list(batch, dcs, cu, 1, rnd_res=False)
+
+        def fin_bi():
+            p0 = [batch.block_result(h) for h in h0]
+            p1 = [batch.block_result(h) for h in h1]
+            if (
+                pps.weighted_bipred and sh.is_b and not cu.geo_flag
+                and cu.bcw_idx == M.BCW_DEFAULT
+            ):
+                return _wp_apply_bi(dcs, cu, p0, p1, bd)
+            out = []
+            for comp in range(fmt.num_components):
+                if cu.bcw_idx != M.BCW_DEFAULT and not cu.ciip_flag:
+                    w1 = _BCW_WEIGHTS[cu.bcw_idx]
+                    out.append(MC.bcw_average(p0[comp], p1[comp], bd, 8 - w1, w1))
+                else:
+                    out.append(MC.bi_average(p0[comp], p1[comp], bd))
+            return out
+
+        return fin_bi
+    lst = 0 if cu.interdir == 1 else 1
+    if wp_slice:
+        hs = _plan_one_list(batch, dcs, cu, lst, rnd_res=False)
+
+        def fin_wp():
+            preds = [batch.block_result(h) for h in hs]
+            return _wp_apply_uni(dcs, cu, lst, preds, bd)
+
+        return fin_wp
+    hs = _plan_one_list(batch, dcs, cu, lst, rnd_res=True)
+    return lambda: [batch.block_result(h) for h in hs]
+
+
 def motion_compensation(recon, dcs, cu):
     """InterPrediction::motionCompensation → [Y, Cb, Cr] final samples."""
     from vtm_tpu.common.types import SliceType
@@ -503,10 +639,17 @@ def ibc_block_copy(recon, dcs, cu):
     return preds
 
 
-def recon_inter_cu(recon, cu) -> None:
-    """DecCu::xReconInter + xDecodeInterTexture."""
+def recon_inter_cu(recon, cu, fin=None) -> None:
+    """DecCu::xReconInter + xDecodeInterTexture.
+
+    `fin` is the finalize closure produced by plan_cu_mc (batched path);
+    when None, predictions are computed inline (scalar path)."""
     dcs = recon.cs
-    if cu.pred_mode == D.MODE_IBC:
+    if fin is not None:
+        preds = fin()
+        if cu.ciip_flag and cu.pred_mode != D.MODE_IBC and not cu.geo_flag:
+            preds = ciip_blend(recon, dcs, cu, preds)
+    elif cu.pred_mode == D.MODE_IBC:
         preds = ibc_block_copy(recon, dcs, cu)
     elif cu.geo_flag:
         preds = _geo_motion_compensation(recon, dcs, cu)

@@ -257,6 +257,315 @@ def bdof_motion_compensation(recon, dcs, cu):
 
 
 # ---------------------------------------------------------------------------
+# batched (device) paths — slice-level orchestration over the kernels in
+# ops/refine_kernel.py and ops/mc_kernel.py; bit-exact twins of the scalar
+# entry points below.
+
+def _bucket(n: int) -> int:
+    b = 64
+    while b < n:
+        b <<= 1
+    return b
+
+
+def _pad_stack(arrs, nb):
+    out = np.zeros((nb,) + arrs[0].shape, dtype=arrs[0].dtype)
+    out[: len(arrs)] = np.stack(arrs)
+    return out
+
+
+def _pad_vec(vals, nb, dtype=np.int32):
+    out = np.zeros(nb, dtype=dtype)
+    out[: len(vals)] = vals
+    return out
+
+
+def dmvr_batch(recon, dcs, jobs):
+    """Batched xProcessDMVR over all DMVR CUs of a slice.
+
+    jobs: list of (cu, bio_applied).  Returns {id(cu): preds}; also sets
+    cu._dmvr_mvd for the motion-field writeback."""
+    import jax.numpy as jnp
+
+    from vtm_tpu.ops import refine_kernel as RK
+    from vtm_tpu.ops.mc_kernel import McBatch
+
+    sh = dcs.sh
+    bd = recon.bit_depth
+    fmt = dcs.chroma_format
+    ncomp = fmt.num_components
+    out_preds = {}
+    groups = {}
+    for cu, bio in jobs:
+        b = cu.blocks[0]
+        dx = min(b.w, DMVR_SUBCU)
+        dy = min(b.h, DMVR_SUBCU)
+        preds = [np.zeros((b.h >> (fmt.scale_y if c else 0),
+                           b.w >> (fmt.scale_x if c else 0)), dtype=np.int64)
+                 for c in range(ncomp)]
+        out_preds[id(cu)] = preds
+        mvd_sub = {}
+        cu._dmvr_mvd = (mvd_sub, dx, dy)
+        ref_planes = [sh.ref_pics[0][cu.ref_idx[0]].planes,
+                      sh.ref_pics[1][cu.ref_idx[1]].planes]
+        for sy, y in enumerate(range(b.y, b.y + b.h, dy)):
+            for sx, x in enumerate(range(b.x, b.x + b.w, dx)):
+                rec = {
+                    "cu": cu, "bio": bio, "x": x, "y": y, "sy": sy, "sx": sx,
+                    "preds": preds, "mvd_sub": mvd_sub,
+                    "ref_planes": ref_planes, "merge": [cu.mv[0], cu.mv[1]],
+                }
+                pres, fracs = [], []
+                for lst in range(2):
+                    mm = rec["merge"][lst]
+                    cmv = M.clip_mv_in_pic((mm[0] - (3 << 4), mm[1] - (3 << 4)),
+                                           x, y, dcs)
+                    fx = x + (cmv[0] >> 4)
+                    fy = y + (cmv[1] >> 4)
+                    pres.append(_gather(ref_planes[lst][0], fx, fy,
+                                        dx + 7, dy + 7).astype(np.int32))
+                    mv_cl = M.clip_mv_in_pic(mm, x, y, dcs)
+                    fracs.append((mv_cl[0] & 15, mv_cl[1] & 15))
+                rec["pre"] = pres
+                rec["fr"] = fracs
+                groups.setdefault((dx, dy), []).append(rec)
+
+    from vtm_tpu.ops import mc as MCops
+
+    for (dx, dy), recs in groups.items():
+        n = len(recs)
+        nb = _bucket(n)
+        tx, ty, mcost = RK.dmvr_search(
+            jnp.asarray(_pad_stack([r["pre"][0] for r in recs], nb)),
+            jnp.asarray(_pad_stack([r["pre"][1] for r in recs], nb)),
+            jnp.asarray(_pad_vec([r["fr"][0][0] for r in recs], nb)),
+            jnp.asarray(_pad_vec([r["fr"][0][1] for r in recs], nb)),
+            jnp.asarray(_pad_vec([r["fr"][1][0] for r in recs], nb)),
+            jnp.asarray(_pad_vec([r["fr"][1][1] for r in recs], nb)),
+            bd=bd, dx=dx, dy=dy)
+        tx = np.asarray(tx)[:n]
+        ty = np.asarray(ty)[:n]
+        mcost = np.asarray(mcost)[:n]
+        bio_thres = 2 * dx * dy
+
+        # ---- phase B: final padded MC ----
+        batch_buf = McBatch(bd)     # planes = per-job padded prefetch buffers
+        batch_pln = McBatch(bd)     # planes = reference planes (unmoved chroma)
+        for i, rec in enumerate(recs):
+            mvd = (int(tx[i]), int(ty[i]))
+            rec["mvd"] = mvd
+            rec["mvd_sub"][(rec["sy"], rec["sx"])] = mvd
+            rec["bio_sub"] = False if int(mcost[i]) < bio_thres else rec["bio"]
+            moved = mvd != (0, 0)
+            merge = rec["merge"]
+            x, y = rec["x"], rec["y"]
+            sub_mv = [
+                (merge[0][0] + mvd[0], merge[0][1] + mvd[1]),
+                (merge[1][0] - mvd[0], merge[1][1] - mvd[1]),
+            ]
+            rec["h"] = [[None] * ncomp, [None] * ncomp]
+            rec["ext_info"] = [None, None]
+            rec["pad_luma"] = [None, None]
+            for lst in range(2):
+                cmv = sub_mv[lst]
+                cmv_cl = M.clip_mv_in_pic(cmv, x, y, dcs)
+                for comp in range(ncomp):
+                    scx = fmt.scale_x if comp else 0
+                    scy = fmt.scale_y if comp else 0
+                    w_c, h_c = dx >> scx, dy >> scy
+                    frac_x = cmv_cl[0] & ((1 << (4 + scx)) - 1)
+                    frac_y = cmv_cl[1] & ((1 << (4 + scy)) - 1)
+                    if moved or comp == 0:
+                        # NOTE: the reference pads the prefetch buffer by
+                        # DMVR_ITER and reads with clamping; reads of the
+                        # edge-padded buffer equal clamped reads of the
+                        # unpadded buffer (clip(r-pad, 0, size-1)), so the
+                        # pad is folded into the kernel's index clamp.
+                        if comp == 0:
+                            padded = rec["pre"][lst]
+                            rec["pad_luma"][lst] = padded
+                            half = 3
+                        else:
+                            ccmv = M.clip_mv_in_pic(
+                                (merge[lst][0] - (1 << (4 + scx)),
+                                 merge[lst][1] - (1 << (4 + scy))), x, y, dcs)
+                            cfx = (x >> scx) + (ccmv[0] >> (4 + scx))
+                            cfy = (y >> scy) + (ccmv[1] >> (4 + scy))
+                            padded = _gather(rec["ref_planes"][lst][comp], cfx,
+                                             cfy, w_c + 3, h_c + 3).astype(np.int32)
+                            half = 1
+                        d_int_x = (cmv[0] >> (4 + scx)) - (merge[lst][0] >> (4 + scx))
+                        d_int_y = (cmv[1] >> (4 + scy)) - (merge[lst][1] >> (4 + scy))
+                        lx0 = half + d_int_x
+                        ly0 = half + d_int_y
+                        if comp == 0:
+                            cf_h = MCops.luma_coeffs(frac_x, w_c, h_c if frac_y == 0
+                                                     else h_c + 7, False, True)
+                            cf_v = MCops.luma_coeffs(frac_y, w_c, h_c, False, False)
+                            x_off = 1 if frac_x < 8 else 0
+                            y_off = 1 if frac_y < 8 else 0
+                            rec["ext_info"][lst] = (lx0 - x_off, ly0 - y_off)
+                        else:
+                            cf_h = MCops._CHROMA[frac_x << (1 - scx)]
+                            cf_v = MCops._CHROMA[frac_y << (1 - scy)]
+                        rec["h"][lst][comp] = batch_buf.add_block(
+                            padded, lx0, ly0, w_c, h_c, cf_h, cf_v,
+                            frac_y != 0, False, comp == 0)
+                    else:
+                        cb_x = (x >> scx) + (cmv_cl[0] >> (4 + scx))
+                        cb_y = (y >> scy) + (cmv_cl[1] >> (4 + scy))
+                        cf_h = MCops._CHROMA[frac_x << (1 - scx)]
+                        cf_v = MCops._CHROMA[frac_y << (1 - scy)]
+                        rec["h"][lst][comp] = (batch_pln.add_block(
+                            rec["ref_planes"][lst][comp], cb_x, cb_y, w_c, h_c,
+                            cf_h, cf_v, frac_y != 0, False, False), True)
+        batch_buf.execute()
+        batch_pln.execute()
+
+        # ---- assemble: BDOF blend (batched) or bi-average ----
+        bio_recs = [r for r in recs if r["bio_sub"]]
+        bio_out = None
+        if bio_recs:
+            exts = []
+            for r in bio_recs:
+                pair = []
+                for lst in range(2):
+                    center = batch_buf.block_result(r["h"][lst][0])
+                    ox, oy = r["ext_info"][lst]
+                    shift = max(2, MC.IF_INTERNAL_PREC - bd)
+                    ring_src = _gather(r["pad_luma"][lst], ox, oy, dx + 2, dy + 2)
+                    ext = ((ring_src << shift) - MC.IF_INTERNAL_OFFS).astype(np.int32)
+                    ext[1 : dy + 1, 1 : dx + 1] = center
+                    pair.append(ext)
+                exts.append(pair)
+            nbb = _bucket(len(bio_recs))
+            import jax.numpy as jnp2
+
+            res = RK.bdof_blend_batch(
+                jnp2.asarray(_pad_stack([p[0] for p in exts], nbb)),
+                jnp2.asarray(_pad_stack([p[1] for p in exts], nbb)),
+                bd=bd, w=dx, h=dy)
+            bio_out = np.asarray(res)[: len(bio_recs)]
+        bio_i = 0
+        for r in recs:
+            b = r["cu"].blocks[0]
+            ys0 = r["y"] - b.y
+            xs0 = r["x"] - b.x
+            if r["bio_sub"]:
+                blended = bio_out[bio_i].astype(np.int64)
+                bio_i += 1
+            else:
+                l0 = batch_buf.block_result(r["h"][0][0])
+                l1 = batch_buf.block_result(r["h"][1][0])
+                blended = MC.bi_average(l0, l1, bd)
+            r["preds"][0][ys0 : ys0 + dy, xs0 : xs0 + dx] = blended
+            for comp in range(1, ncomp):
+                scx, scy = fmt.scale_x, fmt.scale_y
+                ps = []
+                for lst in range(2):
+                    h = r["h"][lst][comp]
+                    if isinstance(h, tuple) and len(h) == 2 and h[1] is True:
+                        ps.append(batch_pln.block_result(h[0]))
+                    else:
+                        ps.append(batch_buf.block_result(h))
+                r["preds"][comp][ys0 >> scy : (ys0 + dy) >> scy,
+                                 xs0 >> scx : (xs0 + dx) >> scx] = MC.bi_average(
+                    ps[0], ps[1], bd)
+    return out_preds
+
+
+def bdof_batch(recon, dcs, cus):
+    """Batched standalone BDOF bi-prediction (xSubPuBio regions)."""
+    import jax.numpy as jnp
+
+    from vtm_tpu.ops import refine_kernel as RK
+    from vtm_tpu.ops import mc as MCops
+    from vtm_tpu.ops.mc_kernel import McBatch
+
+    sh = dcs.sh
+    bd = recon.bit_depth
+    fmt = dcs.chroma_format
+    ncomp = fmt.num_components
+    out_preds = {}
+    groups = {}
+    batch = McBatch(bd)
+    for cu in cus:
+        b = cu.blocks[0]
+        use_alt_hpel = cu.imv == M.IMV_HPEL
+        dx = min(MAX_BDOF_REGION, b.w)
+        dy = min(MAX_BDOF_REGION, b.h)
+        preds = [np.zeros((b.h >> (fmt.scale_y if c else 0),
+                           b.w >> (fmt.scale_x if c else 0)), dtype=np.int64)
+                 for c in range(ncomp)]
+        out_preds[id(cu)] = preds
+        for y in range(b.y, b.y + b.h, dy):
+            for x in range(b.x, b.x + b.w, dx):
+                rec = {"cu": cu, "x": x, "y": y, "preds": preds,
+                       "h": [[None] * ncomp, [None] * ncomp],
+                       "ring": [None, None]}
+                for lst in range(2):
+                    ref_pic = sh.ref_pics[lst][cu.ref_idx[lst]]
+                    mv = M.clip_mv_in_pic(cu.mv[lst], x, y, dcs)
+                    fx, fy = mv[0] & 15, mv[1] & 15
+                    x0 = x + (mv[0] >> 4)
+                    y0 = y + (mv[1] >> 4)
+                    cf_h = MCops.luma_coeffs(fx, dx, dy if fy == 0 else dy + 7,
+                                             use_alt_hpel, True)
+                    cf_v = MCops.luma_coeffs(fy, dx, dy, use_alt_hpel, False)
+                    rec["h"][lst][0] = batch.add_block(
+                        ref_pic.planes[0], x0, y0, dx, dy, cf_h, cf_v,
+                        fy != 0, False, True)
+                    x_off = 1 if fx < 8 else 0
+                    y_off = 1 if fy < 8 else 0
+                    shift = max(2, MC.IF_INTERNAL_PREC - bd)
+                    ring_src = _gather(ref_pic.planes[0], x0 - x_off, y0 - y_off,
+                                       dx + 2, dy + 2)
+                    rec["ring"][lst] = ((ring_src << shift)
+                                        - MC.IF_INTERNAL_OFFS).astype(np.int32)
+                    for comp in range(1, ncomp):
+                        scx, scy = fmt.scale_x, fmt.scale_y
+                        cfx = mv[0] & ((1 << (4 + scx)) - 1)
+                        cfy = mv[1] & ((1 << (4 + scy)) - 1)
+                        rec["h"][lst][comp] = batch.add_block(
+                            ref_pic.planes[comp],
+                            (x >> scx) + (mv[0] >> (4 + scx)),
+                            (y >> scy) + (mv[1] >> (4 + scy)),
+                            dx >> scx, dy >> scy,
+                            MCops._CHROMA[cfx << (1 - scx)],
+                            MCops._CHROMA[cfy << (1 - scy)],
+                            cfy != 0, False, False)
+                groups.setdefault((dx, dy), []).append(rec)
+    batch.execute()
+    for (dx, dy), recs in groups.items():
+        exts = []
+        for r in recs:
+            pair = []
+            for lst in range(2):
+                ext = r["ring"][lst]
+                ext[1 : dy + 1, 1 : dx + 1] = batch.block_result(r["h"][lst][0])
+                pair.append(ext)
+            exts.append(pair)
+        nbb = _bucket(len(recs))
+        res = RK.bdof_blend_batch(
+            jnp.asarray(_pad_stack([p[0] for p in exts], nbb)),
+            jnp.asarray(_pad_stack([p[1] for p in exts], nbb)),
+            bd=bd, w=dx, h=dy)
+        res = np.asarray(res)
+        for i, r in enumerate(recs):
+            b = r["cu"].blocks[0]
+            ly, lx = r["y"] - b.y, r["x"] - b.x
+            r["preds"][0][ly : ly + dy, lx : lx + dx] = res[i].astype(np.int64)
+            for comp in range(1, ncomp):
+                scx, scy = fmt.scale_x, fmt.scale_y
+                p0 = batch.block_result(r["h"][0][comp])
+                p1 = batch.block_result(r["h"][1][comp])
+                r["preds"][comp][ly >> scy : (ly + dy) >> scy,
+                                 lx >> scx : (lx + dx) >> scx] = MC.bi_average(
+                    p0, p1, bd)
+    return out_preds
+
+
+# ---------------------------------------------------------------------------
 def dmvr_motion_compensation(recon, dcs, cu, bio_applied: bool):
     """xProcessDMVR: per-16x16-subPU bilateral refinement + final MC.
 

@@ -97,14 +97,12 @@ class McBatch:
 
     def __init__(self, bd: int):
         self.bd = bd
-        # separate batches: (is_luma,) → columns
-        self.cols = {True: None, False: None}
+        # per-block records; tile/column expansion is vectorized in execute()
+        self.recs = {True: [], False: []}     # (r, x0, y0, nbx, nby, fy, rnd)
+        self.cfs = {True: [], False: []}      # (cf_h, cf_v) per block
         self.planes = {True: [], False: []}   # list of np planes
         self.plane_ids = {True: {}, False: {}}
         self.results = {True: None, False: None}
-        for lum in (True, False):
-            self.cols[lum] = dict(r=[], x=[], y=[], ch=[], cv=[],
-                                  fy=[], rnd=[])
         self.n = {True: 0, False: 0}
 
     def _plane_idx(self, lum: bool, plane: np.ndarray) -> int:
@@ -125,18 +123,10 @@ class McBatch:
         half = (taps >> 1) - 1
         r = self._plane_idx(lum, plane)
         nbx, nby = w // tile, h // tile
-        xs = (x0 - half) + np.arange(nbx, dtype=np.int32) * tile
-        ys = (y0 - half) + np.arange(nby, dtype=np.int32) * tile
-        gx, gy = np.meshgrid(xs, ys)
         cnt = nbx * nby
-        c = self.cols[lum]
-        c["r"].append(np.full(cnt, r, dtype=np.int32))
-        c["x"].append(gx.ravel())
-        c["y"].append(gy.ravel())
-        c["ch"].append(np.broadcast_to(cf_h.astype(np.int32), (cnt, taps)))
-        c["cv"].append(np.broadcast_to(cf_v.astype(np.int32), (cnt, taps)))
-        c["fy"].append(np.full(cnt, frac_y_nz, dtype=bool))
-        c["rnd"].append(np.full(cnt, rnd_res, dtype=bool))
+        self.recs[lum].append((r, x0 - half, y0 - half, nbx, nby,
+                               frac_y_nz, rnd_res))
+        self.cfs[lum].append((cf_h, cf_v))
         start = self.n[lum]
         self.n[lum] += cnt
         return (lum, start, nby, nbx, tile)
@@ -148,26 +138,37 @@ class McBatch:
                 continue
             tile = 4 if lum else 2
             taps = 8 if lum else 4
-            c = self.cols[lum]
+            recs = np.asarray(self.recs[lum], dtype=np.int64)
+            r_b, x_b, y_b = recs[:, 0], recs[:, 1], recs[:, 2]
+            nbx_b, nby_b = recs[:, 3], recs[:, 4]
+            fy_b, rnd_b = recs[:, 5], recs[:, 6]
+            counts = nbx_b * nby_b
+            blk = np.repeat(np.arange(len(recs)), counts)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            within = np.arange(n) - starts[blk]
+            bx = within % nbx_b[blk]
+            by = within // nbx_b[blk]
+            cat_x = (x_b[blk] + bx * tile).astype(np.int32)
+            cat_y = (y_b[blk] + by * tile).astype(np.int32)
+            cfh = np.stack([c[0] for c in self.cfs[lum]]).astype(np.int32)
+            cfv = np.stack([c[1] for c in self.cfs[lum]]).astype(np.int32)
             nb = _bucket(n)
-            cat = {k: np.concatenate(v) for k, v in c.items()}
-            # stack planes (shapes within a component class are identical)
             refs = np.stack(self.planes[lum]).astype(np.int32)
 
-            def padded(a, fill=0):
-                out = np.full((nb,) + a.shape[1:], fill, dtype=a.dtype)
+            def padded(a, dt):
+                out = np.zeros((nb,) + a.shape[1:], dtype=dt)
                 out[:n] = a
                 return out
 
             res = mc_tiles(
                 jnp.asarray(refs),
-                jnp.asarray(padded(cat["r"])),
-                jnp.asarray(padded(cat["x"])),
-                jnp.asarray(padded(cat["y"])),
-                jnp.asarray(padded(cat["ch"].reshape(-1, taps))),
-                jnp.asarray(padded(cat["cv"].reshape(-1, taps))),
-                jnp.asarray(padded(cat["fy"])),
-                jnp.asarray(padded(cat["rnd"])),
+                jnp.asarray(padded(r_b[blk], np.int32)),
+                jnp.asarray(padded(cat_x, np.int32)),
+                jnp.asarray(padded(cat_y, np.int32)),
+                jnp.asarray(padded(cfh[blk], np.int32)),
+                jnp.asarray(padded(cfv[blk], np.int32)),
+                jnp.asarray(padded(fy_b[blk], bool)),
+                jnp.asarray(padded(rnd_b[blk], bool)),
                 taps=taps, tile=tile, bd=self.bd)
             self.results[lum] = np.asarray(res[:n])
 
