@@ -224,6 +224,15 @@ class Decoder:
                 HashResult(pic.poc, computed == pic.hash_sei.digest, computed,
                            pic.hash_sei.digest, pic.hash_sei.hash_type)
             )
+        # device-resident reference copies: MC batches of later pictures
+        # gather from these without re-uploading the DPB each slice
+        if pic.is_reference:
+            try:
+                import jax.numpy as jnp
+
+                pic.device_planes = [jnp.asarray(p) for p in pic.planes]
+            except Exception:
+                pic.device_planes = None
         self.dpb.append(pic)
         self.output.append(pic)
 

@@ -193,6 +193,8 @@ def _plan_one_list(batch, dcs, cu, lst: int, rnd_res: bool, blocks=None,
     if use_alt_hpel is None:
         use_alt_hpel = cu.imv == M.IMV_HPEL
     ref_pic = sh.ref_pics[lst][ref_idx]
+    dev = getattr(ref_pic, "device_planes", None)
+    planes = dev if dev is not None else ref_pic.planes
     bd = dcs.sps.bit_depth
     fmt = dcs.chroma_format
     b = blocks[0]
@@ -216,7 +218,7 @@ def _plan_one_list(batch, dcs, cu, lst: int, rnd_res: bool, blocks=None,
             cf_h = MC._CHROMA[frac_x << (1 - sx)]
             cf_v = MC._CHROMA[frac_y << (1 - sy)]
         handles.append(
-            batch.add_block(ref_pic.planes[comp], x0, y0, cb.w, cb.h,
+            batch.add_block(planes[comp], x0, y0, cb.w, cb.h,
                             cf_h, cf_v, frac_y != 0, rnd_res, comp == 0)
         )
     return handles

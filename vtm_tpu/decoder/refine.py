@@ -505,6 +505,8 @@ def bdof_batch(recon, dcs, cus):
                        "ring": [None, None]}
                 for lst in range(2):
                     ref_pic = sh.ref_pics[lst][cu.ref_idx[lst]]
+                    dev = getattr(ref_pic, "device_planes", None)
+                    dplanes = dev if dev is not None else ref_pic.planes
                     mv = M.clip_mv_in_pic(cu.mv[lst], x, y, dcs)
                     fx, fy = mv[0] & 15, mv[1] & 15
                     x0 = x + (mv[0] >> 4)
@@ -513,7 +515,7 @@ def bdof_batch(recon, dcs, cus):
                                              use_alt_hpel, True)
                     cf_v = MCops.luma_coeffs(fy, dx, dy, use_alt_hpel, False)
                     rec["h"][lst][0] = batch.add_block(
-                        ref_pic.planes[0], x0, y0, dx, dy, cf_h, cf_v,
+                        dplanes[0], x0, y0, dx, dy, cf_h, cf_v,
                         fy != 0, False, True)
                     x_off = 1 if fx < 8 else 0
                     y_off = 1 if fy < 8 else 0
@@ -527,7 +529,7 @@ def bdof_batch(recon, dcs, cus):
                         cfx = mv[0] & ((1 << (4 + scx)) - 1)
                         cfy = mv[1] & ((1 << (4 + scy)) - 1)
                         rec["h"][lst][comp] = batch.add_block(
-                            ref_pic.planes[comp],
+                            dplanes[comp],
                             (x >> scx) + (mv[0] >> (4 + scx)),
                             (y >> scy) + (mv[1] >> (4 + scy)),
                             dx >> scx, dy >> scy,

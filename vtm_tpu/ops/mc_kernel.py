@@ -153,7 +153,12 @@ class McBatch:
             cfh = np.stack([c[0] for c in self.cfs[lum]]).astype(np.int32)
             cfv = np.stack([c[1] for c in self.cfs[lum]]).astype(np.int32)
             nb = _bucket(n)
-            refs = np.stack(self.planes[lum]).astype(np.int32)
+            first = self.planes[lum][0]
+            if isinstance(first, np.ndarray):
+                refs = jnp.asarray(np.stack(self.planes[lum]).astype(np.int32))
+            else:
+                # device-resident reference planes (Picture.device_planes)
+                refs = jnp.stack(self.planes[lum])
 
             def padded(a, dt):
                 out = np.zeros((nb,) + a.shape[1:], dtype=dt)
@@ -161,7 +166,7 @@ class McBatch:
                 return out
 
             res = mc_tiles(
-                jnp.asarray(refs),
+                refs,
                 jnp.asarray(padded(r_b[blk], np.int32)),
                 jnp.asarray(padded(cat_x, np.int32)),
                 jnp.asarray(padded(cat_y, np.int32)),

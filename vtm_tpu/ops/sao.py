@@ -59,29 +59,80 @@ def sao_picture(dcs, pic) -> None:
                 rp.type_aux[comp] = src.type_aux[comp]
                 rp.offsets[comp] = list(src.offsets[comp])
         resolved[addr] = rp
-    # apply
-    src_planes = [p.copy() for p in pic.planes]
+    # apply — whole-plane vectorized path (ops/sao_kernel.py): per-pixel
+    # type/offset/validity maps are assembled per CTU on host, the offset
+    # classification + application runs as one dense kernel per component
     maxv = (1 << sps.bit_depth) - 1
     fmt = dcs.chroma_format
-    for addr in range(w_ctu * h_ctu):
-        rp = resolved[addr]
-        if all(m == SAO_MODE_OFF for m in rp.mode[:n_comp]):
+    import jax.numpy as jnp
+
+    from vtm_tpu.ops import sao_kernel as SK
+
+    n_ctu = w_ctu * h_ctu
+    avail_cache = {}
+    for comp in range(n_comp):
+        if all(resolved[a].mode[comp] == SAO_MODE_OFF for a in range(n_ctu)):
             continue
-        cx, cy = addr % w_ctu, addr // w_ctu
-        x0, y0 = cx * sps.ctu_size, cy * sps.ctu_size
-        avail = _boundary_avail(dcs, x0, y0)
-        for comp in range(n_comp):
+        sx = fmt.scale_x if comp else 0
+        sy = fmt.scale_y if comp else 0
+        H, W = pic.planes[comp].shape
+        type_map = np.zeros((H, W), dtype=np.int32)
+        ctu_map = np.zeros((H, W), dtype=np.int32)
+        valid = np.zeros((H, W), dtype=bool)
+        offsets = np.zeros((n_ctu, 32), dtype=np.int32)
+        for addr in range(n_ctu):
+            rp = resolved[addr]
             if rp.mode[comp] == SAO_MODE_OFF:
                 continue
-            sx = fmt.scale_x if comp else 0
-            sy = fmt.scale_y if comp else 0
+            cx, cy = addr % w_ctu, addr // w_ctu
+            x0, y0 = cx * sps.ctu_size, cy * sps.ctu_size
+            if addr not in avail_cache:
+                avail_cache[addr] = _boundary_avail(dcs, x0, y0)
             bx0, by0 = x0 >> sx, y0 >> sy
-            bw = min(sps.ctu_size >> sx, src_planes[comp].shape[1] - bx0)
-            bh = min(sps.ctu_size >> sy, src_planes[comp].shape[0] - by0)
-            _offset_block(
-                src_planes[comp], pic.planes[comp], bx0, by0, bw, bh,
-                rp.type_idc[comp], rp.offsets[comp], sps.bit_depth, maxv, avail
-            )
+            bw = min(sps.ctu_size >> sx, W - bx0)
+            bh = min(sps.ctu_size >> sy, H - by0)
+            t = rp.type_idc[comp]
+            offsets[addr] = rp.offsets[comp][:32]
+            type_map[by0 : by0 + bh, bx0 : bx0 + bw] = t
+            ctu_map[by0 : by0 + bh, bx0 : bx0 + bw] = addr
+            _set_valid(valid, bx0, by0, bw, bh, t, avail_cache[addr])
+        out = SK.sao_apply(
+            jnp.asarray(pic.planes[comp].astype(np.int32)),
+            jnp.asarray(type_map), jnp.asarray(ctu_map),
+            jnp.asarray(offsets), jnp.asarray(valid),
+            bit_depth=sps.bit_depth)
+        pic.planes[comp][:] = np.asarray(out).astype(pic.planes[comp].dtype)
+
+
+def _set_valid(valid, x0, y0, w, h, type_idx, avail):
+    """Per-pixel application ranges of _offset_block, as mask writes."""
+    left, right, above, below, al, ar, bl, br = avail
+    sx = 0 if left else 1
+    ex = w if right else w - 1
+    if type_idx == SAO_TYPE_EO_0:
+        valid[y0 : y0 + h, x0 + sx : x0 + ex] = True
+    elif type_idx == SAO_TYPE_EO_90:
+        sy = 0 if above else 1
+        ey = h if below else h - 1
+        valid[y0 + sy : y0 + ey, x0 : x0 + w] = True
+    elif type_idx == SAO_TYPE_EO_135:
+        fs = 0 if al else 1
+        fe = ex if above else 1
+        valid[y0, x0 + fs : x0 + fe] = True
+        valid[y0 + 1 : y0 + h - 1, x0 + sx : x0 + ex] = True
+        ls = sx if below else w - 1
+        le = w if br else w - 1
+        valid[y0 + h - 1, x0 + ls : x0 + le] = True
+    elif type_idx == SAO_TYPE_EO_45:
+        fs = sx if above else w - 1
+        fe = w if ar else w - 1
+        valid[y0, x0 + fs : x0 + fe] = True
+        valid[y0 + 1 : y0 + h - 1, x0 + sx : x0 + ex] = True
+        ls = 0 if bl else 1
+        le = ex if below else 1
+        valid[y0 + h - 1, x0 + ls : x0 + le] = True
+    else:  # BO
+        valid[y0 : y0 + h, x0 : x0 + w] = True
 
 
 def _boundary_avail(dcs, x0, y0):
