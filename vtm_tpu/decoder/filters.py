@@ -9,10 +9,16 @@ from __future__ import annotations
 
 import numpy as np
 
+# opt-in capture of per-picture filter inputs (used by the multi-chip
+# sharded-filter dryrun to replay the exact same maps across a mesh)
+CAPTURE_FILTERS = False
+
 
 def apply_loop_filters(dec, pic) -> None:
     if not hasattr(pic, "dcs"):
         return
+    if CAPTURE_FILTERS and not hasattr(pic, "filter_capture"):
+        pic.filter_capture = {}
     dcs = pic.dcs
     # 1. LMCS inverse mapping on luma
     lmcs = getattr(pic, "lmcs_model", None)
@@ -58,3 +64,6 @@ def apply_loop_filters(dec, pic) -> None:
         from vtm_tpu.ops import alf as ALF
 
         ALF.alf_picture(dcs, pic)
+    cap = getattr(pic, "filter_capture", None)
+    if cap is not None:
+        cap["luma_out"] = pic.planes[0].copy()

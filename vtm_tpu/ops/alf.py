@@ -398,6 +398,13 @@ def alf_picture(dcs, pic) -> None:
         coefmap = cperm[ctu_of, classes, transposes]
         clipmap = lperm[ctu_of, classes, transposes]
         o_rows, near = K.vb_row_offsets(h, ctu, vb_luma_pos, True)
+        cap = getattr(pic, "filter_capture", None)
+        if cap is not None:
+            cap["alf"] = dict(
+                cperm=cperm.astype(np.int32), lperm=lperm.astype(np.int32),
+                ctu_of=ctu_of.astype(np.int32), o_rows=o_rows, near=near,
+                cls_rows=K.classify_row_indices(h, ctu, vb_luma_pos),
+                cls_blocks=K.classify_block_rows(h, ctu, vb_luma_pos))
         out = K.alf_filter(
             jnp.asarray(src_pads[0]), jnp.asarray(coefmap), jnp.asarray(clipmap),
             jnp.asarray(o_rows), jnp.asarray(near),

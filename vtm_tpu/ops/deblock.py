@@ -307,6 +307,11 @@ def deblock_picture(dcs, pic) -> None:
     state = DeblockState(ctu)
     is_dual = dcs.cus and any(c.blocks[0] is None for c in dcs.cus)
     h, w = pic.planes[0].shape
+    cap = getattr(pic, "filter_capture", None)
+    if cap is not None:
+        cap["luma_in"] = pic.planes[0].copy()
+        cap["dmaps"] = {}
+        cap["bit_depth"] = dcs.sps.bit_depth
     for edge_dir in (EDGE_VER, EDGE_HOR):
         maps = PicDeblockMaps(h, w)
         for cy in range(dcs.pic_h_ctu):
@@ -330,6 +335,11 @@ def deblock_picture(dcs, pic) -> None:
                     ]
                     for cu in chroma_cus:
                         _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0, maps)
+        if cap is not None:
+            cap["dmaps"][edge_dir] = (
+                maps.l_active.copy(), maps.l_tc.copy(), maps.l_beta.copy(),
+                maps.l_maxp.copy(), maps.l_maxq.copy(), maps.l_nop.copy(),
+                maps.l_noq.copy())
         _apply_maps(dcs, pic, maps, edge_dir)
 
 

@@ -59,10 +59,23 @@ def deblock_luma_ver(plane, active, tc, beta, max_p, max_q, no_p, no_q,
       clamps of the marking pass).
     no_p, no_q: bool [H4, W4] palette no-filter flags.
     """
-    H, W = plane.shape
+    pad = jnp.pad(plane, ((0, 0), (8, 8)), mode="edge")
+    acc = luma_ver_delta(pad, active, tc, beta, max_p, max_q, no_p, no_q,
+                         bit_depth)
+    return plane + acc[:, 8:-8]
+
+
+def luma_ver_delta(pad, active, tc, beta, max_p, max_q, no_p, no_q,
+                   bit_depth: int):
+    """Delta form of the vertical luma edge filter: `pad` is the plane
+    extended by 8 columns each side (edge-replicated at picture borders,
+    real neighbour halo under spatial sharding); returns the sample deltas
+    over the extended width (overflow into the halo is the neighbour
+    shard's contribution — disjoint by the max-filter-length rules)."""
+    H, Wp = pad.shape
+    W = Wp - 16
     H4, W4 = H // 4, W // 4
     maxv = (1 << bit_depth) - 1
-    pad = jnp.pad(plane, ((0, 0), (8, 8)), mode="edge")
 
     # gather windows: Wn[H4, W4, 4, 16]; j = 8+i maps to s[i], i in [-8, 7]
     ys = (jnp.arange(H4) * 4)[:, None] + jnp.arange(4)[None, :]          # [H4,4]
@@ -265,8 +278,7 @@ def deblock_luma_ver(plane, active, tc, beta, max_p, max_q, no_p, no_q,
 
     delta_w = out - Wn
     zero = jnp.zeros_like(pad)
-    acc = zero.at[ys[:, None, :, None], xs[None, :, None, :]].add(delta_w)
-    return plane + acc[:, 8:-8]
+    return zero.at[ys[:, None, :, None], xs[None, :, None, :]].add(delta_w)
 
 
 # NOTE on the long-path p-side mask above: filter_p_l/filter_q_l gate nothing

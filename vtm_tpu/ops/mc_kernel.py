@@ -80,6 +80,10 @@ def mc_tiles(refs, r_idx, x0, y0, cH, cV, fy_nz, rnd, taps: int, tile: int,
     return jnp.where(rnd[:, None, None], uni, inter)
 
 
+# opt-in capture of the last executed luma batch (multi-chip dryrun replay)
+CAPTURE = None
+
+
 def _bucket(n: int) -> int:
     """Pad batch size to a small set of bucket sizes to bound jit compiles."""
     b = 64
@@ -165,7 +169,7 @@ class McBatch:
                 out[:n] = a
                 return out
 
-            res = mc_tiles(
+            args = (
                 refs,
                 jnp.asarray(padded(r_b[blk], np.int32)),
                 jnp.asarray(padded(cat_x, np.int32)),
@@ -174,8 +178,14 @@ class McBatch:
                 jnp.asarray(padded(cfv[blk], np.int32)),
                 jnp.asarray(padded(fy_b[blk], bool)),
                 jnp.asarray(padded(rnd_b[blk], bool)),
-                taps=taps, tile=tile, bd=self.bd)
+            )
+            res = mc_tiles(*args, taps=taps, tile=tile, bd=self.bd)
             self.results[lum] = np.asarray(res[:n])
+            global CAPTURE
+            if CAPTURE is not None and lum and n >= 64:
+                CAPTURE = {"args": tuple(np.asarray(a) for a in args),
+                           "taps": taps, "tile": tile, "bd": self.bd,
+                           "out": self.results[lum].copy(), "n": n}
 
     def block_result(self, handle) -> np.ndarray:
         lum, start, nby, nbx, tile = handle

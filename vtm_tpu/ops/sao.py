@@ -96,6 +96,10 @@ def sao_picture(dcs, pic) -> None:
             type_map[by0 : by0 + bh, bx0 : bx0 + bw] = t
             ctu_map[by0 : by0 + bh, bx0 : bx0 + bw] = addr
             _set_valid(valid, bx0, by0, bw, bh, t, avail_cache[addr])
+        cap = getattr(pic, "filter_capture", None)
+        if cap is not None and comp == 0:
+            cap["sao"] = (type_map.copy(), ctu_map.copy(), offsets.copy(),
+                          valid.copy())
         out = SK.sao_apply(
             jnp.asarray(pic.planes[comp].astype(np.int32)),
             jnp.asarray(type_map), jnp.asarray(ctu_map),

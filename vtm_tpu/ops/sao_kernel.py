@@ -21,10 +21,15 @@ def sao_apply(src, type_map, ctu_map, offsets, valid, bit_depth: int):
     """src int32 [H, W]; type_map 0..4; ctu_map CTU address per pixel;
     offsets int32 [n_ctu, 32] (EO at [0..4], BO spread at band positions);
     valid bool [H, W]."""
-    maxv = (1 << bit_depth) - 1
     pad = jnp.pad(src, 1, mode="edge")
-    H, W = src.shape
-    c = src
+    return sao_apply_ext(pad, type_map, ctu_map, offsets, valid, bit_depth)
+
+
+def sao_apply_ext(pad, type_map, ctu_map, offsets, valid, bit_depth: int):
+    """Core on a 1-sample-extended plane (halo-exchanged under sharding)."""
+    maxv = (1 << bit_depth) - 1
+    H, W = pad.shape[0] - 2, pad.shape[1] - 2
+    c = pad[1:-1, 1:-1]
 
     def sh(dy, dx):
         return pad[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
