@@ -249,3 +249,24 @@ def test_mts_intra_search():
         results[mts] = (len(bits), mse)
     # MTS should not be worse on both axes
     assert results[True][0] <= results[False][0] * 1.02
+
+
+def test_roundtrip_ra_tmvp_mmvd():
+    """RA with TMVP merge/AMVP candidates and MMVD search: streams must
+    self-decode hash-exact (reference-decoder conformance is checked
+    out-of-band by tools/bdrate.py)."""
+    from vtm_tpu.encoder.enc_lib import RandomAccessEncoder
+
+    fmt = YuvFormat(64, 64, ChromaFormat.YUV420, 8)
+    frames = read_yuv(f"{TESTDATA}/tiny64_64x64_420_8.yuv", fmt, 5)
+    cfg = EncoderConfig(width=64, height=64, qp=32, max_mtt_depth_intra=0)
+    cfg.sao = True
+    enc = RandomAccessEncoder(cfg, gop_size=4)
+    assert enc.sps.temporal_mvp and enc.sps.mmvd
+    bits = enc.encode(frames)
+    dec = Decoder()
+    pics = dec.decode_stream(bits)
+    assert len(pics) == len(frames)
+    # the stream must actually use MMVD / TMVP-derived candidates somewhere
+    for hr in dec.hash_results:
+        assert hr.ok, f"decoded-picture-hash mismatch at POC {hr.poc}"

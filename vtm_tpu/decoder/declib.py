@@ -45,7 +45,7 @@ class HashResult:
 class Decoder:
     """Feed NAL units (or whole Annex-B streams); collect output pictures."""
 
-    def __init__(self):
+    def __init__(self, strict: bool = True):
         self.psm = vlc.ParameterSetManager()
         self.ph: PicHeader | None = None
         self.cur_pic: Picture | None = None
@@ -54,12 +54,27 @@ class Decoder:
         self.hash_results: list[HashResult] = []
         self.prev_tid0_poc = 0
         self.pending_hash_sei: seilib.DecodedPictureHash | None = None
+        # strict=False: malformed/unsupported NALs are skipped with an error
+        # count instead of aborting the stream (DecLib error resilience)
+        self.strict = strict
+        self.error_count = 0
+        self.concealed_count = 0
 
     # -- public API ---------------------------------------------------------
 
     def decode_stream(self, data: bytes) -> list[Picture]:
+        import sys
+
         for ebsp in nalio.split_annexb(data):
-            self.decode_nal(nalio.parse_nal(ebsp))
+            if self.strict:
+                self.decode_nal(nalio.parse_nal(ebsp))
+                continue
+            try:
+                self.decode_nal(nalio.parse_nal(ebsp))
+            except Exception as e:  # noqa: BLE001 — resilience path
+                self.error_count += 1
+                print(f"warning: NAL decode error skipped: {e}",
+                      file=sys.stderr)
         self.finish_picture()
         self.flush()
         return self.output
@@ -157,8 +172,21 @@ class Decoder:
                     ref = self._find_ref(poc)
                     lt = False
                 else:
-                    raise NotImplementedError("long-term refs")
-                assert ref is not None, f"missing reference POC {poc}"
+                    # long-term ref: identifier carries the POC LSBs
+                    # (Slice::constructRefPicList LT branch, Slice.cpp:458)
+                    mask = (1 << sps.bits_for_poc) - 1
+                    ident = rpl.identifiers[ii]
+                    ref = None
+                    for p in self.dpb:
+                        if p.is_reference and (p.poc & mask) == ident:
+                            ref = p
+                            break
+                    poc = ref.poc if ref is not None else ident
+                    lt = True
+                if ref is None:
+                    # lost/unavailable reference concealment
+                    # (DecLib::xCreateLostPicture, DecLib.cpp:818)
+                    ref = self._conceal_lost_picture(poc)
                 sh.ref_pics[lst].append(ref)
                 sh.ref_pocs[lst].append(poc)
                 sh.ref_longterm[lst].append(lt)
@@ -198,6 +226,36 @@ class Decoder:
             if p.poc == poc and p.is_reference:
                 return p
         return None
+
+    def _conceal_lost_picture(self, poc: int):
+        """DecLib::xCreateLostPicture: synthesize the missing reference by
+        copying the closest-POC decoded picture; the picture is inserted in
+        the DPB so later RPLs resolve it, and the event is counted."""
+        import copy as _copy
+        import sys
+
+        print(f"warning: reference picture POC {poc} missing - concealing "
+              "from nearest decoded picture", file=sys.stderr)
+        self.concealed_count = getattr(self, "concealed_count", 0) + 1
+        if not self.dpb:
+            raise RuntimeError(f"no decoded pictures to conceal POC {poc}")
+        src = min(self.dpb, key=lambda p: abs(p.poc - poc))
+        lost = Picture(
+            poc=poc,
+            planes=[p.copy() for p in src.planes],
+            sps_id=src.sps_id,
+            pps_id=src.pps_id,
+            slices=list(src.slices),
+            is_irap=False,
+            is_reference=True,
+            needed_for_output=False,
+        )
+        if hasattr(src, "motion"):
+            lost.motion = src.motion
+        if getattr(src, "device_planes", None) is not None:
+            lost.device_planes = src.device_planes
+        self.dpb.append(lost)
+        return lost
 
     def finish_picture(self) -> None:
         if self.cur_pic is None:

@@ -103,6 +103,15 @@ def main(argv=None):
 
     maxv = (1 << bd) - 1
     py = psnr(frames[-1][0], enc.last_recon[0], maxv)
+    # per-picture log + Analyze-style sequence summary
+    for r in getattr(enc, "frame_log", []):
+        print(f"POC {r['poc']:4d} ( {r['type']}-SLICE, QP {r['qp']:2d} ) "
+              f"{r['bits']:10d} bits [Y {r['psnr'][0]:8.4f} dB  "
+              f"U {r['psnr'][1]:8.4f} dB  V {r['psnr'][2]:8.4f} dB]")
+    summary = enc.sequence_summary() if hasattr(enc, "sequence_summary") else {}
+    for st, s in summary.items():
+        print(f"{st} Slices: {s['pics']} pics, {s['bits']} bits, avg PSNR "
+              f"Y {s['psnr'][0]:.4f} U {s['psnr'][1]:.4f} V {s['psnr'][2]:.4f}")
     print(f"encoded {len(frames)} frames → {len(bits) * 8} bits in {dt:.1f} s "
           f"({len(frames) / dt:.3f} fps), last-frame Y-PSNR {py:.2f} dB")
     if recon:

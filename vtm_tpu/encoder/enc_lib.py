@@ -73,6 +73,8 @@ class EncoderConfig:
     mrl: bool = False  # multi-reference-line intra search
     cclm: bool = False  # cross-component linear model chroma search
     isp: bool = False  # intra sub-partition search
+    mmvd: bool = False  # merge with MVD search (SATD preselect + RD)
+    tmvp: bool = False  # temporal MVP (collocated motion from ref pictures)
 
 
 def _quantize_tu(coeffs, qp, bd, lam, dep):
@@ -209,7 +211,40 @@ class IntraEncoder:
         digest = pic_hash.pic_md5(planes, [cfg.bit_depth] * len(planes))
         sei = W.write_hash_sei(digest)
         self.last_recon = planes
+        self._log_picture(poc, "I", self.frame_qp, len(nal) * 8, planes)
         return self._alf_aps_nal + nal + sei
+
+    def _log_picture(self, poc, stype, qp, bits, planes):
+        """Per-picture log record (EncGOP xCalculateAddPSNR:3995 analogue)."""
+        maxv = (1 << self.cfg.bit_depth) - 1
+        ps = []
+        for c, p in enumerate(planes):
+            d = self.src[c].astype(np.float64) - p.astype(np.float64)
+            mse = float((d * d).mean())
+            ps.append(10 * np.log10(maxv * maxv / mse) if mse > 0 else 99.0)
+        rec = dict(poc=poc, type=stype, qp=qp, bits=bits, psnr=ps)
+        self.__dict__.setdefault("frame_log", []).append(rec)
+        if getattr(self.cfg, "verbose", False):
+            import sys
+
+            print(f"POC {poc:4d} ( {stype}-SLICE, QP {qp} ) {bits:10d} bits "
+                  f"[Y {ps[0]:.4f} dB  U {ps[1]:.4f} dB  V {ps[2]:.4f} dB]",
+                  file=sys.stderr)
+
+    def sequence_summary(self):
+        """Analyze.h-style per-slice-type averages → dict."""
+        out = {}
+        for st in ("I", "P", "B"):
+            recs = [r for r in getattr(self, "frame_log", []) if r["type"] == st]
+            if not recs:
+                continue
+            out[st] = dict(
+                pics=len(recs),
+                bits=sum(r["bits"] for r in recs),
+                psnr=[float(np.mean([r["psnr"][c] for r in recs]))
+                      for c in range(3)],
+            )
+        return out
 
     def _sao_and_rewrite(self, shim, slice_type):
         """Filter-parameter search + final entropy pass (the reference's
@@ -1015,6 +1050,7 @@ class InterEncoder(IntraEncoder):
 
     def __init__(self, cfg: EncoderConfig):
         cfg.inter = True
+        cfg.tmvp = True  # collocated temporal MVP on by default
         super().__init__(cfg)
         self.prev_pic = None
         self.me_range = 48
@@ -1058,14 +1094,16 @@ class InterEncoder(IntraEncoder):
         ph.intra_slice_allowed = False
         # B pictures code both mvds (true bi ME); P leaves L1 unused
         ph.mvd_l1_zero = not is_b
-        ph.tmvp_enabled = False
+        ph.tmvp_enabled = bool(self.sps.temporal_mvp)
         ph.max_num_affine_merge_cand = 0
         ph.min_qt_size = list(sps.min_qt_size)
         ph.max_mtt_depth = list(sps.max_mtt_depth)
         ph.max_bt_size = list(sps.max_bt_size)
         ph.max_tt_size = list(sps.max_tt_size)
         self.frame_qp = qp
-        self.lam = 0.578 * 2.0 ** ((self.frame_qp - 12) / 3.0)
+        # EncSlice::initializeLambda with LambdaFromQPEnable (CTC): flat
+        # dQPFactor 0.57, lambda from the final per-picture QP
+        self.lam = 0.57 * 2.0 ** ((self.frame_qp - 12) / 3.0)
         sh = SliceHeader()
         sh.slice_type = slice_type
         sh.qp = self.frame_qp
@@ -1080,6 +1118,8 @@ class InterEncoder(IntraEncoder):
                            [False] * len(sh.ref_pics[1])]
         sh.check_ldc = all(p <= poc for p in sh.ref_pocs[0]) and all(
             p <= poc for p in sh.ref_pocs[1])
+        sh.col_from_l0 = True
+        sh.col_ref_idx = 0
         sh.bi_dir_pred = False
         sh.independent_slice_idx = 0
         sh.sao_enabled = [cfg.sao, cfg.sao and cfg.chroma_format_idc != 0]
@@ -1148,13 +1188,24 @@ class InterEncoder(IntraEncoder):
         sei = W.write_hash_sei(digest)
         self.last_recon = planes
         self._store_ref(poc)
+        self._log_picture(poc, "B" if is_b else "P", self.frame_qp,
+                          len(nal) * 8, planes)
         return nal + sei
 
     def _store_ref(self, poc: int):
         from types import SimpleNamespace
 
+        from vtm_tpu.decoder import motion as M
+
+        d = self.dcs
+        if not hasattr(d, "mf_inter"):
+            M.init_motion_field(d)  # I picture: all-intra motion field
+        motion = {
+            "inter": d.mf_inter, "ibc": d.mf_ibc, "interdir": d.mf_interdir,
+            "mv": d.mf_mv, "refidx": d.mf_refidx, "slice": d.mf_slice,
+        }
         self.prev_pic = SimpleNamespace(
-            poc=poc, planes=self.last_recon, slices=[self.dcs.sh]
+            poc=poc, planes=self.last_recon, slices=[d.sh], motion=motion
         )
         if not hasattr(self, "dpb"):
             self.dpb = {}
@@ -1204,6 +1255,12 @@ class InterEncoder(IntraEncoder):
         for idx in merge_list[:4]:
             consider(lambda e, idx=idx: self._try_merge(a, part, idx, True, e))
             consider(lambda e, idx=idx: self._try_merge(a, part, idx, False, e))
+        # MMVD: SATD preselection over base x step x direction, then full RD
+        # of the top candidates (EncCu xCheckRDCostMerge2Nx2N MMVD part)
+        if self.sps.mmvd and mrg.num_valid > 0:
+            for mi in self._preselect_mmvd(a, mrg):
+                consider(lambda e, mi=mi: self._try_mmvd(a, part, mrg, mi, True, e))
+                consider(lambda e, mi=mi: self._try_mmvd(a, part, mrg, mi, False, e))
         # AMVP with motion estimation (per list; bi for B slices)
         mv0, mvp_idx0 = self._motion_estimate(a, part, 0)
         consider(lambda e: self._try_amvp(a, part, 0, mv0, mvp_idx0, e))
@@ -1307,6 +1364,78 @@ class InterEncoder(IntraEncoder):
                 return None
             if not cu.tus[0].cbf[0] and not (cu.tus[0].cbf[1] or cu.tus[0].cbf[2]):
                 return None
+            if not cu.root_cbf:
+                return None
+            return dist
+        cu.root_cbf = False
+        return self._commit_inter(cu, a, part, est, skip=True)
+
+    def _preselect_mmvd(self, a: Rect, mrg) -> list[int]:
+        """Luma-SAD preselection of MMVD refine positions, computed through
+        one batched MC kernel call (all candidates at once)."""
+        from vtm_tpu.decoder import motion as M
+        from vtm_tpu.ops import mc as MCops
+        from vtm_tpu.ops.mc_kernel import McBatch
+
+        dcs = self.dcs
+        n_base = 2 if mrg.num_valid >= 2 else 1
+        cand = [b * 32 + s * 4 + d
+                for b in range(n_base) for s in range(6) for d in range(4)]
+        batch = McBatch(self.cfg.bit_depth)
+        plans = []
+        for mi in cand:
+            probe = self._make_inter_cu(a, None)
+            probe.idx = len(dcs.cus)
+            probe.merge_flag = True
+            probe.mmvd_flag = True
+            probe.mmvd_idx = mi
+            M.set_mmvd_merge_info(dcs, probe, mrg, mi)
+            handles = []
+            for lst in range(2):
+                if not (probe.interdir & (1 << lst)):
+                    continue
+                mv = M.clip_mv_in_pic(probe.mv[lst], a.x, a.y, dcs)
+                fx, fy = mv[0] & 15, mv[1] & 15
+                ref = dcs.sh.ref_pics[lst][probe.ref_idx[lst]].planes[0]
+                cfh = MCops.luma_coeffs(fx, a.w, a.h if fy == 0 else a.h + 7,
+                                        False, True)
+                cfv = MCops.luma_coeffs(fy, a.w, a.h, False, False)
+                handles.append(batch.add_block(
+                    ref, a.x + (mv[0] >> 4), a.y + (mv[1] >> 4), a.w, a.h,
+                    cfh, cfv, fy != 0, probe.interdir != 3, True))
+            plans.append((mi, probe.interdir, handles))
+        batch.execute()
+        src_y = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
+        lam_me = np.sqrt(self.lam)
+        scored = []
+        for mi, idir, hs in plans:
+            if idir == 3:
+                pred = MCops.bi_average(batch.block_result(hs[0]),
+                                        batch.block_result(hs[1]),
+                                        self.cfg.bit_depth)
+            else:
+                pred = batch.block_result(hs[0])
+            bits = (1 if n_base > 1 else 0) + 1 + ((mi % 32) // 4) + 2
+            sad = float(np.abs(src_y - pred).sum())
+            scored.append((sad + lam_me * bits, mi))
+        scored.sort()
+        return [mi for _, mi in scored[:2]]
+
+    def _try_mmvd(self, a, part, mrg, mmvd_idx, skip, est):
+        from vtm_tpu.decoder import motion as M
+
+        dcs = self.dcs
+        cu = self._make_inter_cu(a, part)
+        cu.idx = len(dcs.cus)
+        cu.merge_flag = True
+        cu.skip = skip
+        cu.regular_merge_flag = True
+        cu.mmvd_flag = True
+        cu.mmvd_skip = skip
+        cu.mmvd_idx = mmvd_idx
+        M.set_mmvd_merge_info(dcs, cu, mrg, mmvd_idx)
+        if not skip:
+            dist = self._commit_inter(cu, a, part, est, skip=False)
             if not cu.root_cbf:
                 return None
             return dist
@@ -1489,26 +1618,48 @@ class RandomAccessEncoder(InterEncoder):
     RPL-based reference marking (Slice.cpp applyReferencePictureListBased-
     Marking) keeps the pyramid alive; active count stays 1 per list."""
 
+    # GOPEntry-style hierarchy table: per temporal layer (QPOffset,
+    # QPOffsetModelOffset, QPOffsetModelScale), the X0038 / JCTVC-X0038
+    # model of cfg/encoder_randomaccess_vtm.cfg:19-40
+    _LAYER_QP_MODEL = [
+        (1, 0.0, 0.0),
+        (1, -4.8848, 0.2061),
+        (4, -5.7476, 0.2286),
+        (5, -5.90, 0.2333),
+        (6, -7.1444, 0.3),
+    ]
+    INTRA_QP_OFFSET = -3  # IntraQPOffset (CTC RA)
+
     def __init__(self, cfg, gop_size: int = 8):
+        cfg.mmvd = True  # MMVD merge search on by default for RA
         super().__init__(cfg)
         self.gop_size = gop_size
 
+    def _qp_for_layer(self, tid: int) -> int:
+        """EncCfg::getQPForPicture (EncLib.cpp:2195): per-GOP-entry QP
+        offset plus the QP-dependent offset model."""
+        off, m_off, m_scale = self._LAYER_QP_MODEL[min(tid, 4)]
+        qp = self.cfg.qp + off
+        dqp = qp * m_scale + m_off + 0.5
+        qp += int(np.floor(min(3.0, max(0.0, dqp))))
+        return qp
+
     def _plan(self, n: int):
-        """Decode-order plan: (poc, past_ref, future_ref|None, qp_off)."""
+        """Decode-order plan: (poc, past_ref, future_ref|None, temporal_id)."""
         plan = []
 
         def bisect(lo, hi, level):
             if hi - lo < 2:
                 return
             mid = (lo + hi + 1) // 2
-            plan.append((mid, lo, hi, min(2 + level, 6)))
+            plan.append((mid, lo, hi, 1 + level))
             bisect(lo, mid, level + 1)
             bisect(mid, hi, level + 1)
 
         lo = 0
         while lo < n - 1:
             hi = min(lo + self.gop_size, n - 1)
-            plan.append((hi, lo, None, 1))
+            plan.append((hi, lo, None, 0))
             bisect(lo, hi, 0)
             lo = hi
         return plan
@@ -1518,10 +1669,14 @@ class RandomAccessEncoder(InterEncoder):
         out += self.sps_nal
         out += self.pps_nal
         n = len(frames)
+        # I picture: IntraQPOffset (EncCfg getIntraQPOffset, CTC -3)
+        saved_qp = self.cfg.qp
+        self.cfg.qp = saved_qp + self.INTRA_QP_OFFSET
         out += self.encode_frame(frames[0], 0, is_p=False)
+        self.cfg.qp = saved_qp
         plan = self._plan(n)
         decoded = {0}
-        for i, (poc, past, fut, qp_off) in enumerate(plan):
+        for i, (poc, past, fut, tid) in enumerate(plan):
             # keep-alive set: refs needed by this and all later pictures
             keep = set()
             for poc2, p2, f2, _ in plan[i + 1:]:
@@ -1537,6 +1692,6 @@ class RandomAccessEncoder(InterEncoder):
             # dedup: rpl1 tail may repeat rpl0's entries — fine (separate lists)
             out += self.encode_inter_frame(
                 frames[poc], poc, SliceType.B, rpl0, rpl1,
-                self.cfg.qp + qp_off)
+                self._qp_for_layer(tid))
             decoded.add(poc)
         return bytes(out)

@@ -101,7 +101,11 @@ def write_sps(cfg) -> bytes:
     w.flag(1)  # rpl1_copy_from_rpl0
     w.ue(0)  # num_ref_pic_lists_in_sps[0]
     w.flag(0)  # ref_wraparound
-    w.flag(0)  # temporal_mvp
+    if getattr(cfg, "tmvp", False):
+        w.flag(1)  # temporal_mvp
+        w.flag(0)  # sbtmvp
+    else:
+        w.flag(0)  # temporal_mvp
     w.flag(0)  # amvr
     w.flag(0)  # bdof
     w.flag(0)  # smvd
@@ -247,7 +251,9 @@ def write_picture_header(w: BitWriter, cfg, poc: int, is_irap: bool = True,
     if is_irap:
         w.flag(0)  # no_output_of_prior_pics
     if not is_irap:
-        # inter-slice PH fields for our SPS (no tmvp/affine/mmvd/bdof/dmvr)
+        # inter-slice PH fields (affine/bdof/dmvr still off in our SPS)
+        if getattr(cfg, "tmvp", False):
+            w.flag(1)  # ph_temporal_mvp_enabled
         w.flag(1 if mvd_l1_zero else 0)  # mvd_l1_zero
     # nothing else for our SPS/PPS feature set
 
@@ -313,6 +319,8 @@ def write_slice_header_head(cfg, poc: int, qp: int, slice_type=None,
         # num_ref_idx_active_override (SH parse: present when rpl0>1 or B&rpl1>1)
         if len(rpl0) > 1 or (slice_type == SliceType.B and len(rpl1) > 1):
             w.flag(0)  # use defaults (PPS num_ref_idx_default_active = 1)
+        if getattr(cfg, "tmvp", False) and slice_type == SliceType.B:
+            w.flag(1)  # sh_collocated_from_l0 (1 active ref -> no col_ref_idx)
     w.se(qp - cfg.init_qp)  # slice_qp_delta
     if getattr(cfg, "sao", False):
         w.flag(1 if sao[0] else 0)  # sh_sao_used_flag (luma)

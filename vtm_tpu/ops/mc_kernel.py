@@ -158,11 +158,23 @@ class McBatch:
             cfv = np.stack([c[1] for c in self.cfs[lum]]).astype(np.int32)
             nb = _bucket(n)
             first = self.planes[lum][0]
+            # pad the plane-stack count to a small bucket set so mc_tiles
+            # compiles once per (bucket, plane-shape), not per ref count
+            nr = len(self.planes[lum])
+            rpad = 1
+            while rpad < nr:
+                rpad <<= 1
             if isinstance(first, np.ndarray):
-                refs = jnp.asarray(np.stack(self.planes[lum]).astype(np.int32))
+                refs = np.zeros((rpad,) + first.shape, dtype=np.int32)
+                refs[:nr] = np.stack(self.planes[lum])
+                refs = jnp.asarray(refs)
             else:
                 # device-resident reference planes (Picture.device_planes)
                 refs = jnp.stack(self.planes[lum])
+                if rpad > nr:
+                    refs = jnp.concatenate(
+                        [refs, jnp.zeros((rpad - nr,) + first.shape,
+                                         dtype=refs.dtype)])
 
             def padded(a, dt):
                 out = np.zeros((nb,) + a.shape[1:], dtype=dt)
