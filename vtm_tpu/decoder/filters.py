@@ -20,18 +20,36 @@ def apply_loop_filters(dec, pic) -> None:
     if CAPTURE_FILTERS and not hasattr(pic, "filter_capture"):
         pic.filter_capture = {}
     dcs = pic.dcs
-    # 1. LMCS inverse mapping on luma
+    # all filter parameters are sample-independent: build every stage's
+    # maps first, then run LMCS→deblock→SAO→ALF as ONE device dispatch
+    # (ops/filter_chain.py) so the planes cross host↔device once
     lmcs = getattr(pic, "lmcs_model", None)
+    lmcs_lut = None
     if lmcs is not None and any(sl.lmcs_enabled for sl in pic.slices):
-        pic.planes[0] = lmcs.inv_lut[pic.planes[0]]
-        dcs.planes = pic.planes
-        pic.recon.planes = pic.planes
-    # 2. deblocking
+        lmcs_lut = lmcs.inv_lut
     from vtm_tpu.ops import deblock as DB
 
+    dmaps = None
     if any(not sl.deblocking_disable for sl in pic.slices):
-        DB.deblock_picture(dcs, pic)
-    # 2b. DMVR-refined MVs into the motion field for TMVP
+        dmaps = DB.build_pic_maps(dcs, pic)
+    sao_maps = None
+    if dcs.sps.sao and any(sl.sao_enabled[0] or sl.sao_enabled[1] for sl in pic.slices):
+        from vtm_tpu.ops import sao as SAO
+
+        sao_maps = SAO.build_sao_maps(dcs, pic)
+    alf_tables = None
+    if dcs.sps.alf and any(sl.alf_enabled[0] or sl.alf_enabled[1] or sl.alf_enabled[2]
+                           or sl.ccalf_cb_enabled or sl.ccalf_cr_enabled
+                           for sl in pic.slices):
+        from vtm_tpu.ops import alf as ALF
+
+        alf_tables = ALF.build_alf_tables(dcs, pic)
+    from vtm_tpu.ops.filter_chain import run_filter_chain
+
+    fmt = dcs.chroma_format
+    run_filter_chain(pic, pic.planes, lmcs_lut, dmaps, sao_maps, alf_tables,
+                     dcs.sps.bit_depth, fmt.scale_x, fmt.scale_y)
+    # DMVR-refined MVs into the motion field for TMVP
     # (DecLib::executeLoopFilters → setRefinedMotionField, DecLib.cpp:629)
     if hasattr(dcs, "mf_mv"):
         for cu in dcs.cus:
@@ -53,17 +71,6 @@ def apply_loop_filters(dec, pic) -> None:
                 dcs.mf_mv[ys, xs, 0, 1] = mv0[1]
                 dcs.mf_mv[ys, xs, 1, 0] = mv1[0]
                 dcs.mf_mv[ys, xs, 1, 1] = mv1[1]
-    # 3. SAO
-    if dcs.sps.sao and any(sl.sao_enabled[0] or sl.sao_enabled[1] for sl in pic.slices):
-        from vtm_tpu.ops import sao as SAO
-
-        SAO.sao_picture(dcs, pic)
-    # 4. ALF / CC-ALF
-    if dcs.sps.alf and any(sl.alf_enabled[0] or sl.alf_enabled[1] or sl.alf_enabled[2]
-                           for sl in pic.slices):
-        from vtm_tpu.ops import alf as ALF
-
-        ALF.alf_picture(dcs, pic)
     cap = getattr(pic, "filter_capture", None)
     if cap is not None:
         cap["luma_out"] = pic.planes[0].copy()

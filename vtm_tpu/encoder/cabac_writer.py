@@ -240,6 +240,7 @@ class SyntaxWriter:
             self.e.encode_bin(int(cu.pred_mode == MODE_INTRA), ctx("PredMode", c))
         if cu.pred_mode != MODE_INTRA:
             self.prediction_unit(cu)
+            self.imv_mode(cu)
             if not cu.merge_flag:
                 self.e.encode_bin(int(cu.root_cbf), ctx("QtRootCbf"))
             if cu.root_cbf:
@@ -450,6 +451,37 @@ class SyntaxWriter:
             if cu.interdir == 3:
                 return
         self.e.encode_bin(int(cu.interdir == 2), ctx("InterDir", 5))
+
+    def imv_mode(self, cu: CU):
+        """Mirror of SyntaxReader.imv_mode (CABACReader imv_mode:962)."""
+        from vtm_tpu.decoder import motion as M
+
+        sps = self.sps
+        if not sps.amvr:
+            return
+        if not self._w_has_nonzero_mvd(cu):
+            return
+        if getattr(cu, "affine", False):
+            return
+        imv = getattr(cu, "imv", 0)
+        self.e.encode_bin(int(imv > 0), ctx("ImvFlag", 0))
+        if imv:
+            v = int(imv != M.IMV_HPEL)
+            self.e.encode_bin(v, ctx("ImvFlag", 4))
+            if v:
+                self.e.encode_bin(int(imv == 2), ctx("ImvFlag", 1))
+
+    def _w_has_nonzero_mvd(self, cu: CU) -> bool:
+        """CU::hasSubCUNonZeroMVd mirror."""
+        if cu.merge_flag or cu.pred_mode == MODE_INTRA:
+            return False
+        nz = False
+        if cu.interdir != 2:
+            nz |= cu.mvd[0] != (0, 0)
+        if cu.interdir != 1:
+            if not (self.cs.ph.mvd_l1_zero and cu.interdir == 3):
+                nz |= cu.mvd[1] != (0, 0)
+        return nz
 
     def mmvd_merge_idx(self, cu: CU):
         """Mirror of SyntaxReader.mmvd_merge_idx (base, step, direction)."""

@@ -75,6 +75,7 @@ class EncoderConfig:
     isp: bool = False  # intra sub-partition search
     mmvd: bool = False  # merge with MVD search (SATD preselect + RD)
     tmvp: bool = False  # temporal MVP (collocated motion from ref pictures)
+    amvr: bool = False  # adaptive MV resolution (IMV full-pel / 4-pel trials)
 
 
 def _quantize_tu(coeffs, qp, bd, lam, dep):
@@ -1264,6 +1265,12 @@ class InterEncoder(IntraEncoder):
         # AMVP with motion estimation (per list; bi for B slices)
         mv0, mvp_idx0 = self._motion_estimate(a, part, 0)
         consider(lambda e: self._try_amvp(a, part, 0, mv0, mvp_idx0, e))
+        # AMVR (IMV) trials: full-pel / 4-pel signalling of the same ME
+        # result (EncCu::xCheckRDCostInterIMV analogue)
+        if self.sps.amvr:
+            for imv in (1, 2):
+                consider(lambda e, imv=imv: self._try_amvp_imv(
+                    a, part, 0, mv0, mvp_idx0, imv, e))
         if dcs.sh.is_b:
             mv1, mvp_idx1 = self._motion_estimate(a, part, 1)
             if dcs.sh.ref_pocs[1][0] != dcs.sh.ref_pocs[0][0]:
@@ -1465,6 +1472,37 @@ class InterEncoder(IntraEncoder):
             (mvp[0] + (mvd[0] << 2), mvp[1] + (mvd[1] << 2)))
         return self._commit_inter(cu, a, part, est, skip=False)
 
+    def _try_amvp_imv(self, a, part, lst, mv, mvp_idx, imv, est):
+        """AMVP with reduced MV resolution (imv 1 = full-pel, 2 = 4-pel):
+        AMVP candidates and the coded mvd live at the reduced precision,
+        reconstruction mirrors the decoder's imv scaling."""
+        from vtm_tpu.decoder import motion as M
+
+        dcs = self.dcs
+        cu = self._make_inter_cu(a, part)
+        cu.idx = len(dcs.cus)
+        cu.merge_flag = False
+        cu.skip = False
+        cu.interdir = 1 << lst
+        cu.ref_idx = [0 if lst == 0 else -1, 0 if lst == 1 else -1]
+        cu.imv = imv
+        cands = M.fill_mvp_cand(dcs, cu, lst, 0)  # rounded per cu.imv
+        mvp = cands[mvp_idx]
+        mv_r = M.round_trans_prec_internal_2_amvr(mv, imv)
+        shift = M._PREC_INTERNAL - M._AMVR_PREC[imv]
+        mvd = ((mv_r[0] - mvp[0]) >> shift, (mv_r[1] - mvp[1]) >> shift)
+        if mvd == (0, 0):
+            return None  # zero mvd → imv not signalled (inferred 0)
+        cu.mvp_idx = [0, 0]
+        cu.mvp_idx[lst] = mvp_idx
+        cu.mvd = [(0, 0), (0, 0)]
+        cu.mvd[lst] = mvd
+        mvd_int = M.change_trans_prec_amvr_2_internal(mvd, imv)
+        cu.mv = [(0, 0), (0, 0)]
+        cu.mv[lst] = M.mv_clip_periodic((mvp[0] + mvd_int[0],
+                                         mvp[1] + mvd_int[1]))
+        return self._commit_inter(cu, a, part, est, skip=False)
+
     def _try_bi(self, a, part, mv0, mvp_idx0, mv1, mvp_idx1, est):
         from vtm_tpu.decoder import motion as M
 
@@ -1632,6 +1670,7 @@ class RandomAccessEncoder(InterEncoder):
 
     def __init__(self, cfg, gop_size: int = 8):
         cfg.mmvd = True  # MMVD merge search on by default for RA
+        cfg.amvr = True  # IMV (full-pel / 4-pel) trials on by default for RA
         super().__init__(cfg)
         self.gop_size = gop_size
 

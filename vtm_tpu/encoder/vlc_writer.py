@@ -106,7 +106,7 @@ def write_sps(cfg) -> bytes:
         w.flag(0)  # sbtmvp
     else:
         w.flag(0)  # temporal_mvp
-    w.flag(0)  # amvr
+    w.flag(1 if getattr(cfg, "amvr", False) else 0)  # amvr
     w.flag(0)  # bdof
     w.flag(0)  # smvd
     w.flag(0)  # dmvr

@@ -311,6 +311,32 @@ def alf_picture(dcs, pic) -> None:
 
     from vtm_tpu.ops import alf_kernel as K
 
+    t = build_alf_tables(dcs, pic)
+    if t is None:
+        return
+    n_comp = t["n_comp"]
+    j = jnp.asarray
+    src_pad0 = np.pad(pic.planes[0], K.PAD, mode="edge").astype(np.int32)
+    pcb = pic.planes[1].astype(np.int32) if n_comp > 1 else src_pad0
+    pcr = pic.planes[2].astype(np.int32) if n_comp > 2 else src_pad0
+    oy, ocb, ocr = K.alf_all(
+        j(src_pad0), j(pcb), j(pcr), *[j(a) for a in t["args"]],
+        bit_depth=t["bit_depth"], sx=t["sx"], sy=t["sy"],
+        has_l=t["has_l"], has_cb=t["has_cb"], has_cr=t["has_cr"],
+        has_cc1=t["has_cc1"], has_cc2=t["has_cc2"])
+    if t["has_l"]:
+        pic.planes[0][:] = np.asarray(oy).astype(pic.planes[0].dtype)
+    if t["has_cb"] or t["has_cc1"]:
+        pic.planes[1][:] = np.asarray(ocb).astype(pic.planes[1].dtype)
+    if t["has_cr"] or t["has_cc2"]:
+        pic.planes[2][:] = np.asarray(ocr).astype(pic.planes[2].dtype)
+
+
+def build_alf_tables(dcs, pic):
+    """Host-side ALF table assembly (sample-independent): returns the
+    alf_all kernel argument tuple + flags, or None if ALF is fully off."""
+    from vtm_tpu.ops import alf_kernel as K
+
     sps = dcs.sps
     bit_depth = sps.bit_depth
     fmt = dcs.chroma_format
@@ -319,7 +345,6 @@ def alf_picture(dcs, pic) -> None:
     vb_chroma_ctu = ctu >> (1 if fmt.value == 1 else 0)
     vb_chroma_pos = vb_chroma_ctu - 2
     # pre-ALF padded source planes
-    src_pads = [np.pad(p, PAD, mode="edge").astype(np.int32) for p in pic.planes]
     fixed_sets, clip_default = fixed_filter_sets(bit_depth)
     aps_luma_cache = {}
     chroma_cache = {}
@@ -378,64 +403,58 @@ def alf_picture(dcs, pic) -> None:
                     cc_coeff[comp][addr] = aps.alf.ccalf_coeff[comp - 1][idc - 1]
                     any_cc[comp] = True
 
-    # ---- luma: classify + filter ----
-    if any_luma:
-        y_i, yd_i, yu_i, yu2_i = K.classify_row_indices(h, ctu, vb_luma_pos)
-        drop_f, drop_l, mult = K.classify_block_rows(h, ctu, vb_luma_pos)
-        classes, transposes = K.classify_picture(
-            jnp.asarray(src_pads[0]), jnp.asarray(y_i), jnp.asarray(yd_i),
-            jnp.asarray(yu_i), jnp.asarray(yu2_i), jnp.asarray(drop_f),
-            jnp.asarray(drop_l), jnp.asarray(mult), bit_depth=bit_depth)
-        classes = np.asarray(classes)
-        transposes = np.asarray(transposes)
-        # pre-permuted per-CTU tables → per-4x4 coeff/clip maps
-        perm = np.array([_TR7[t][:12] for t in range(4)], dtype=np.int32)
-        cperm = ctb_coeff[:, :, perm]   # [nctu, 25, 4, 12]
-        lperm = ctb_clip[:, :, perm]
-        h4, w4 = h // 4, w // 4
-        by, bx = np.mgrid[0:h4, 0:w4]
-        ctu_of = (by * 4 // ctu) * w_ctu + (bx * 4 // ctu)
-        coefmap = cperm[ctu_of, classes, transposes]
-        clipmap = lperm[ctu_of, classes, transposes]
-        o_rows, near = K.vb_row_offsets(h, ctu, vb_luma_pos, True)
-        cap = getattr(pic, "filter_capture", None)
-        if cap is not None:
-            cap["alf"] = dict(
-                cperm=cperm.astype(np.int32), lperm=lperm.astype(np.int32),
-                ctu_of=ctu_of.astype(np.int32), o_rows=o_rows, near=near,
-                cls_rows=K.classify_row_indices(h, ctu, vb_luma_pos),
-                cls_blocks=K.classify_block_rows(h, ctu, vb_luma_pos))
-        out = K.alf_filter(
-            jnp.asarray(src_pads[0]), jnp.asarray(coefmap), jnp.asarray(clipmap),
-            jnp.asarray(o_rows), jnp.asarray(near),
-            taps=K.LUMA_TAPS, bit_depth=bit_depth)
-        pic.planes[0][:] = np.asarray(out).astype(pic.planes[0].dtype)
+    # ---- host-side tables for the fused dispatch ----
+    perm = np.array([_TR7[t][:12] for t in range(4)], dtype=np.int32)
+    cperm = (ctb_coeff[:, :, perm] if any_luma
+             else np.zeros((1, 1, 4, 12), dtype=np.int32))
+    lperm = (ctb_clip[:, :, perm] if any_luma
+             else np.zeros((1, 1, 4, 12), dtype=np.int32))
+    h4, w4 = h // 4, w // 4
+    by, bx = np.mgrid[0:h4, 0:w4]
+    ctu_of = ((by * 4 // ctu) * w_ctu + (bx * 4 // ctu)).astype(np.int32)
+    l_orows, l_near = K.vb_row_offsets(h, ctu, vb_luma_pos, True)
+    y_i, yd_i, yu_i, yu2_i = K.classify_row_indices(h, ctu, vb_luma_pos)
+    drop_f, drop_l, mult = K.classify_block_rows(h, ctu, vb_luma_pos)
+    cap = getattr(pic, "filter_capture", None)
+    if cap is not None and any_luma:
+        cap["alf"] = dict(
+            cperm=cperm.astype(np.int32), lperm=lperm.astype(np.int32),
+            ctu_of=ctu_of, o_rows=l_orows, near=l_near,
+            cls_rows=(y_i, yd_i, yu_i, yu2_i),
+            cls_blocks=(drop_f, drop_l, mult))
 
-    # ---- chroma ALF + CC-ALF ----
     perm5 = np.array(_TR5[0][:6], dtype=np.int32)
-    hc4, wc4 = hc // 4, wc // 4
+    hc4, wc4 = max(hc // 4, 1), max(wc // 4, 1)
     cby, cbx = np.mgrid[0:hc4, 0:wc4]
     ctu_of_c = ((cby * 4) << syc) // ctu * w_ctu + ((cbx * 4) << sxc) // ctu
-    for comp in (1, 2):
-        if comp >= n_comp:
-            continue
-        if any_chroma[comp]:
-            ccoefs = chroma_coeff[comp][:, perm5]   # [nctu, 6]
-            cclips = chroma_clip[comp][:, perm5]
-            coefmap = ccoefs[ctu_of_c]              # [hc4, wc4, 6]
-            clipmap = cclips[ctu_of_c]
-            o_rows, near = K.vb_row_offsets(hc, vb_chroma_ctu, vb_chroma_pos, False)
-            out = K.alf_filter(
-                jnp.asarray(src_pads[comp]), jnp.asarray(coefmap),
-                jnp.asarray(clipmap), jnp.asarray(o_rows), jnp.asarray(near),
-                taps=K.CHROMA_TAPS, bit_depth=bit_depth)
-            pic.planes[comp][:] = np.asarray(out).astype(pic.planes[comp].dtype)
-        if any_cc[comp]:
-            coefmap = cc_coeff[comp][ctu_of_c]      # [hc4, wc4, 7]
-            o_rows, skip = K.ccalf_row_offsets(hc, syc, ctu, vb_luma_pos)
-            out = K.ccalf_filter(
-                jnp.asarray(src_pads[0]),
-                jnp.asarray(pic.planes[comp].astype(np.int32)),
-                jnp.asarray(coefmap), jnp.asarray(o_rows), jnp.asarray(skip),
-                scale_x=sxc, scale_y=syc, bit_depth=bit_depth)
-            pic.planes[comp][:] = np.asarray(out).astype(pic.planes[comp].dtype)
+    c_orows, c_near = K.vb_row_offsets(max(hc, 1), vb_chroma_ctu,
+                                       vb_chroma_pos, False)
+    cc_orows, cc_skip = K.ccalf_row_offsets(max(hc, 1), syc, ctu, vb_luma_pos)
+    zero6 = np.zeros((hc4, wc4, 6), dtype=np.int32)
+    zero7 = np.zeros((hc4, wc4, 7), dtype=np.int32)
+
+    def cmaps(comp):
+        if comp >= n_comp or not any_chroma[comp]:
+            return zero6, zero6
+        return (chroma_coeff[comp][:, perm5][ctu_of_c],
+                chroma_clip[comp][:, perm5][ctu_of_c])
+
+    cb_coef, cb_clip = cmaps(1)
+    cr_coef, cr_clip = cmaps(2)
+    cc1 = cc_coeff[1][ctu_of_c] if n_comp > 1 and any_cc[1] else zero7
+    cc2 = cc_coeff[2][ctu_of_c] if n_comp > 2 and any_cc[2] else zero7
+
+    has_cb = n_comp > 1 and any_chroma[1]
+    has_cr = n_comp > 2 and any_chroma[2]
+    has_cc1 = n_comp > 1 and any_cc[1]
+    has_cc2 = n_comp > 2 and any_cc[2]
+    if not (any_luma or has_cb or has_cr or has_cc1 or has_cc2):
+        return None
+    return dict(
+        args=(cperm.astype(np.int32), lperm.astype(np.int32), ctu_of,
+              l_orows, l_near, y_i, yd_i, yu_i, yu2_i, drop_f, drop_l, mult,
+              cb_coef, cb_clip, cr_coef, cr_clip, c_orows, c_near,
+              cc1, cc2, cc_orows, cc_skip),
+        bit_depth=bit_depth, sx=sxc, sy=syc, n_comp=n_comp,
+        has_l=any_luma, has_cb=has_cb, has_cr=has_cr,
+        has_cc1=has_cc1, has_cc2=has_cc2)

@@ -233,6 +233,42 @@ def alf_filter(src_pad, coefmap, clipmap, o_rows, near_vb,
     return jnp.clip(curr + acc, 0, maxv)
 
 
+@partial(jax.jit, static_argnames=("bit_depth", "sx", "sy", "has_l",
+                                   "has_cb", "has_cr", "has_cc1", "has_cc2"))
+def alf_all(y_pad, cb, cr,
+            cperm, lperm, ctu_of, l_orows, l_near,
+            y_i, yd_i, yu_i, yu2_i, df, dl, mult,
+            cb_coef, cb_clip, cr_coef, cr_clip, c_orows, c_near,
+            cc1_coef, cc2_coef, cc_orows, cc_skip,
+            bit_depth: int, sx: int, sy: int, has_l: bool, has_cb: bool,
+            has_cr: bool, has_cc1: bool, has_cc2: bool):
+    """Whole-picture ALF in ONE device dispatch: luma classification +
+    clipped diamond filtering with the per-CTU coefficient gather done
+    in-kernel, chroma ALF, and CC-ALF (which reads the pre-ALF luma)."""
+    if has_l:
+        cls, tr = classify_picture(y_pad, y_i, yd_i, yu_i, yu2_i, df, dl,
+                                   mult, bit_depth=bit_depth)
+        coef = cperm[ctu_of, cls, tr]
+        clip = lperm[ctu_of, cls, tr]
+        y = alf_filter(y_pad, coef, clip, l_orows, l_near,
+                       taps=LUMA_TAPS, bit_depth=bit_depth)
+    else:
+        y = y_pad[PAD:-PAD, PAD:-PAD]
+    if has_cb:
+        cb = alf_filter(jnp.pad(cb, PAD, mode="edge"), cb_coef, cb_clip,
+                        c_orows, c_near, taps=CHROMA_TAPS, bit_depth=bit_depth)
+    if has_cr:
+        cr = alf_filter(jnp.pad(cr, PAD, mode="edge"), cr_coef, cr_clip,
+                        c_orows, c_near, taps=CHROMA_TAPS, bit_depth=bit_depth)
+    if has_cc1:
+        cb = ccalf_filter(y_pad, cb, cc1_coef, cc_orows, cc_skip,
+                          scale_x=sx, scale_y=sy, bit_depth=bit_depth)
+    if has_cc2:
+        cr = ccalf_filter(y_pad, cr, cc2_coef, cc_orows, cc_skip,
+                          scale_x=sx, scale_y=sy, bit_depth=bit_depth)
+    return y, cb, cr
+
+
 def ccalf_row_offsets(hc: int, scale_y: int, vb_ctu_height: int, vb_pos: int):
     """Per chroma row: (o1, o2, o3) luma tap offsets + skip flag."""
     o = np.zeros((hc, 3), dtype=np.int32)

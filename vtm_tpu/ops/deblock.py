@@ -303,6 +303,13 @@ class PicDeblockMaps:
 
 def deblock_picture(dcs, pic) -> None:
     """loopFilterPic equivalent over the decode coding structure."""
+    for edge_dir, maps in zip((EDGE_VER, EDGE_HOR), build_pic_maps(dcs, pic)):
+        _apply_maps(dcs, pic, maps, edge_dir)
+
+
+def build_pic_maps(dcs, pic) -> list:
+    """Marking pass for BOTH directions (sample-independent): returns
+    [maps_ver, maps_hor] for the fused filter chain."""
     ctu = dcs.sps.ctu_size
     state = DeblockState(ctu)
     is_dual = dcs.cus and any(c.blocks[0] is None for c in dcs.cus)
@@ -312,6 +319,7 @@ def deblock_picture(dcs, pic) -> None:
         cap["luma_in"] = pic.planes[0].copy()
         cap["dmaps"] = {}
         cap["bit_depth"] = dcs.sps.bit_depth
+    out = []
     for edge_dir in (EDGE_VER, EDGE_HOR):
         maps = PicDeblockMaps(h, w)
         for cy in range(dcs.pic_h_ctu):
@@ -340,11 +348,13 @@ def deblock_picture(dcs, pic) -> None:
                 maps.l_active.copy(), maps.l_tc.copy(), maps.l_beta.copy(),
                 maps.l_maxp.copy(), maps.l_maxq.copy(), maps.l_nop.copy(),
                 maps.l_noq.copy())
-        _apply_maps(dcs, pic, maps, edge_dir)
+        out.append(maps)
+    return out
 
 
 def _apply_maps(dcs, pic, maps: PicDeblockMaps, edge_dir) -> None:
-    """Run the dense vectorized edge filters for one direction."""
+    """Run the dense vectorized edge filters for one direction — one fused
+    device dispatch covering luma + both chroma components."""
     import jax.numpy as jnp
 
     from vtm_tpu.ops import deblock_kernel as K
@@ -352,50 +362,31 @@ def _apply_maps(dcs, pic, maps: PicDeblockMaps, edge_dir) -> None:
     bd = dcs.sps.bit_depth
     fmt = dcs.chroma_format
     sx, sy = fmt.scale_x, fmt.scale_y
-
-    if maps.l_active.any():
-        pl = pic.planes[0]
-        j = lambda a: jnp.asarray(a)
-        if edge_dir == EDGE_VER:
-            out = K.deblock_luma_ver(
-                j(pl.astype(np.int32)), j(maps.l_active), j(maps.l_tc),
-                j(maps.l_beta), j(maps.l_maxp), j(maps.l_maxq),
-                j(maps.l_nop), j(maps.l_noq), bit_depth=bd)
-            pl[:] = np.asarray(out).astype(pl.dtype)
-        else:
-            out = K.deblock_luma_ver(
-                j(pl.T.astype(np.int32)), j(maps.l_active.T), j(maps.l_tc.T),
-                j(maps.l_beta.T), j(maps.l_maxp.T), j(maps.l_maxq.T),
-                j(maps.l_nop.T), j(maps.l_noq.T), bit_depth=bd)
-            pl[:] = np.asarray(out).T.astype(pl.dtype)
-
-    if fmt.num_components > 1 and (maps.cb_active.any() or maps.cr_active.any()):
-        import jax.numpy as jnp
-        j = lambda a: jnp.asarray(a)
-        for comp, pre in ((1, "cb"), (2, "cr")):
-            act = getattr(maps, f"{pre}_active")
-            if not act.any():
-                continue
-            plc = pic.planes[comp]
-            tcm = getattr(maps, f"{pre}_tc")
-            btm = getattr(maps, f"{pre}_beta")
-            if edge_dir == EDGE_VER:
-                # kernel grid rows = lpy//4, cols = gx >> sx
-                sl = (slice(None), slice(None, None, 1 << sx))
-                out = K.deblock_chroma_ver(
-                    j(plc.astype(np.int32)), j(act[sl]), j(tcm[sl]), j(btm[sl]),
-                    j(maps.c_large[sl]), j(maps.c_nop[sl]), j(maps.c_noq[sl]),
-                    j(maps.c_horctb[sl]), bit_depth=bd,
-                    loop_len=4 >> sy, dec_line=1 if sy else 3)
-                plc[:] = np.asarray(out).astype(plc.dtype)
-            else:
-                sl = (slice(None), slice(None, None, 1 << sy))
-                out = K.deblock_chroma_ver(
-                    j(plc.T.astype(np.int32)), j(act.T[sl]), j(tcm.T[sl]),
-                    j(btm.T[sl]), j(maps.c_large.T[sl]), j(maps.c_nop.T[sl]),
-                    j(maps.c_noq.T[sl]), j(maps.c_horctb.T[sl]), bit_depth=bd,
-                    loop_len=4 >> sx, dec_line=1 if sx else 3)
-                plc[:] = np.asarray(out).T.astype(plc.dtype)
+    has_l = bool(maps.l_active.any())
+    has_chroma = fmt.num_components > 1
+    has_cb = has_chroma and bool(maps.cb_active.any())
+    has_cr = has_chroma and bool(maps.cr_active.any())
+    if not (has_l or has_cb or has_cr):
+        return
+    j = lambda a: jnp.asarray(a)
+    pl = pic.planes[0]
+    pcb = pic.planes[1] if has_chroma else pl
+    pcr = pic.planes[2] if has_chroma else pl
+    oy, ocb, ocr = K.deblock_dir(
+        j(pl.astype(np.int32)), j(pcb.astype(np.int32)), j(pcr.astype(np.int32)),
+        j(maps.l_active), j(maps.l_tc), j(maps.l_beta), j(maps.l_maxp),
+        j(maps.l_maxq), j(maps.l_nop), j(maps.l_noq),
+        j(maps.cb_active), j(maps.cb_tc), j(maps.cb_beta),
+        j(maps.cr_active), j(maps.cr_tc), j(maps.cr_beta),
+        j(maps.c_large), j(maps.c_nop), j(maps.c_noq), j(maps.c_horctb),
+        bit_depth=bd, hor=edge_dir == EDGE_HOR,
+        has_l=has_l, has_cb=has_cb, has_cr=has_cr, sx=sx, sy=sy)
+    if has_l:
+        pl[:] = np.asarray(oy).astype(pl.dtype)
+    if has_cb:
+        pcb[:] = np.asarray(ocb).astype(pcb.dtype)
+    if has_cr:
+        pcr[:] = np.asarray(ocr).astype(pcr.dtype)
 
 
 def _lf_params(dcs, cu):

@@ -276,9 +276,55 @@ def luma_ver_delta(pad, active, tc, beta, max_p, max_q, no_p, no_q,
     out = out.at[:, :, :, 9].set(
         jnp.where(wk_m & qm & e(filter_q_s), wk_q1, out[:, :, :, 9]))
 
-    delta_w = out - Wn
-    zero = jnp.zeros_like(pad)
-    return zero.at[ys[:, None, :, None], xs[None, :, None, :]].add(delta_w)
+    # overlap-sum of the per-window deltas into the padded plane WITHOUT a
+    # scatter (slow on TPU): padded column c' = 4q'+r' receives window gx =
+    # q'-d at tap j = r'+4d for d in 0..3; windows never overlap in rows.
+    delta_w = out - Wn  # [H4, W4, 4lines, 16]
+    acc = jnp.zeros((H4, W4 + 4, 4, 4), dtype=delta_w.dtype)
+    for d in range(4):
+        sub = delta_w[:, :, :, 4 * d : 4 * d + 4]        # [H4, W4, 4, 4]
+        acc = acc.at[:, d : d + W4].add(sub)
+    return acc.transpose(0, 2, 1, 3).reshape(H, Wp)
+
+
+@partial(jax.jit, static_argnames=("bit_depth", "hor", "has_l", "has_cb",
+                                   "has_cr", "sx", "sy"))
+def deblock_dir(y, cb, cr,
+                l_act, l_tc, l_beta, l_mp, l_mq, l_nop, l_noq,
+                cb_act, cb_tc, cb_beta, cr_act, cr_tc, cr_beta,
+                c_large, c_nop, c_noq, c_hctb,
+                bit_depth: int, hor: bool, has_l: bool, has_cb: bool,
+                has_cr: bool, sx: int, sy: int):
+    """Fused one-direction deblock over all components (one device
+    dispatch per direction per picture).  Maps are on the 4x4 luma grid in
+    picture orientation; HOR transposes on device."""
+    if hor:
+        y = y.T
+        cb = cb.T
+        cr = cr.T
+        l_maps = (l_act.T, l_tc.T, l_beta.T, l_mp.T, l_mq.T, l_nop.T, l_noq.T)
+        csl = (slice(None), slice(None, None, 1 << sy))
+        c_cb = (cb_act.T[csl], cb_tc.T[csl], cb_beta.T[csl])
+        c_cr = (cr_act.T[csl], cr_tc.T[csl], cr_beta.T[csl])
+        c_sh = (c_large.T[csl], c_nop.T[csl], c_noq.T[csl], c_hctb.T[csl])
+        loop_len, dec_line = 4 >> sx, (1 if sx else 3)
+    else:
+        l_maps = (l_act, l_tc, l_beta, l_mp, l_mq, l_nop, l_noq)
+        csl = (slice(None), slice(None, None, 1 << sx))
+        c_cb = (cb_act[csl], cb_tc[csl], cb_beta[csl])
+        c_cr = (cr_act[csl], cr_tc[csl], cr_beta[csl])
+        c_sh = (c_large[csl], c_nop[csl], c_noq[csl], c_hctb[csl])
+        loop_len, dec_line = 4 >> sy, (1 if sy else 3)
+    if has_l:
+        pad = jnp.pad(y, ((0, 0), (8, 8)), mode="edge")
+        y = y + luma_ver_delta(pad, *l_maps, bit_depth)[:, 8:-8]
+    if has_cb:
+        cb = chroma_ver_core(cb, *c_cb, *c_sh, bit_depth, loop_len, dec_line)
+    if has_cr:
+        cr = chroma_ver_core(cr, *c_cr, *c_sh, bit_depth, loop_len, dec_line)
+    if hor:
+        return y.T, cb.T, cr.T
+    return y, cb, cr
 
 
 # NOTE on the long-path p-side mask above: filter_p_l/filter_q_l gate nothing
@@ -297,6 +343,12 @@ def deblock_chroma_ver(plane, active, tc, beta, large, no_p, no_q, hor_ctb,
     4-chroma-sample edge grid; inactive cells are masked out.
     dec_line: the second decision line index (1 if subsampled, else 3).
     """
+    return chroma_ver_core(plane, active, tc, beta, large, no_p, no_q,
+                           hor_ctb, bit_depth, loop_len, dec_line)
+
+
+def chroma_ver_core(plane, active, tc, beta, large, no_p, no_q, hor_ctb,
+                    bit_depth: int, loop_len: int, dec_line: int):
     Hc, Wc = plane.shape
     Hs, Ws = Hc // loop_len, Wc // 4
     maxv = (1 << bit_depth) - 1
@@ -384,7 +436,12 @@ def deblock_chroma_ver(plane, active, tc, beta, large, no_p, no_q, hor_ctb,
     out = out.at[:, :, :, 3].set(jnp.where(wk_m & pm, wp0, out[:, :, :, 3]))
     out = out.at[:, :, :, 4].set(jnp.where(wk_m & qm, wq0, out[:, :, :, 4]))
 
-    delta_w = out - Wn
-    zero = jnp.zeros_like(pad)
-    acc = zero.at[ys[:, None, :, None], xs[None, :, None, :]].add(delta_w)
+    # overlap-sum without scatter: padded col c' = 4q'+r' receives window
+    # gx = q'-d at tap j = r'+4d for d in 0..1 (8-wide windows, 4 apart);
+    # row groups (loop_len) never overlap.
+    delta_w = out - Wn  # [Hs, Ws, L, 8]
+    acc = jnp.zeros((Hs, Ws + 2, loop_len, 4), dtype=delta_w.dtype)
+    for d in range(2):
+        acc = acc.at[:, d : d + Ws].add(delta_w[:, :, :, 4 * d : 4 * d + 4])
+    acc = acc.transpose(0, 2, 1, 3).reshape(Hc, Wc + 8)
     return plane + acc[:, 4:-4]

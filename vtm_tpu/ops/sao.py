@@ -22,6 +22,25 @@ def _sgn(x: int) -> int:
 
 def sao_picture(dcs, pic) -> None:
     """SAOProcess over the picture using pic.sao_params (post-parse)."""
+    import jax.numpy as jnp
+
+    from vtm_tpu.ops import sao_kernel as SK
+
+    for comp, args in enumerate(build_sao_maps(dcs, pic)):
+        if args is None:
+            continue
+        type_map, ctu_map, offsets, valid = args
+        out = SK.sao_apply(
+            jnp.asarray(pic.planes[comp].astype(np.int32)),
+            jnp.asarray(type_map), jnp.asarray(ctu_map),
+            jnp.asarray(offsets), jnp.asarray(valid),
+            bit_depth=dcs.sps.bit_depth)
+        pic.planes[comp][:] = np.asarray(out).astype(pic.planes[comp].dtype)
+
+
+def build_sao_maps(dcs, pic) -> list:
+    """Resolve merges/offsets and build the per-pixel type/offset/validity
+    maps per component (sample-independent); None = component inactive."""
     sps = dcs.sps
     n_comp = dcs.chroma_format.num_components
     w_ctu, h_ctu = dcs.pic_w_ctu, dcs.pic_h_ctu
@@ -59,17 +78,11 @@ def sao_picture(dcs, pic) -> None:
                 rp.type_aux[comp] = src.type_aux[comp]
                 rp.offsets[comp] = list(src.offsets[comp])
         resolved[addr] = rp
-    # apply — whole-plane vectorized path (ops/sao_kernel.py): per-pixel
-    # type/offset/validity maps are assembled per CTU on host, the offset
-    # classification + application runs as one dense kernel per component
-    maxv = (1 << sps.bit_depth) - 1
+    # per-pixel type/offset/validity maps per CTU (sample-independent)
     fmt = dcs.chroma_format
-    import jax.numpy as jnp
-
-    from vtm_tpu.ops import sao_kernel as SK
-
     n_ctu = w_ctu * h_ctu
     avail_cache = {}
+    result = [None, None, None]
     for comp in range(n_comp):
         if all(resolved[a].mode[comp] == SAO_MODE_OFF for a in range(n_ctu)):
             continue
@@ -100,12 +113,8 @@ def sao_picture(dcs, pic) -> None:
         if cap is not None and comp == 0:
             cap["sao"] = (type_map.copy(), ctu_map.copy(), offsets.copy(),
                           valid.copy())
-        out = SK.sao_apply(
-            jnp.asarray(pic.planes[comp].astype(np.int32)),
-            jnp.asarray(type_map), jnp.asarray(ctu_map),
-            jnp.asarray(offsets), jnp.asarray(valid),
-            bit_depth=sps.bit_depth)
-        pic.planes[comp][:] = np.asarray(out).astype(pic.planes[comp].dtype)
+        result[comp] = (type_map, ctu_map, offsets, valid)
+    return result
 
 
 def _set_valid(valid, x0, y0, w, h, type_idx, avail):
