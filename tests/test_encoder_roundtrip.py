@@ -270,3 +270,23 @@ def test_roundtrip_ra_tmvp_mmvd():
     # the stream must actually use MMVD / TMVP-derived candidates somewhere
     for hr in dec.hash_results:
         assert hr.ok, f"decoded-picture-hash mismatch at POC {hr.poc}"
+
+
+def test_roundtrip_ra_amvr_bcw():
+    """RA with AMVR (IMV full/4-pel) and BCW weight trials: self-decode
+    hash-exact; syntax mirrors verified against the reference DecoderApp
+    out-of-band."""
+    from vtm_tpu.encoder.enc_lib import RandomAccessEncoder
+
+    fmt = YuvFormat(64, 64, ChromaFormat.YUV420, 8)
+    frames = read_yuv(f"{TESTDATA}/tiny64_64x64_420_8.yuv", fmt, 5)
+    cfg = EncoderConfig(width=64, height=64, qp=32, max_mtt_depth_intra=0)
+    cfg.bcw = True
+    enc = RandomAccessEncoder(cfg, gop_size=4)
+    assert enc.sps.amvr and enc.sps.bcw
+    bits = enc.encode(frames)
+    dec = Decoder()
+    pics = dec.decode_stream(bits)
+    assert len(pics) == len(frames)
+    for hr in dec.hash_results:
+        assert hr.ok, f"decoded-picture-hash mismatch at POC {hr.poc}"

@@ -241,6 +241,7 @@ class SyntaxWriter:
         if cu.pred_mode != MODE_INTRA:
             self.prediction_unit(cu)
             self.imv_mode(cu)
+            self.cu_bcw_flag(cu)
             if not cu.merge_flag:
                 self.e.encode_bin(int(cu.root_cbf), ctx("QtRootCbf"))
             if cu.root_cbf:
@@ -470,6 +471,31 @@ class SyntaxWriter:
             self.e.encode_bin(v, ctx("ImvFlag", 4))
             if v:
                 self.e.encode_bin(int(imv == 2), ctx("ImvFlag", 1))
+
+    def cu_bcw_flag(self, cu: CU):
+        """Mirror of SyntaxReader.cu_bcw_flag (CABACReader cu_bcw_flag:1211)."""
+        if not self._w_is_bcw_coded(cu):
+            return
+        order = [2, 3, 1, 4, 0]  # g_BcwParsingOrder
+        idx = order.index(getattr(cu, "bcw_idx", 2))
+        self.e.encode_bin(int(idx > 0), ctx("BcwIdx"))
+        if idx:
+            num_bcw = 5 if self.cs.sh.check_ldc else 3
+            for _ in range(idx - 1):
+                self.e.encode_bin_ep(1)
+            if idx < num_bcw - 1:
+                self.e.encode_bin_ep(0)
+
+    def _w_is_bcw_coded(self, cu: CU) -> bool:
+        if not self.sps.bcw or cu.pred_mode == MODE_INTRA:
+            return False
+        if cu.merge_flag or cu.interdir != 3:
+            return False
+        if cu.lwidth * cu.lheight < 256:
+            return False
+        if self.cs.sh.wp_present(cu.ref_idx):
+            return False
+        return True
 
     def _w_has_nonzero_mvd(self, cu: CU) -> bool:
         """CU::hasSubCUNonZeroMVd mirror."""

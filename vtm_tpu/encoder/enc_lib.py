@@ -76,6 +76,7 @@ class EncoderConfig:
     mmvd: bool = False  # merge with MVD search (SATD preselect + RD)
     tmvp: bool = False  # temporal MVP (collocated motion from ref pictures)
     amvr: bool = False  # adaptive MV resolution (IMV full-pel / 4-pel trials)
+    bcw: bool = False  # bi-prediction with CU-level weights (weight trials)
 
 
 def _quantize_tu(coeffs, qp, bd, lam, dep):
@@ -1278,6 +1279,11 @@ class InterEncoder(IntraEncoder):
             if a.w + a.h > 12:  # bi-pred restriction (PU::isBipredRestriction)
                 consider(lambda e: self._try_bi(a, part, mv0, mvp_idx0,
                                                 mv1, mvp_idx1, e))
+                # BCW weight trials on the same bi MVs (EncCu BCW loop)
+                if self.sps.bcw and a.w * a.h >= 256 and not dcs.sh.wp_present([0, 0]):
+                    for bcw in (1, 3):
+                        consider(lambda e, bcw=bcw: self._try_bi(
+                            a, part, mv0, mvp_idx0, mv1, mvp_idx1, e, bcw=bcw))
         # intra fallback (top preselected modes)
         if a.x1 <= dcs.pic_w and a.y1 <= dcs.pic_h:
             src_y = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
@@ -1503,7 +1509,8 @@ class InterEncoder(IntraEncoder):
                                          mvp[1] + mvd_int[1]))
         return self._commit_inter(cu, a, part, est, skip=False)
 
-    def _try_bi(self, a, part, mv0, mvp_idx0, mv1, mvp_idx1, est):
+    def _try_bi(self, a, part, mv0, mvp_idx0, mv1, mvp_idx1, est,
+                bcw: int | None = None):
         from vtm_tpu.decoder import motion as M
 
         dcs = self.dcs
@@ -1513,6 +1520,8 @@ class InterEncoder(IntraEncoder):
         cu.skip = False
         cu.interdir = 3
         cu.ref_idx = [0, 0]
+        if bcw is not None:
+            cu.bcw_idx = bcw
         cu.mvp_idx = [mvp_idx0, mvp_idx1]
         cu.mvd = [(0, 0), (0, 0)]
         cu.mv = [(0, 0), (0, 0)]

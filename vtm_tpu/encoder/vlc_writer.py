@@ -118,7 +118,7 @@ def write_sps(cfg) -> bytes:
     w.ue(1)  # six_minus_max_num_merge_cand → 5
     w.flag(0)  # sbt
     w.flag(0)  # affine
-    w.flag(0)  # bcw
+    w.flag(1 if getattr(cfg, "bcw", False) else 0)  # bcw
     w.flag(1 if getattr(cfg, "ciip", False) else 0)  # ciip
     w.flag(0)  # gpm (max merge cand >= 2)
     w.ue(0)  # log2_parallel_merge_level_minus2
