@@ -432,14 +432,34 @@ class SyntaxWriter:
             return
         if sh.slice_type == SliceType.B:
             self.inter_pred_idc(cu)
-        # 1 active ref per list → no ref_idx bins
         if cu.interdir != 2:
+            self.ref_idx(cu, 0)
             self.mvd_coding(cu.mvd[0])
             self.e.encode_bin(cu.mvp_idx[0], ctx("MVPIdx"))
         if cu.interdir != 1:
+            self.ref_idx(cu, 1)
             if not (self.cs.ph.mvd_l1_zero and cu.interdir == 3):
                 self.mvd_coding(cu.mvd[1])
             self.e.encode_bin(cu.mvp_idx[1], ctx("MVPIdx"))
+
+    def ref_idx(self, cu: CU, lst: int):
+        """Mirror of SyntaxReader.ref_idx (CABACReader ref_idx:2433)."""
+        if getattr(cu, "smvd_mode", 0):
+            return
+        num_ref = self.cs.sh.num_ref_idx[lst]
+        if num_ref <= 1:
+            return
+        idx = cu.ref_idx[lst]
+        self.e.encode_bin(int(idx > 0), ctx("RefPic"))
+        if idx == 0 or num_ref <= 2:
+            return
+        self.e.encode_bin(int(idx > 1), ctx("RefPic", 1))
+        if idx == 1:
+            return
+        for k in range(2, idx):
+            self.e.encode_bin_ep(1)
+        if idx < num_ref - 1:
+            self.e.encode_bin_ep(0)
 
     def inter_pred_idc(self, cu: CU):
         """Mirror of CABACReader::inter_pred_idc (CABACReader.cpp:2402)."""

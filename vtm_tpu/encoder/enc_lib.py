@@ -77,6 +77,7 @@ class EncoderConfig:
     tmvp: bool = False  # temporal MVP (collocated motion from ref pictures)
     amvr: bool = False  # adaptive MV resolution (IMV full-pel / 4-pel trials)
     bcw: bool = False  # bi-prediction with CU-level weights (weight trials)
+    num_active_refs: int = 1  # active L0 references (multi-ref ME when > 1)
 
 
 def _quantize_tu(coeffs, qp, bd, lam, dep):
@@ -1110,10 +1111,11 @@ class InterEncoder(IntraEncoder):
         sh.slice_type = slice_type
         sh.qp = self.frame_qp
         sh.poc = poc
-        sh.num_ref_idx = [1, 1 if is_b else 0]
         refs0 = [self.dpb[poc - d] for d in rpl0]
         refs1 = [self.dpb[poc - d] for d in rpl1]
-        sh.ref_pics = [refs0[:1], refs1[:1] if is_b else []]
+        n0 = min(getattr(cfg, "num_active_refs", 1), len(refs0))
+        sh.num_ref_idx = [n0, 1 if is_b else 0]
+        sh.ref_pics = [refs0[:n0], refs1[:1] if is_b else []]
         sh.ref_pocs = [[p.poc for p in sh.ref_pics[0]],
                        [p.poc for p in sh.ref_pics[1]]]
         sh.ref_longterm = [[False] * len(sh.ref_pics[0]),
@@ -1183,7 +1185,8 @@ class InterEncoder(IntraEncoder):
                                         slice_type=slice_type, rpl0=rpl0,
                                         rpl1=rpl1, mvd_l1_zero=ph.mvd_l1_zero,
                                         sao=tuple(sh.sao_enabled),
-                                        entry_points=entry_points)
+                                        entry_points=entry_points,
+                                        active=tuple(sh.num_ref_idx))
         rbsp = bytes(hdr.bytes) + slice_bw.data()
         nal = make_nal(nalio.NAL_TRAIL, rbsp)
         digest = pic_hash.pic_md5(planes, [cfg.bit_depth] * len(planes))
@@ -1263,9 +1266,15 @@ class InterEncoder(IntraEncoder):
             for mi in self._preselect_mmvd(a, mrg):
                 consider(lambda e, mi=mi: self._try_mmvd(a, part, mrg, mi, True, e))
                 consider(lambda e, mi=mi: self._try_mmvd(a, part, mrg, mi, False, e))
-        # AMVP with motion estimation (per list; bi for B slices)
+        # AMVP with motion estimation (per list and active L0 ref; bi for B)
         mv0, mvp_idx0 = self._motion_estimate(a, part, 0)
         consider(lambda e: self._try_amvp(a, part, 0, mv0, mvp_idx0, e))
+        for ri in range(1, dcs.sh.num_ref_idx[0]):
+            if dcs.sh.ref_pocs[0][ri] == dcs.sh.ref_pocs[0][0]:
+                continue
+            mvr, mvpr = self._motion_estimate(a, part, 0, ref_idx=ri)
+            consider(lambda e, ri=ri, mvr=mvr, mvpr=mvpr:
+                     self._try_amvp(a, part, 0, mvr, mvpr, e, ref_idx=ri))
         # AMVR (IMV) trials: full-pel / 4-pel signalling of the same ME
         # result (EncCu::xCheckRDCostInterIMV analogue)
         if self.sps.amvr:
@@ -1455,7 +1464,7 @@ class InterEncoder(IntraEncoder):
         cu.root_cbf = False
         return self._commit_inter(cu, a, part, est, skip=True)
 
-    def _try_amvp(self, a, part, lst, mv, mvp_idx, est):
+    def _try_amvp(self, a, part, lst, mv, mvp_idx, est, ref_idx: int = 0):
         from vtm_tpu.decoder import motion as M
 
         dcs = self.dcs
@@ -1464,8 +1473,9 @@ class InterEncoder(IntraEncoder):
         cu.merge_flag = False
         cu.skip = False
         cu.interdir = 1 << lst
-        cu.ref_idx = [0 if lst == 0 else -1, 0 if lst == 1 else -1]
-        cands = M.fill_mvp_cand(dcs, cu, lst, 0)
+        cu.ref_idx = [-1, -1]
+        cu.ref_idx[lst] = ref_idx
+        cands = M.fill_mvp_cand(dcs, cu, lst, ref_idx)
         mvp = cands[mvp_idx]
         mvd = ((mv[0] - mvp[0]) >> 2, (mv[1] - mvp[1]) >> 2)
         cu.mvp_idx = [0, 0]
@@ -1535,18 +1545,19 @@ class InterEncoder(IntraEncoder):
         return self._commit_inter(cu, a, part, est, skip=False)
 
     # -- motion estimation ---------------------------------------------
-    def _motion_estimate(self, a: Rect, part, lst: int = 0):
+    def _motion_estimate(self, a: Rect, part, lst: int = 0, ref_idx: int = 0):
         """Diamond integer search + quarter-pel refinement on luma SAD."""
         from vtm_tpu.decoder import motion as M
 
         dcs = self.dcs
-        ref = dcs.sh.ref_pics[lst][0].planes[0]
+        ref = dcs.sh.ref_pics[lst][ref_idx].planes[0]
         src = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
         probe = self._make_inter_cu(a, part)
         probe.idx = len(dcs.cus)
         probe.interdir = 1 << lst
-        probe.ref_idx = [0 if lst == 0 else -1, 0 if lst == 1 else -1]
-        cands = M.fill_mvp_cand(dcs, probe, lst, 0)
+        probe.ref_idx = [-1, -1]
+        probe.ref_idx[lst] = ref_idx
+        cands = M.fill_mvp_cand(dcs, probe, lst, ref_idx)
         lam_me = np.sqrt(self.lam)
 
         ph_, pw_ = ref.shape
@@ -1680,6 +1691,7 @@ class RandomAccessEncoder(InterEncoder):
     def __init__(self, cfg, gop_size: int = 8):
         cfg.mmvd = True  # MMVD merge search on by default for RA
         cfg.amvr = True  # IMV (full-pel / 4-pel) trials on by default for RA
+        cfg.num_active_refs = max(cfg.num_active_refs, 2)  # multi-ref ME
         super().__init__(cfg)
         self.gop_size = gop_size
 

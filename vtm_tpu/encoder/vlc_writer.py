@@ -280,7 +280,7 @@ def write_slice_header_head(cfg, poc: int, qp: int, slice_type=None,
                             rpl0=None, rpl1=None, slice_type_p: bool = False,
                             ref_delta: int = 1, mvd_l1_zero: bool = True,
                             sao=(False, False), entry_points=None,
-                            alf=None) -> BitWriter:
+                            alf=None, active=None) -> BitWriter:
     """Slice header up to (and including) byte alignment before slice data.
 
     rpl0/rpl1: lists of POC deltas (positive = past, negative = future)."""
@@ -318,9 +318,22 @@ def write_slice_header_head(cfg, poc: int, qp: int, slice_type=None,
         _write_rpl(w, rpl1)
         # num_ref_idx_active_override (SH parse: present when rpl0>1 or B&rpl1>1)
         if len(rpl0) > 1 or (slice_type == SliceType.B and len(rpl1) > 1):
-            w.flag(0)  # use defaults (PPS num_ref_idx_default_active = 1)
+            n0 = active[0] if active else 1
+            n1 = active[1] if active else (1 if slice_type == SliceType.B else 0)
+            if n0 == 1 and n1 <= 1:
+                w.flag(0)  # use defaults (PPS num_ref_idx_default_active = 1)
+            else:
+                w.flag(1)
+                if len(rpl0) > 1:
+                    w.ue(n0 - 1)
+                if slice_type == SliceType.B and len(rpl1) > 1:
+                    w.ue(n1 - 1)
         if getattr(cfg, "tmvp", False) and slice_type == SliceType.B:
-            w.flag(1)  # sh_collocated_from_l0 (1 active ref -> no col_ref_idx)
+            w.flag(1)  # sh_collocated_from_l0
+        if getattr(cfg, "tmvp", False):
+            n0 = active[0] if active else 1
+            if n0 > 1:  # collocated list is L0 (col_from_l0 = 1)
+                w.ue(0)  # sh_collocated_ref_idx
     w.se(qp - cfg.init_qp)  # slice_qp_delta
     if getattr(cfg, "sao", False):
         w.flag(1 if sao[0] else 0)  # sh_sao_used_flag (luma)
