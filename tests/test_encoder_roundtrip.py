@@ -290,3 +290,38 @@ def test_roundtrip_ra_amvr_bcw():
     assert len(pics) == len(frames)
     for hr in dec.hash_results:
         assert hr.ok, f"decoded-picture-hash mismatch at POC {hr.poc}"
+
+
+def test_roundtrip_ra_geo():
+    """GEO merge search: diagonal motion boundary forces geometric
+    partitions; stream must self-decode hash-exact AND contain geo CUs
+    (writer syntax exercised)."""
+    import numpy as np
+    from scipy.ndimage import gaussian_filter
+
+    from vtm_tpu.encoder.enc_lib import RandomAccessEncoder
+
+    rng = np.random.default_rng(1)
+    base = gaussian_filter(rng.integers(0, 255, (200, 200)).astype(np.float64), 2) * 2
+    frames = []
+    H = W = 64
+    yy, xx = np.mgrid[0:H, 0:W]
+    diag = (xx + yy * 0.6) > 50
+    for t in range(5):
+        a = base[10 + t : 10 + t + H, 20 : 20 + W]
+        b = base[30 : 30 + H, 40 + 2 * t : 40 + 2 * t + W]
+        y = np.where(diag, a, b)
+        u = np.full((H // 2, W // 2), 128.0)
+        frames.append([np.clip(y, 0, 255).astype(np.int32),
+                       u.astype(np.int32), u.astype(np.int32)])
+    cfg = EncoderConfig(width=64, height=64, qp=32, max_mtt_depth_intra=0)
+    cfg.geo = True
+    enc = RandomAccessEncoder(cfg, gop_size=4)
+    bits = enc.encode(frames)
+    dec = Decoder()
+    pics = dec.decode_stream(bits)
+    for hr in dec.hash_results:
+        assert hr.ok, f"decoded-picture-hash mismatch at POC {hr.poc}"
+    n_geo = sum(1 for p in pics if hasattr(p, "dcs")
+                for c in p.dcs.cus if getattr(c, "geo_flag", False))
+    assert n_geo > 0, "no geometric-partition CUs coded"

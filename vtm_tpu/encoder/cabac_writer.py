@@ -546,6 +546,22 @@ class SyntaxWriter:
         self.e.encode_bin_ep(var2 & 1)
 
     def merge_idx(self, cu: CU):
+        if getattr(cu, "geo_flag", False):
+            # GEO: split dir (truncated binary 64) + two merge indices
+            # (mirror of SyntaxReader.merge_idx geo branch)
+            self._write_trunc_bin(cu.geo_split_dir, 64)
+            max_geo = self.sps.max_num_geo_cand
+            n_minus2 = max_geo - 2
+            m0, m1 = cu.geo_merge_idx
+            m1c = m1 - (1 if m1 > m0 else 0)
+            self.e.encode_bin(int(m0 > 0), ctx("MergeIdx"))
+            if m0 > 0:
+                self._write_unary_max_eqprob(m0 - 1, n_minus2)
+            if n_minus2 > 0:
+                self.e.encode_bin(int(m1c > 0), ctx("MergeIdx"))
+                if m1c > 0:
+                    self._write_unary_max_eqprob(m1c - 1, n_minus2 - 1)
+            return
         n_minus1 = self.sps.max_num_merge_cand - 1
         idx = cu.merge_idx
         if n_minus1 > 0:
@@ -554,6 +570,15 @@ class SyntaxWriter:
                 for k in range(1, min(idx, n_minus1 - 1) + 1):
                     if k < n_minus1:
                         self.e.encode_bin_ep(int(idx > k))
+
+    def _write_unary_max_eqprob(self, value: int, max_symbol: int):
+        """Mirror of SyntaxReader._unary_max_eqprob."""
+        if max_symbol == 0:
+            return
+        for k in range(value):
+            self.e.encode_bin_ep(1)
+        if value < max_symbol:
+            self.e.encode_bin_ep(0)
 
     def mvd_coding(self, mvd):
         hor, ver = mvd

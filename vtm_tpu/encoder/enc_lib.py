@@ -78,6 +78,7 @@ class EncoderConfig:
     amvr: bool = False  # adaptive MV resolution (IMV full-pel / 4-pel trials)
     bcw: bool = False  # bi-prediction with CU-level weights (weight trials)
     num_active_refs: int = 1  # active L0 references (multi-ref ME when > 1)
+    geo: bool = False  # geometric-partition merge search (B slices)
 
 
 def _quantize_tu(coeffs, qp, bd, lam, dep):
@@ -1266,6 +1267,17 @@ class InterEncoder(IntraEncoder):
             for mi in self._preselect_mmvd(a, mrg):
                 consider(lambda e, mi=mi: self._try_mmvd(a, part, mrg, mi, True, e))
                 consider(lambda e, mi=mi: self._try_mmvd(a, part, mrg, mi, False, e))
+        # GEO: SAD preselection over split x candidate pairs, then full RD
+        # (EncCu::xCheckRDCostMergeGeo2Nx2N analogue)
+        if (getattr(self.sps, "geo", False) and dcs.sh.is_b
+                and self.sps.max_num_geo_cand > 1
+                and 8 <= a.w <= 64 and 8 <= a.h <= 64
+                and a.w < 8 * a.h and a.h < 8 * a.w):
+            for split, g0, g1 in self._preselect_geo(a, part):
+                consider(lambda e, s=split, g0=g0, g1=g1:
+                         self._try_geo(a, part, s, g0, g1, False, e))
+                consider(lambda e, s=split, g0=g0, g1=g1:
+                         self._try_geo(a, part, s, g0, g1, True, e))
         # AMVP with motion estimation (per list and active L0 ref; bi for B)
         mv0, mvp_idx0 = self._motion_estimate(a, part, 0)
         consider(lambda e: self._try_amvp(a, part, 0, mv0, mvp_idx0, e))
@@ -1326,9 +1338,15 @@ class InterEncoder(IntraEncoder):
         cu.depth = part.cur_depth
         cu.split_series = tuple(lvl.split for lvl in part.stack[1:])
         dcs.add_cu(cu)
-        M.span_motion_info(dcs, cu)
+        if getattr(cu, "geo_flag", False):
+            M.span_geo_motion_info(dcs, cu, cu._geo_mrg)
+        else:
+            M.span_motion_info(dcs, cu)
         M.save_motion_hmvp(dcs, cu)
-        preds = IC.motion_compensation(self.recon, dcs, cu)
+        if getattr(cu, "geo_flag", False):
+            preds = IC._geo_motion_compensation(self.recon, dcs, cu)
+        else:
+            preds = IC.motion_compensation(self.recon, dcs, cu)
         fmt = dcs.chroma_format
         tu = TU(blocks=[Rect(b.x, b.y, b.w, b.h) if b else None for b in cu.blocks],
                 cu=cu, depth=0)
@@ -1442,6 +1460,78 @@ class InterEncoder(IntraEncoder):
             scored.append((sad + lam_me * bits, mi))
         scored.sort()
         return [mi for _, mi in scored[:2]]
+
+    def _preselect_geo(self, a: Rect, part) -> list:
+        """Masked-SAD preselection over split_dir x candidate pairs: one
+        batched MC evaluates each geo candidate's uni prediction, then the
+        per-split weighted SADs come from mask/abs-diff dot products
+        (EncCu::xCheckRDCostMergeGeo2Nx2N SAD preselection analogue)."""
+        from vtm_tpu.decoder import motion as M
+        from vtm_tpu.ops import mc as MCops
+        from vtm_tpu.ops.mc_kernel import McBatch
+
+        dcs = self.dcs
+        probe = self._make_inter_cu(a, None)
+        probe.idx = len(dcs.cus)
+        geo = M.get_geo_merge_candidates(dcs, probe)
+        ncand = min(geo.num_valid, self.sps.max_num_geo_cand)
+        if ncand < 2:
+            return []
+        batch = McBatch(self.cfg.bit_depth)
+        handles = []
+        for c in range(ncand):
+            lst = 0 if geo.interdir[c] == 1 else 1
+            mv = M.clip_mv_in_pic(geo.mv[c][lst], a.x, a.y, dcs)
+            ref = dcs.sh.ref_pics[lst][geo.ref_idx[c][lst]].planes[0]
+            fx, fy = mv[0] & 15, mv[1] & 15
+            cfh = MCops.luma_coeffs(fx, a.w, a.h if fy == 0 else a.h + 7,
+                                    False, True)
+            cfv = MCops.luma_coeffs(fy, a.w, a.h, False, False)
+            handles.append(batch.add_block(
+                ref, a.x + (mv[0] >> 4), a.y + (mv[1] >> 4), a.w, a.h,
+                cfh, cfv, fy != 0, True, True))
+        batch.execute()
+        src_y = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
+        ad = np.stack([np.abs(src_y - batch.block_result(h)).ravel()
+                       for h in handles])                       # [C, HW]
+        masks = np.stack([MCops.geo_weight_block(s, a.w, a.h, 0, 0, a.w, a.h)
+                          .ravel() for s in range(64)])          # [64, HW] 0..8
+        G = masks.astype(np.float64) @ ad.T.astype(np.float64)   # [64, C]
+        S8 = 8.0 * ad.sum(axis=1)                                # [C]
+        lam_me = np.sqrt(self.lam)
+        best = []
+        for s in range(64):
+            for c0 in range(ncand):
+                for c1 in range(ncand):
+                    if c0 == c1:
+                        continue
+                    cost = G[s, c0] + (S8[c1] - G[s, c1])
+                    cost += 8.0 * lam_me * (6 + c0 + c1)
+                    best.append((cost, s, c0, c1))
+        best.sort(key=lambda t: t[0])
+        return [(s, c0, c1) for _, s, c0, c1 in best[:2]]
+
+    def _try_geo(self, a, part, split, g0, g1, skip, est):
+        from vtm_tpu.decoder import motion as M
+
+        dcs = self.dcs
+        cu = self._make_inter_cu(a, part)
+        cu.idx = len(dcs.cus)
+        cu.merge_flag = True
+        cu.skip = skip
+        cu.regular_merge_flag = False
+        cu.ciip_flag = False
+        cu.geo_flag = True
+        cu.geo_split_dir = split
+        cu.geo_merge_idx = [g0, g1]
+        cu._geo_mrg = M.get_geo_merge_candidates(dcs, cu)
+        if not skip:
+            dist = self._commit_inter(cu, a, part, est, skip=False)
+            if not cu.root_cbf:
+                return None
+            return dist
+        cu.root_cbf = False
+        return self._commit_inter(cu, a, part, est, skip=True)
 
     def _try_mmvd(self, a, part, mrg, mmvd_idx, skip, est):
         from vtm_tpu.decoder import motion as M

@@ -120,7 +120,11 @@ def write_sps(cfg) -> bytes:
     w.flag(0)  # affine
     w.flag(1 if getattr(cfg, "bcw", False) else 0)  # bcw
     w.flag(1 if getattr(cfg, "ciip", False) else 0)  # ciip
-    w.flag(0)  # gpm (max merge cand >= 2)
+    if getattr(cfg, "geo", False):
+        w.flag(1)  # gpm
+        w.ue(0)    # max_num_merge_cand_minus_max_num_gpm_cand (geo cand = 5)
+    else:
+        w.flag(0)  # gpm (max merge cand >= 2)
     w.ue(0)  # log2_parallel_merge_level_minus2
     w.flag(1 if getattr(cfg, 'isp', False) else 0)  # isp
     w.flag(1 if getattr(cfg, 'mrl', False) else 0)  # mrl
