@@ -84,6 +84,14 @@ def mc_tiles(refs, r_idx, x0, y0, cH, cV, fy_nz, rnd, taps: int, tile: int,
 CAPTURE = None
 
 
+@partial(jax.jit, static_argnames=("bd",))
+def _mc_tiles_pair(largs, cargs, bd: int):
+    """Luma + chroma tile batches in ONE device dispatch."""
+    lout = mc_tiles(*largs, taps=8, tile=4, bd=bd) if largs is not None else None
+    cout = mc_tiles(*cargs, taps=4, tile=2, bd=bd) if cargs is not None else None
+    return lout, cout
+
+
 def _bucket(n: int) -> int:
     """Pad batch size to a small set of bucket sizes to bound jit compiles."""
     b = 64
@@ -136,12 +144,29 @@ class McBatch:
         return (lum, start, nby, nbx, tile)
 
     def execute(self):
+        """Run the collected luma + chroma batches as ONE device dispatch."""
+        args = {True: None, False: None}
         for lum in (True, False):
-            n = self.n[lum]
-            if n == 0:
-                continue
-            tile = 4 if lum else 2
-            taps = 8 if lum else 4
+            if self.n[lum]:
+                args[lum] = self._build_args(lum)
+        if args[True] is None and args[False] is None:
+            return
+        lout, cout = _mc_tiles_pair(args[True], args[False], bd=self.bd)
+        if args[True] is not None:
+            self.results[True] = np.asarray(lout[: self.n[True]])
+        if args[False] is not None:
+            self.results[False] = np.asarray(cout[: self.n[False]])
+        global CAPTURE
+        if CAPTURE is not None and args[True] is not None and self.n[True] >= 64:
+            CAPTURE = {"args": tuple(np.asarray(a) for a in args[True]),
+                       "taps": 8, "tile": 4, "bd": self.bd,
+                       "out": self.results[True].copy(), "n": self.n[True]}
+
+    def _build_args(self, lum: bool):
+        n = self.n[lum]
+        tile = 4 if lum else 2
+        taps = 8 if lum else 4
+        if True:
             recs = np.asarray(self.recs[lum], dtype=np.int64)
             r_b, x_b, y_b = recs[:, 0], recs[:, 1], recs[:, 2]
             nbx_b, nby_b = recs[:, 3], recs[:, 4]
@@ -181,7 +206,7 @@ class McBatch:
                 out[:n] = a
                 return out
 
-            args = (
+            return (
                 refs,
                 jnp.asarray(padded(r_b[blk], np.int32)),
                 jnp.asarray(padded(cat_x, np.int32)),
@@ -191,13 +216,6 @@ class McBatch:
                 jnp.asarray(padded(fy_b[blk], bool)),
                 jnp.asarray(padded(rnd_b[blk], bool)),
             )
-            res = mc_tiles(*args, taps=taps, tile=tile, bd=self.bd)
-            self.results[lum] = np.asarray(res[:n])
-            global CAPTURE
-            if CAPTURE is not None and lum and n >= 64:
-                CAPTURE = {"args": tuple(np.asarray(a) for a in args),
-                           "taps": taps, "tile": tile, "bd": self.bd,
-                           "out": self.results[lum].copy(), "n": n}
 
     def block_result(self, handle) -> np.ndarray:
         lum, start, nby, nbx, tile = handle
