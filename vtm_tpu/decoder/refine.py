@@ -419,8 +419,9 @@ def dmvr_batch(recon, dcs, jobs):
                         rec["h"][lst][comp] = (batch_pln.add_block(
                             rec["ref_planes"][lst][comp], cb_x, cb_y, w_c, h_c,
                             cf_h, cf_v, frac_y != 0, False, False), True)
-        batch_buf.execute()
-        batch_pln.execute()
+        from vtm_tpu.ops.mc_kernel import execute_many
+
+        execute_many([batch_buf, batch_pln])
 
         # ---- assemble: BDOF blend (batched) or bi-average ----
         bio_recs = [r for r in recs if r["bio_sub"]]

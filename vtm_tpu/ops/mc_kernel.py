@@ -92,6 +92,30 @@ def _mc_tiles_pair(largs, cargs, bd: int):
     return lout, cout
 
 
+@partial(jax.jit, static_argnames=("kinds", "bd"))
+def _mc_tiles_multi(argsets, kinds, bd: int):
+    """Several tile batches (mixed luma/chroma) in ONE device dispatch."""
+    return tuple(
+        mc_tiles(*a, taps=8 if lum else 4, tile=4 if lum else 2, bd=bd)
+        for a, lum in zip(argsets, kinds)
+    )
+
+
+def execute_many(batches):
+    """Execute several McBatch instances as a single device dispatch."""
+    slots = []
+    for b in batches:
+        for lum in (True, False):
+            if b.n[lum]:
+                slots.append((b, lum, b._build_args(lum)))
+    if not slots:
+        return
+    outs = _mc_tiles_multi(tuple(s[2] for s in slots),
+                           tuple(s[1] for s in slots), bd=batches[0].bd)
+    for (b, lum, _), out in zip(slots, outs):
+        b.results[lum] = np.asarray(out[: b.n[lum]])
+
+
 def _bucket(n: int) -> int:
     """Pad batch size to a small set of bucket sizes to bound jit compiles."""
     b = 64
