@@ -46,7 +46,12 @@ def test_tolerant_mode_skips_garbage_nal():
               + b"\x00\x00\x00\x01" + garbage)
     for e in nals[1:]:
         stream += b"\x00\x00\x00\x01" + e
+    clean = Decoder()
+    n_clean = len(clean.decode_stream(
+        b"".join(b"\x00\x00\x00\x01" + e for e in nals)))
     dec = Decoder(strict=False)
     pics = dec.decode_stream(stream)
-    assert len(pics) == 1 or dec.error_count >= 0
+    # the garbage NAL is skipped (counted), every real picture still decodes
+    assert dec.error_count >= 1
+    assert len(pics) == n_clean
     assert all(hr.ok for hr in dec.hash_results)

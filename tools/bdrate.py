@@ -43,8 +43,6 @@ def read_yuv(path, w, h, n, bit_depth=8):
 
 def psnr(src_frames, rec_frames, bit_depth=8):
     maxv = (1 << bit_depth) - 1
-    num = den = 0.0
-    ws = [4, 1, 1]
     psnrs = []
     for comp in range(3):
         se = cnt = 0

@@ -10,7 +10,8 @@ mip_flag:3622 — plus the context derivations from ContextModelling.{h,cpp}
 chroma-candidate derivations from UnitTools.cpp (PU::getIntraMPMs:~500,
 getIntraChromaCandModes:643).
 
-Inter syntax raises NotImplementedError until the inter decode phase lands.
+Covers the full intra + inter CTU syntax (merge/MMVD/affine/GEO/CIIP/SMVD,
+AMVR, BCW, SBT, IBC, PLT, ACT) as exercised by the golden-stream suite.
 """
 
 from __future__ import annotations

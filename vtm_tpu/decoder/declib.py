@@ -173,15 +173,33 @@ class Decoder:
                     lt = False
                 else:
                     # long-term ref: identifier carries the POC LSBs
-                    # (Slice::constructRefPicList LT branch, Slice.cpp:458)
-                    mask = (1 << sps.bits_for_poc) - 1
+                    # (Slice::constructRefPicList LT branch, Slice.cpp:458).
+                    # When the MSB cycle is signalled, reconstruct the full
+                    # POC (spec 8.3.2 / Slice.cpp getFullPocLSB) and match it
+                    # exactly; only fall back to LSB matching otherwise.
+                    max_lsb = 1 << sps.bits_for_poc
                     ident = rpl.identifiers[ii]
                     ref = None
-                    for p in self.dpb:
-                        if p.is_reference and (p.poc & mask) == ident:
-                            ref = p
-                            break
-                    poc = ref.poc if ref is not None else ident
+                    msb_present = (
+                        rpl.delta_poc_msb_present[ii]
+                        if ii < len(rpl.delta_poc_msb_present) else False
+                    )
+                    if msb_present:
+                        full_poc = (
+                            sh.poc - rpl.delta_poc_msb_cycle[ii] * max_lsb
+                            - (sh.poc & (max_lsb - 1)) + ident
+                        )
+                        for p in self.dpb:
+                            if p.is_reference and p.poc == full_poc:
+                                ref = p
+                                break
+                        poc = full_poc
+                    else:
+                        for p in self.dpb:
+                            if p.is_reference and (p.poc & (max_lsb - 1)) == ident:
+                                ref = p
+                                break
+                        poc = ref.poc if ref is not None else ident
                     lt = True
                 if ref is None:
                     # lost/unavailable reference concealment
@@ -262,7 +280,8 @@ class Decoder:
             return
         pic = self.cur_pic
         self.cur_pic = None
-        # in-loop filters run here once implemented (executeLoopFilters)
+        # in-loop filter chain (executeLoopFilters): LMCS inverse -> deblock
+        # -> SAO -> ALF/CC-ALF, fused as one device dispatch per picture
         from vtm_tpu.decoder import filters
 
         filters.apply_loop_filters(self, pic)
