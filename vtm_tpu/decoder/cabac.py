@@ -84,6 +84,12 @@ def make_cabac_decoder(data: bytes, ctx: "ContextModels", stats=None):
         from vtm_tpu.native import load_cabac
 
         _NATIVE = load_cabac() or False
+        if _NATIVE:
+            _NATIVE.set_tables(
+                np.ascontiguousarray(rom.group_idx(), dtype=np.int32),
+                np.ascontiguousarray(rom.min_in_group(), dtype=np.int32),
+                np.ascontiguousarray(rom.go_rice_pars_coeff(), dtype=np.int32),
+            )
     if _NATIVE:
         return _NATIVE.NativeCabac(data, ctx, _RENORM)
     return CabacDecoder(data, ctx)

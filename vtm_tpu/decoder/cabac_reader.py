@@ -16,6 +16,7 @@ AMVR, BCW, SBT, IBC, PLT, ACT) as exercised by the golden-stream suite.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -100,6 +101,49 @@ _MIN_IN_GROUP = rom.min_in_group()
 _GO_RICE_PARS = rom.go_rice_pars_coeff()
 
 
+@functools.lru_cache(maxsize=None)
+def _rc_static(w: int, h: int, ch: int):
+    """Shape-dependent CoeffCtx constants for the native residual decoder
+    (mirrors CoeffCtx.__init__ / ContextModelling.h:51)."""
+    log2w = w.bit_length() - 1
+    log2h = h.bit_length() - 1
+    lcw, lch = rom.log2_sbb_size(log2w, log2h)
+    wig = min(JVET_C0024_ZERO_OUT_TH, w) >> lcw
+    hig = min(JVET_C0024_ZERO_OUT_TH, h) >> lch
+    scan = np.ascontiguousarray(rom.scan(1, w, h), dtype=np.int32)
+    scan_cg = np.ascontiguousarray(rom.scan(0, wig, hig), dtype=np.int32)
+    max_last_x = int(_GROUP_IDX[min(JVET_C0024_ZERO_OUT_TH, w) - 1])
+    max_last_y = int(_GROUP_IDX[min(JVET_C0024_ZERO_OUT_TH, h) - 1])
+    if ch == 1:
+        lox = loy = 0
+        lsx = min(max(0, w >> 3), 2)
+        lsy = min(max(0, h >> 3), 2)
+    else:
+        prefix_ctx = (0, 0, 0, 3, 6, 10, 15, 21)
+        lox = prefix_ctx[log2w]
+        loy = prefix_ctx[log2h]
+        lsx = (log2w + 1) >> 2
+        lsy = (log2h + 1) >> 2
+    return (
+        scan, scan_cg, lcw, lch, max_last_x, max_last_y, lox, loy, lsx, lsy,
+        _CTXOFF[f"LastX_{ch}"][0], _CTXOFF[f"LastY_{ch}"][0],
+        _CTXOFF[f"SigFlag_{ch}"][0], _CTXOFF[f"SigFlag_{ch + 2}"][0],
+        _CTXOFF[f"SigFlag_{ch + 4}"][0], _CTXOFF[f"ParFlag_{ch}"][0],
+        _CTXOFF[f"GtxFlag_{ch}"][0], _CTXOFF[f"GtxFlag_{ch + 2}"][0],
+        _CTXOFF[f"SigCoeffGroup_{ch}"][0],
+    )
+
+
+_TS_BASES = (
+    _CTXOFF["TsSigCoeffGroup"][0],
+    _CTXOFF["TsSigFlag"][0],
+    _CTXOFF["TsResidualSign"][0],
+    _CTXOFF["TsLrg1Flag"][0],
+    _CTXOFF["TsParFlag"][0],
+    _CTXOFF["TsGtxFlag"][0],
+)
+
+
 @dataclass
 class CuCtx:
     qp: int
@@ -131,6 +175,9 @@ class SyntaxReader:
         self.ph = dcs.ph
         self.sh = dcs.sh
         self.chroma_adj = 0
+        # native residual decoding when the C engine is active (tracing and
+        # bit-statistics runs use the Python engine, which lacks rc_block)
+        self._rc_native = hasattr(dec, "rc_block")
         # per-picture side data expected on the picture object
         self.is_dual_itree = (
             self.sh.slice_type == SliceType.I and self.sps.dual_i_tree
@@ -2124,7 +2171,13 @@ class SyntaxReader:
         self.ts_flag(tu, comp)
         # explicit rdpcm: inter-only, skip
         if tu.mts_idx[comp] == MTS_SKIP and not self.sh.ts_residual_coding_disabled:
-            self.residual_coding_ts(tu, comp)
+            if self._rc_native:
+                self._residual_coding_ts_native(tu, comp)
+            else:
+                self.residual_coding_ts(tu, comp)
+            return
+        if self._rc_native:
+            self._residual_coding_native(tu, comp, cu_ctx)
             return
         sign_hiding = self.sh.sign_data_hiding
         cctx = CoeffCtx(tu, comp, sign_hiding, self.sps)
@@ -2161,6 +2214,53 @@ class SyntaxReader:
                 cctx.cg_pos_y > 3 or cctx.cg_pos_x > 3
             ):
                 cu_ctx.violates_mts = True
+
+    def _residual_coding_native(self, tu: TU, comp: int, cu_ctx: CuCtx):
+        """Native-engine fast path: last_sig_coeff + all subblock passes run
+        in C (vtm_tpu/native/cabac.c nc_rc_block), bit-exact with the Python
+        path below."""
+        cu = tu.cu
+        b = tu.blocks[comp]
+        ch = 0 if comp == 0 else 1
+        st = _rc_static(b.w, b.h, ch)
+        max_x, max_y = st[4], st[5]
+        sbt_adj = bool(
+            self.sps.mts and cu.sbt_info and b.w <= 32 and b.h <= 32 and comp == 0
+        )
+        if sbt_adj:
+            if b.w == 32:
+                max_x = int(_GROUP_IDX[15])
+            if b.h == 32:
+                max_y = int(_GROUP_IDX[15])
+        state_trans = 32040 if self.sh.dep_quant else 0
+        ratio = MAX_CTX_BIN_RATIO_LUMA if comp == 0 else MAX_CTX_BIN_RATIO_CHROMA
+        reg_bin_limit = (self._tb_area_after_zero_out(tu, comp) * ratio) >> 4
+        flat = tu.coeffs[comp].ravel()
+        last, viol_mts = self.d.rc_block(
+            flat, st[0], st[1], b.w, b.h, st[2], st[3], ch,
+            int(self.sh.sign_data_hiding), state_trans, reg_bin_limit,
+            int(sbt_adj), max_x, max_y, st[6], st[7], st[8], st[9],
+            st[10], st[11], st[12], st[13], st[14], st[15], st[16], st[17],
+            st[18],
+        )
+        if tu.mts_idx[comp] != MTS_SKIP and b.h >= 4 and b.w >= 4:
+            max_lfnst_pos = 7 if ((b.h == 4 and b.w == 4) or (b.h == 8 and b.w == 8)) else 15
+            cu_ctx.violates_lfnst[0 if comp == 0 else 1] |= last > max_lfnst_pos
+            cu_ctx.lfnst_last_scan_pos |= last >= LFNST_LAST_SIG_LUMA
+        if comp == 0 and tu.mts_idx[comp] != MTS_SKIP:
+            cu_ctx.mts_last_scan_pos |= last >= 1
+        if viol_mts:
+            cu_ctx.violates_mts = True
+
+    def _residual_coding_ts_native(self, tu: TU, comp: int):
+        cu = tu.cu
+        bdpcm = cu.bdpcm_mode if comp == 0 else cu.bdpcm_mode_chroma
+        b = tu.blocks[comp]
+        st = _rc_static(b.w, b.h, 0 if comp == 0 else 1)
+        flat = tu.coeffs[comp].ravel()
+        self.d.rc_block_ts(
+            flat, st[0], st[1], b.w, b.h, st[2], st[3], int(bdpcm), *_TS_BASES
+        )
 
     def _tb_area_after_zero_out(self, tu: TU, comp: int) -> int:
         b = tu.blocks[comp]

@@ -65,18 +65,21 @@ class Decoder:
     def decode_stream(self, data: bytes) -> list[Picture]:
         import sys
 
-        for ebsp in nalio.split_annexb(data):
-            if self.strict:
-                self.decode_nal(nalio.parse_nal(ebsp))
-                continue
-            try:
-                self.decode_nal(nalio.parse_nal(ebsp))
-            except Exception as e:  # noqa: BLE001 — resilience path
-                self.error_count += 1
-                print(f"warning: NAL decode error skipped: {e}",
-                      file=sys.stderr)
-        self.finish_picture()
-        self.flush()
+        from vtm_tpu.common import exec_mode
+
+        with exec_mode.decode_device_ctx():
+            for ebsp in nalio.split_annexb(data):
+                if self.strict:
+                    self.decode_nal(nalio.parse_nal(ebsp))
+                    continue
+                try:
+                    self.decode_nal(nalio.parse_nal(ebsp))
+                except Exception as e:  # noqa: BLE001 — resilience path
+                    self.error_count += 1
+                    print(f"warning: NAL decode error skipped: {e}",
+                          file=sys.stderr)
+            self.finish_picture()
+            self.flush()
         return self.output
 
     def decode_nal(self, nal: nalio.NalUnit) -> None:
