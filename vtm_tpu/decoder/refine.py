@@ -25,6 +25,8 @@ _SEARCH_OFFSETS = [(dx, dy) for dy in range(-2, 3) for dx in range(-2, 3)]
 
 def _gather(plane, x0, y0, w, h):
     ph, pw = plane.shape
+    if 0 <= x0 and 0 <= y0 and x0 + w <= pw and y0 + h <= ph:
+        return plane[y0 : y0 + h, x0 : x0 + w].astype(np.int64)
     ys = np.clip(np.arange(y0, y0 + h), 0, ph - 1)
     xs = np.clip(np.arange(x0, x0 + w), 0, pw - 1)
     return plane[np.ix_(ys, xs)].astype(np.int64)

@@ -332,7 +332,10 @@ def build_pic_maps(dcs, pic) -> list:
                     and x0 <= c.blocks[0].x < x0 + ctu and y0 <= c.blocks[0].y < y0 + ctu
                 ]
                 for cu in luma_cus:
-                    _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0, maps)
+                    _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0, maps, phase=1)
+                _bs_ctu_vec(dcs, state, edge_dir, x0, y0, chroma_tree=False)
+                for cu in luma_cus:
+                    _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0, maps, phase=2)
                 if is_dual:
                     state.reset(edge_dir)
                     chroma_cus = [
@@ -342,7 +345,10 @@ def build_pic_maps(dcs, pic) -> list:
                         and y0 <= (c.blocks[1].y << dcs.chroma_format.scale_y) < y0 + ctu
                     ]
                     for cu in chroma_cus:
-                        _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0, maps)
+                        _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0, maps, phase=1)
+                    _bs_ctu_vec(dcs, state, edge_dir, x0, y0, chroma_tree=True)
+                    for cu in chroma_cus:
+                        _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0, maps, phase=2)
         if cap is not None:
             cap["dmaps"][edge_dir] = (
                 maps.l_active.copy(), maps.l_tc.copy(), maps.l_beta.copy(),
@@ -428,7 +434,11 @@ def _lf_available(dcs, cu, cu2) -> bool:
     return True
 
 
-def _deblock_cu(dcs, pic, cu, edge_dir, state: DeblockState, ctu_x, ctu_y, maps=None):
+def _deblock_cu(dcs, pic, cu, edge_dir, state: DeblockState, ctu_x, ctu_y,
+                maps=None, phase=0):
+    """xDeblockCU.  phase 0 = full per-CU pass (edges + scalar BS + collect/
+    filter); phase 1 = edge/max-length marking only (BS then runs vectorized
+    per CTU via _bs_ctu_vec); phase 2 = parameter collection only."""
     fmt = dcs.chroma_format
     sps = dcs.sps
     area_x, area_y = cu.lx, cu.ly
@@ -437,6 +447,7 @@ def _deblock_cu(dcs, pic, cu, edge_dir, state: DeblockState, ctu_x, ctu_y, maps=
     edge_idx_list = []
     sx, sy = fmt.scale_x, fmt.scale_y
     has_luma = cu.blocks[0] is not None
+    mark = phase != 2
     # --- TU edges ---
     for tu in cu.tus:
         if has_luma:
@@ -451,10 +462,11 @@ def _deblock_cu(dcs, pic, cu, edge_dir, state: DeblockState, ctu_x, ctu_y, maps=
             continue
         if edge_dir == EDGE_VER and (t_x % 4) != 0:
             continue
-        _set_edge_multiple(state, EDGE_VER, t_x, t_y, t_w, t_h, ver_f, ctu_x, ctu_y, False)
-        _set_edge_multiple(state, EDGE_HOR, t_x, t_y, t_w, t_h, hor_f, ctu_x, ctu_y, False)
-        _set_max_filter_lengths(dcs, cu, tu, edge_dir, state, ctu_x, ctu_y,
-                                internal, left_e, top_e)
+        if mark:
+            _set_edge_multiple(state, EDGE_VER, t_x, t_y, t_w, t_h, ver_f, ctu_x, ctu_y, False)
+            _set_edge_multiple(state, EDGE_HOR, t_x, t_y, t_w, t_h, hor_f, ctu_x, ctu_y, False)
+            _set_max_filter_lengths(dcs, cu, tu, edge_dir, state, ctu_x, ctu_y,
+                                    internal, left_e, top_e)
         if has_luma:
             edge_idx_list.append(
                 (tu.blocks[0].y - cu.blocks[0].y) // 4 if edge_dir == EDGE_HOR
@@ -466,10 +478,11 @@ def _deblock_cu(dcs, pic, cu, edge_dir, state: DeblockState, ctu_x, ctu_y, maps=
                 else ((tu.blocks[1].x - cu.blocks[1].x) << sx) // 4
             )
     # --- PU edges (one PU per CU in VVC) ---
-    ver_f = left_e
-    hor_f = top_e
-    _set_edge_multiple(state, EDGE_VER, area_x, area_y, area_w, area_h, ver_f, ctu_x, ctu_y, False)
-    _set_edge_multiple(state, EDGE_HOR, area_x, area_y, area_w, area_h, hor_f, ctu_x, ctu_y, False)
+    if mark:
+        ver_f = left_e
+        hor_f = top_e
+        _set_edge_multiple(state, EDGE_VER, area_x, area_y, area_w, area_h, ver_f, ctu_x, ctu_y, False)
+        _set_edge_multiple(state, EDGE_HOR, area_x, area_y, area_w, area_h, hor_f, ctu_x, ctu_y, False)
     edge_idx_list.append(0)
     # --- subblock-motion internal edges (SbTMVP / affine, LoopFilter.cpp:357) ---
     mv_subblocks = has_luma and (
@@ -479,30 +492,36 @@ def _deblock_cu(dcs, pic, cu, edge_dir, state: DeblockState, ctu_x, ctu_y, maps=
         sub = 8
         if edge_dir == EDGE_HOR:
             for off in range(sub, area_h, sub):
-                _set_edge_multiple(state, EDGE_HOR, area_x, area_y + off,
-                                   area_w, 4, internal, ctu_x, ctu_y, True)
+                if mark:
+                    _set_edge_multiple(state, EDGE_HOR, area_x, area_y + off,
+                                       area_w, 4, internal, ctu_x, ctu_y, True)
                 edge_idx_list.append(off // 4)
         else:
             for off in range(sub, area_w, sub):
-                _set_edge_multiple(state, EDGE_VER, area_x + off, area_y,
-                                   4, area_h, internal, ctu_x, ctu_y, True)
+                if mark:
+                    _set_edge_multiple(state, EDGE_VER, area_x + off, area_y,
+                                       4, area_h, internal, ctu_x, ctu_y, True)
                 edge_idx_list.append(off // 4)
-        _set_max_filter_len_subblocks(state, edge_dir, area_x, area_y,
-                                      area_w, area_h, ctu_x, ctu_y)
-    # --- boundary strengths ---
-    for y in range(0, area_h, 4):
-        for x in range(0, area_w, 4):
-            lx, ly = area_x + x, area_y + y
-            gx, gy = (lx - ctu_x) >> 2, (ly - ctu_y) >> 2
-            if not state.edge_filter[edge_dir][gy, gx]:
-                continue
-            preset = int(state.bs[edge_dir][gy, gx])
-            bs = 0
-            if cu.tree_type != TREE_C and cu.blocks[0] is not None:
-                bs |= _bs_single(dcs, cu, edge_dir, lx, ly, CH_L, preset)
-            if cu.blocks[1] is not None and fmt.num_components > 1:
-                bs |= _bs_single(dcs, cu, edge_dir, lx, ly, CH_C, preset)
-            state.bs[edge_dir][gy, gx] = bs
+        if mark:
+            _set_max_filter_len_subblocks(state, edge_dir, area_x, area_y,
+                                          area_w, area_h, ctu_x, ctu_y)
+    # --- boundary strengths (scalar; phase 0 only) ---
+    if phase == 0:
+        for y in range(0, area_h, 4):
+            for x in range(0, area_w, 4):
+                lx, ly = area_x + x, area_y + y
+                gx, gy = (lx - ctu_x) >> 2, (ly - ctu_y) >> 2
+                if not state.edge_filter[edge_dir][gy, gx]:
+                    continue
+                preset = int(state.bs[edge_dir][gy, gx])
+                bs = 0
+                if cu.tree_type != TREE_C and cu.blocks[0] is not None:
+                    bs |= _bs_single(dcs, cu, edge_dir, lx, ly, CH_L, preset)
+                if cu.blocks[1] is not None and fmt.num_components > 1:
+                    bs |= _bs_single(dcs, cu, edge_dir, lx, ly, CH_C, preset)
+                state.bs[edge_dir][gy, gx] = bs
+    if phase == 1:
+        return
     # --- filter edges (collect per-segment params into the picture maps;
     #     the sample filtering itself runs densely in ops/deblock_kernel) ---
     maxv = (1 << sps.bit_depth) - 1
@@ -665,6 +684,187 @@ def _set_max_filter_len_subblocks(state, edge_dir, area_x, area_y, area_w,
                 else:
                     mq[0, xi, yi] = 3
                     mp[0, xi, yi] = 3
+
+
+def _build_bs_tables(dcs):
+    """Per-picture CU/TU attribute vectors + slice reference-identity tables
+    for the vectorized boundary-strength pass (cached on the dcs).  Index
+    association is exactly the scalar one: dcs.map_l/map_c/map_tu_l/map_tu_c."""
+    t = getattr(dcs, "_bs_tables", None)
+    if t is not None and t["n_cu"] == len(dcs.cus) and t["n_tu"] == len(dcs.tus):
+        return t
+    cus, tus = dcs.cus, dcs.tus
+    n_cu, n_tu = len(cus), len(tus)
+    t = {
+        "n_cu": n_cu, "n_tu": n_tu,
+        "mode": np.fromiter((c.pred_mode for c in cus), np.int8, n_cu),
+        "bdpcm": np.fromiter((c.bdpcm_mode != 0 for c in cus), bool, n_cu),
+        "bdpcm_c": np.fromiter((c.bdpcm_mode_chroma != 0 for c in cus), bool, n_cu),
+        "ciip": np.fromiter((bool(c.ciip_flag) for c in cus), bool, n_cu),
+        "slice": np.fromiter((c.slice_idx for c in cus), np.int32, n_cu),
+        "has_c": np.fromiter((c.blocks[1] is not None for c in cus), bool, n_cu),
+        "cbf0": np.fromiter((bool(tu.cbf[0]) for tu in tus), bool, n_tu),
+        "cbf1": np.fromiter((bool(tu.cbf[1]) or bool(tu.joint_cbcr) for tu in tus), bool, n_tu),
+        "cbf2": np.fromiter((bool(tu.cbf[2]) or bool(tu.joint_cbcr) for tu in tus), bool, n_tu),
+    }
+    shs = dcs._slice_headers
+    max_ref = 1
+    for sh in shs:
+        rp = getattr(sh, "ref_pics", None) or [[], []]
+        max_ref = max(max_ref, len(rp[0]), len(rp[1]))
+    ref_id = np.full((max(len(shs), 1), 2, max_ref), -1, dtype=np.int32)
+    pic_ids: dict[int, int] = {}
+    for si, sh in enumerate(shs):
+        rp = getattr(sh, "ref_pics", None) or [[], []]
+        for lst in range(2):
+            for ri, p in enumerate(rp[lst]):
+                ref_id[si, lst, ri] = pic_ids.setdefault(id(p), len(pic_ids) + 1)
+    t["ref_id"] = ref_id
+    t["is_b"] = np.fromiter((bool(getattr(sh, "is_b", False)) for sh in shs),
+                            bool, len(shs)) if shs else np.zeros(1, bool)
+    dcs._bs_tables = t
+    return t
+
+
+def _bs_ctu_vec(dcs, state, edge_dir, ctu_x, ctu_y, chroma_tree: bool) -> None:
+    """Vectorized xGetBoundaryStrengthSingle over every flagged 4x4 position
+    of one CTU — bit-identical to the scalar _bs_single / per-CU BS loop."""
+    t = _build_bs_tables(dcs)
+    fmt = dcs.chroma_format
+    n = state.n
+    ef = state.edge_filter[edge_dir]
+    ys, xs = np.nonzero(ef)
+    if ys.size == 0:
+        return
+    qly = ctu_y + (ys << 2)
+    qlx = ctu_x + (xs << 2)
+    inpic = (qly < dcs.pic_h) & (qlx < dcs.pic_w)
+    if not inpic.all():
+        ys, xs, qly, qlx = ys[inpic], xs[inpic], qly[inpic], qlx[inpic]
+        if ys.size == 0:
+            return
+    ver = edge_dir == EDGE_VER
+    ply = qly - (0 if ver else 1)
+    plx = qlx - (1 if ver else 0)
+    p_ok = (ply >= 0) & (plx >= 0)
+    q4y, q4x = qly >> 2, qlx >> 2
+    p4y, p4x = np.maximum(ply, 0) >> 2, np.maximum(plx, 0) >> 2
+    preset = state.bs[edge_dir][ys, xs].astype(np.int32)
+    pre_nz = preset != 0
+    mode, bdpcm, bdpcm_c = t["mode"], t["bdpcm"], t["bdpcm_c"]
+    ciip, cu_slice = t["ciip"], t["slice"]
+    thr = (1 << 4) >> 1
+
+    def safe(vec, idx):
+        return np.where(idx >= 0, vec[np.maximum(idx, 0)], 0)
+
+    bs = np.zeros(ys.size, dtype=np.int64)
+
+    if not chroma_tree:
+        qcu = dcs.map_l[q4y, q4x]
+        pcu = np.where(p_ok, dcs.map_l[p4y, p4x], -1)
+        valid = (qcu >= 0) & (pcu >= 0)
+        qc = np.maximum(qcu, 0)
+        pc = np.maximum(pcu, 0)
+        m_q, m_p = mode[qc].astype(np.int32), mode[pc].astype(np.int32)
+        intra_any = (m_q == MODE_INTRA_V) | (m_p == MODE_INTRA_V)
+        both_bdpcm = (m_q == MODE_INTRA_V) & bdpcm[qc] & (m_p == MODE_INTRA_V) & bdpcm[pc]
+        bs_intra = np.where(both_bdpcm, 0, 2)
+        qtu = dcs.map_tu_l[q4y, q4x]
+        ptu = np.where(p_ok, dcs.map_tu_l[p4y, p4x], -1)
+        ciip_any = ciip[qc] | ciip[pc]
+        tmp = pre_nz & (safe(t["cbf0"], qtu) | safe(t["cbf0"], ptu)).astype(bool)
+        # --- MV-based BS (motion field exists only once an inter slice
+        # initialized it; on intra-only pictures every pair hits the
+        # intra_any branch, so bs_mv is never selected) ---
+        if not hasattr(dcs, "mf_refidx"):
+            bs_mv = np.zeros(ys.size, dtype=np.int64)
+        else:
+            is_b_any = t["is_b"][cu_slice[qc]] | t["is_b"][cu_slice[pc]]
+            ibc_q, ibc_p = m_q == MODE_IBC_V, m_p == MODE_IBC_V
+            ridq = dcs.mf_refidx[q4y, q4x].astype(np.int32)     # (N, 2)
+            ridp = dcs.mf_refidx[p4y, p4x].astype(np.int32)
+            mvq = dcs.mf_mv[q4y, q4x].astype(np.int64)          # (N, 2, 2)
+            mvp = dcs.mf_mv[p4y, p4x].astype(np.int64)
+            nref = t["ref_id"].shape[2]
+            slq, slp = cu_slice[qc], cu_slice[pc]
+
+            def refid(sl, rid, lst, is_ibc):
+                base = t["ref_id"][sl, lst, np.clip(rid[:, lst], 0, nref - 1)]
+                base = np.where(rid[:, lst] >= 0, base, -1)
+                return np.where(is_ibc, -2 if lst == 0 else -1, base)
+
+            rq0 = refid(slq, ridq, 0, ibc_q)
+            rq1 = refid(slq, ridq, 1, ibc_q)
+            rp0 = refid(slp, ridp, 0, ibc_p)
+            rp1 = refid(slp, ridp, 1, ibc_p)
+            mvq_g = np.where(ridq[:, :, None] >= 0, mvq, 0)
+            mvp_g = np.where(ridp[:, :, None] >= 0, mvp, 0)
+
+            def diff(a, b):
+                return (np.abs(a[:, 0] - b[:, 0]) >= thr) | (np.abs(a[:, 1] - b[:, 1]) >= thr)
+
+            d00 = diff(mvq_g[:, 0], mvp_g[:, 0])
+            d11 = diff(mvq_g[:, 1], mvp_g[:, 1])
+            d10 = diff(mvq_g[:, 1], mvp_g[:, 0])
+            d01 = diff(mvq_g[:, 0], mvp_g[:, 1])
+            same_refs = ((rp0 == rq0) & (rp1 == rq1)) | ((rp0 == rq1) & (rp1 == rq0))
+            bs_b = np.where(
+                ~same_refs, 1,
+                np.where(rp0 != rp1,
+                         np.where(rp0 == rq0, d00 | d11, d10 | d01),
+                         (d00 | d11) & (d10 | d01)).astype(np.int64))
+            d_p = diff(mvq[:, 0], mvp[:, 0])
+            bs_p_path = np.where(rp0 != rq0, 1, d_p.astype(np.int64))
+            bs_mv = np.where(is_b_any, bs_b, bs_p_path)
+        luma = np.select(
+            [intra_any,
+             ciip_any & pre_nz,
+             tmp,
+             ciip_any,
+             pre_nz & (preset != 3),
+             m_q != m_p],
+            [bs_intra, 2, 1, 1, 0, 1],
+            default=bs_mv)
+        bs |= np.where(valid, luma, 0)
+
+    if fmt.num_components > 1 and dcs.map_c is not None:
+        sx, sy = fmt.scale_x, fmt.scale_y
+        qcy, qcx = (qly >> sy) >> 1, (qlx >> sx) >> 1
+        pcy = np.maximum(ply >> sy, 0) >> 1
+        pcx = np.maximum(plx >> sx, 0) >> 1
+        qcu_c = dcs.map_c[qcy, qcx]
+        pcu_c = np.where(p_ok, dcs.map_c[pcy, pcx], -1)
+        if chroma_tree:
+            applies = qcu_c >= 0
+        else:
+            qcu_l = dcs.map_l[q4y, q4x]
+            applies = (qcu_l >= 0) & t["has_c"][np.maximum(qcu_l, 0)]
+        valid_c = applies & (pcu_c >= 0)
+        qcc = np.maximum(qcu_c, 0)
+        pcc = np.maximum(pcu_c, 0)
+        m_qc, m_pc = mode[qcc].astype(np.int32), mode[pcc].astype(np.int32)
+        intra_any_c = (m_qc == MODE_INTRA_V) | (m_pc == MODE_INTRA_V)
+        both_bdpcm_c = ((m_qc == MODE_INTRA_V) & bdpcm_c[qcc]
+                        & (m_pc == MODE_INTRA_V) & bdpcm_c[pcc])
+        c_val = np.where(both_bdpcm_c, 0, 2)
+        bs_intra_c = (c_val << 2) + (c_val << 4)
+        qtu_c = dcs.map_tu_c[qcy, qcx]
+        ptu_c = np.where(p_ok, dcs.map_tu_c[pcy, pcx], -1)
+        ciip_any_c = ciip[qcc] | ciip[pcc]
+        tmp_c = (np.where(pre_nz & (safe(t["cbf1"], qtu_c) | safe(t["cbf1"], ptu_c)).astype(bool), 1 << 2, 0)
+                 + np.where(pre_nz & (safe(t["cbf2"], qtu_c) | safe(t["cbf2"], ptu_c)).astype(bool), 1 << 4, 0))
+        chroma = np.select(
+            [intra_any_c, ciip_any_c & pre_nz, ciip_any_c],
+            [bs_intra_c, (2 << 2) + (2 << 4), 1],
+            default=tmp_c)
+        bs |= np.where(valid_c, chroma, 0)
+
+    state.bs[edge_dir][ys, xs] = bs
+
+
+MODE_INTRA_V = MODE_INTRA
+MODE_IBC_V = 2  # D.MODE_IBC
 
 
 def _bs_single(dcs, cu, edge_dir, lx, ly, ch, preset: int = 0) -> int:

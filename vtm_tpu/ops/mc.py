@@ -50,6 +50,8 @@ def luma_coeffs(frac: int, w: int, h: int, use_alt_hpel: bool,
 def _gather_ref(plane: np.ndarray, x0: int, y0: int, w: int, h: int) -> np.ndarray:
     """Window read with clamped indices == replicated border extension."""
     ph, pw = plane.shape
+    if 0 <= x0 and 0 <= y0 and x0 + w <= pw and y0 + h <= ph:
+        return plane[y0 : y0 + h, x0 : x0 + w].astype(np.int64)
     ys = np.clip(np.arange(y0, y0 + h), 0, ph - 1)
     xs = np.clip(np.arange(x0, x0 + w), 0, pw - 1)
     return plane[np.ix_(ys, xs)].astype(np.int64)

@@ -122,12 +122,10 @@ def dequant_dep(
     tmin, tmax = -(1 << max_range), (1 << max_range) - 1
     flat = coeff.ravel()
     out = np.zeros_like(flat)
-    last = -1
-    for scan_idx in range(w * h - 1, -1, -1):
-        if flat[scan[scan_idx][0]]:
-            last = scan_idx
-            break
-    if last < 0:
+    scan_pos = scan[:, 0]
+    lv_scan = flat[scan_pos].astype(np.int64)
+    nz = np.nonzero(lv_scan)[0]
+    if nz.size == 0:
         return out.reshape(h, w)
     qp_dq = qp[0] + 1
     qp_per, qp_rem = qp_dq // 6, qp_dq % 6
@@ -137,18 +135,29 @@ def dequant_dep(
         transform_shift -= 1
     shift = IQUANT_SHIFT + 1 - qp_per - transform_shift
     inv_scale = rom.inv_quant_scale(qp_rem, needs_sqrt2)
-    add = 0 if shift < 0 else (1 << shift) >> 1
-    state = 0
-    for scan_idx in range(last, -1, -1):
-        pos = int(scan[scan_idx][0])
-        level = int(flat[pos])
-        if level:
-            if shift < 0 and scan_idx == last:
-                inv_scale <<= -shift
-            q_idx = (level << 1) + (-(state >> 1) if level > 0 else (state >> 1))
-            val = (q_idx * inv_scale + add) >> (0 if shift < 0 else shift)
-            out[pos] = max(tmin, min(tmax, val))
-        state = (32040 >> ((state << 2) + ((level & 1) << 1))) & 3
+    if shift < 0:
+        inv_scale <<= -shift
+        shift = 0
+    add = (1 << shift) >> 1
+    # state walk over nonzeros only: between them the levels are zero, whose
+    # transition T0 = [0,2,1,3] swaps {1,2} per step and fixes {0,3}
+    trans = ((0, 2), (2, 0), (1, 3), (3, 1))  # trans[s] = (next|par0, next|par1)
+    states = np.empty(nz.size, dtype=np.int64)
+    s = 0
+    prev = int(nz[-1])  # == last significant scan index; state starts 0 there
+    for j in range(nz.size - 1, -1, -1):
+        idx = int(nz[j])
+        gap = prev - idx - 1  # zero-level positions crossed since previous nz
+        if gap > 0 and (gap & 1) and s in (1, 2):
+            s = 3 - s
+        states[j] = s
+        s = trans[s][int(lv_scan[idx]) & 1]
+        prev = idx
+    lv_nz = lv_scan[nz]
+    half = states >> 1
+    q_idx = (lv_nz << 1) + np.where(lv_nz > 0, -half, half)
+    val = (q_idx * int(inv_scale) + add) >> shift
+    out[scan_pos[nz]] = np.clip(val, tmin, tmax)
     return out.reshape(h, w)
 
 
