@@ -49,6 +49,31 @@ def _probe_fetch_ms() -> float:
     return (time.perf_counter() - t0) / 3 * 1e3
 
 
+_PROBE_DEADLINE_S = 10.0
+
+
+def _probe_fetch_ms_bounded() -> float:
+    """Run the fetch probe in a daemon thread with a deadline: a wedged
+    device link (tunnel hang) must degrade decode to the CPU backend, not
+    block it forever."""
+    import threading
+
+    out: list[float] = []
+
+    def run():
+        try:
+            out.append(_probe_fetch_ms())
+        except Exception:
+            pass
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(_PROBE_DEADLINE_S)
+    if not out:
+        return float("inf")
+    return out[0]
+
+
 def decode_placement() -> str:
     """'default' (leave jax's default device) or 'cpu'."""
     global _DECISION
@@ -64,7 +89,7 @@ def decode_placement() -> str:
             _DECISION = "default"
         else:
             try:
-                ms = _probe_fetch_ms()
+                ms = _probe_fetch_ms_bounded()
                 _DECISION = "default" if ms < _FETCH_PROBE_MS_LIMIT else "cpu"
             except Exception:
                 _DECISION = "default"
