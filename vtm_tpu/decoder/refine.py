@@ -282,198 +282,234 @@ def _pad_vec(vals, nb, dtype=np.int32):
     return out
 
 
+def _padded_plane_i32(pic, comp: int, pad: int) -> np.ndarray:
+    """Edge-replicated int32 copy of a (final) reference plane, cached on the
+    Picture — makes every DMVR prefetch window an interior read so windows
+    batch as one fancy-index per plane."""
+    cache = getattr(pic, "_dmvr_pad_cache", None)
+    if cache is None:
+        cache = pic._dmvr_pad_cache = {}
+    plane = pic.planes[comp]
+    ent = cache.get(comp)
+    if ent is not None and ent[0] == pad and ent[1] == id(plane):
+        return ent[2]
+    arr = np.pad(plane, pad, mode="edge").astype(np.int32)
+    cache[comp] = (pad, id(plane), arr)
+    return arr
+
+
+def _windows(padded, pad, fx, fy, wh: int, ww: int) -> np.ndarray:
+    """Batched window gather: all (wh, ww) windows whose clamped reads the
+    padding already materialized."""
+    from numpy.lib.stride_tricks import sliding_window_view as swv
+
+    return swv(padded, (wh, ww))[fy + pad, fx + pad]
+
+
 def dmvr_batch(recon, dcs, jobs):
-    """Batched xProcessDMVR over all DMVR CUs of a slice.
+    """Batched xProcessDMVR over all DMVR CUs of a slice, fully vectorized:
+    per (dx, dy) group one batched bilateral search, one batched luma FIR
+    per list, one batched chroma FIR, one batched BDOF blend.
 
     jobs: list of (cu, bio_applied).  Returns {id(cu): preds}; also sets
     cu._dmvr_mvd for the motion-field writeback."""
     import jax.numpy as jnp
 
     from vtm_tpu.ops import refine_kernel as RK
-    from vtm_tpu.ops.mc_kernel import McBatch
 
     sh = dcs.sh
     bd = recon.bit_depth
     fmt = dcs.chroma_format
     ncomp = fmt.num_components
+    scx, scy = fmt.scale_x, fmt.scale_y
+    pad_p = dcs.ctu_size + 16
     out_preds = {}
-    groups = {}
+
+    groups: dict = {}
     for cu, bio in jobs:
         b = cu.blocks[0]
         dx = min(b.w, DMVR_SUBCU)
         dy = min(b.h, DMVR_SUBCU)
-        preds = [np.zeros((b.h >> (fmt.scale_y if c else 0),
-                           b.w >> (fmt.scale_x if c else 0)), dtype=np.int64)
-                 for c in range(ncomp)]
+        preds = [np.zeros((b.h >> (scy if c else 0), b.w >> (scx if c else 0)),
+                          dtype=np.int64) for c in range(ncomp)]
         out_preds[id(cu)] = preds
         mvd_sub = {}
         cu._dmvr_mvd = (mvd_sub, dx, dy)
-        ref_planes = [sh.ref_pics[0][cu.ref_idx[0]].planes,
-                      sh.ref_pics[1][cu.ref_idx[1]].planes]
-        for sy, y in enumerate(range(b.y, b.y + b.h, dy)):
-            for sx, x in enumerate(range(b.x, b.x + b.w, dx)):
-                rec = {
-                    "cu": cu, "bio": bio, "x": x, "y": y, "sy": sy, "sx": sx,
-                    "preds": preds, "mvd_sub": mvd_sub,
-                    "ref_planes": ref_planes, "merge": [cu.mv[0], cu.mv[1]],
-                }
-                pres, fracs = [], []
-                for lst in range(2):
-                    mm = rec["merge"][lst]
-                    cmv = M.clip_mv_in_pic((mm[0] - (3 << 4), mm[1] - (3 << 4)),
-                                           x, y, dcs)
-                    fx = x + (cmv[0] >> 4)
-                    fy = y + (cmv[1] >> 4)
-                    pres.append(_gather(ref_planes[lst][0], fx, fy,
-                                        dx + 7, dy + 7).astype(np.int32))
-                    mv_cl = M.clip_mv_in_pic(mm, x, y, dcs)
-                    fracs.append((mv_cl[0] & 15, mv_cl[1] & 15))
-                rec["pre"] = pres
-                rec["fr"] = fracs
-                groups.setdefault((dx, dy), []).append(rec)
+        g = groups.setdefault((dx, dy), {"cu": [], "ci": [], "x": [], "y": []})
+        ci = len(g["cu"])
+        g["cu"].append({
+            "cu": cu, "bio": bio, "preds": preds, "mvd_sub": mvd_sub,
+            "pics": (sh.ref_pics[0][cu.ref_idx[0]],
+                     sh.ref_pics[1][cu.ref_idx[1]]),
+        })
+        nsx, nsy = b.w // dx, b.h // dy
+        gx, gy = np.meshgrid(np.arange(nsx), np.arange(nsy))
+        g["x"].append(b.x + gx.ravel().astype(np.int64) * dx)
+        g["y"].append(b.y + gy.ravel().astype(np.int64) * dy)
+        g["ci"].append(np.full(nsx * nsy, ci, np.int64))
 
-    from vtm_tpu.ops import mc as MCops
+    for (dx, dy), g in groups.items():
+        cus = g["cu"]
+        X = np.concatenate(g["x"])
+        Y = np.concatenate(g["y"])
+        CI = np.concatenate(g["ci"])
+        N = X.size
+        mm = np.array([[c["cu"].mv[0], c["cu"].mv[1]] for c in cus],
+                      dtype=np.int64)                      # (ncu, 2, 2)
+        bio_cu = np.fromiter((c["bio"] for c in cus), bool, len(cus))
+        mmx, mmy = mm[CI, :, 0], mm[CI, :, 1]              # (N, 2)
 
-    for (dx, dy), recs in groups.items():
-        n = len(recs)
-        nb = _bucket(n)
+        # clipMvInPic bounds per subblock (Mv.cpp:56)
+        hor_max = (dcs.pic_w + 8 - X - 1) << 4
+        hor_min = (-dcs.ctu_size - 8 - X + 1) << 4
+        ver_max = (dcs.pic_h + 8 - Y - 1) << 4
+        ver_min = (-dcs.ctu_size - 8 - Y + 1) << 4
+
+        def clipmv(mx, my):
+            return (np.clip(mx, hor_min, hor_max),
+                    np.clip(my, ver_min, ver_max))
+
+        pid = [np.fromiter((id(c["pics"][lst]) for c in cus), np.int64,
+                           len(cus)) for lst in range(2)]
+
+        def plane_gather(lst, comp, ox, oy, wh, ww, out_dt=np.int32):
+            """Batched window gather grouped by distinct reference picture."""
+            buf = np.empty((N, wh, ww), out_dt)
+            sub_pid = pid[lst][CI]
+            for upid in np.unique(sub_pid):
+                m = sub_pid == upid
+                pic = next(c["pics"][lst] for c in cus
+                           if id(c["pics"][lst]) == upid)
+                padded = _padded_plane_i32(pic, comp, pad_p)
+                buf[m] = _windows(padded, pad_p, ox[m], oy[m], wh, ww)
+            return buf
+
+        # ---- prefetch (xPrefetch forLuma) + search fracs ----
+        pres, frs = [], []
+        for lst in range(2):
+            cmvx, cmvy = clipmv(mmx[:, lst] - 48, mmy[:, lst] - 48)
+            fx = X + (cmvx >> 4)
+            fy = Y + (cmvy >> 4)
+            pres.append(plane_gather(lst, 0, fx, fy, dy + 7, dx + 7))
+            mclx, mcly = clipmv(mmx[:, lst], mmy[:, lst])
+            frs.append((mclx & 15, mcly & 15))
+
+        nb = _bucket(N)
+
+        def padN(a, dt=np.int32):
+            out = np.zeros((nb,) + a.shape[1:], dtype=dt)
+            out[:N] = a
+            return out
+
         tx, ty, mcost = RK.dmvr_search(
-            jnp.asarray(_pad_stack([r["pre"][0] for r in recs], nb)),
-            jnp.asarray(_pad_stack([r["pre"][1] for r in recs], nb)),
-            jnp.asarray(_pad_vec([r["fr"][0][0] for r in recs], nb)),
-            jnp.asarray(_pad_vec([r["fr"][0][1] for r in recs], nb)),
-            jnp.asarray(_pad_vec([r["fr"][1][0] for r in recs], nb)),
-            jnp.asarray(_pad_vec([r["fr"][1][1] for r in recs], nb)),
+            jnp.asarray(padN(pres[0])), jnp.asarray(padN(pres[1])),
+            jnp.asarray(padN(frs[0][0])), jnp.asarray(padN(frs[0][1])),
+            jnp.asarray(padN(frs[1][0])), jnp.asarray(padN(frs[1][1])),
             bd=bd, dx=dx, dy=dy)
-        tx = np.asarray(tx)[:n]
-        ty = np.asarray(ty)[:n]
-        mcost = np.asarray(mcost)[:n]
-        bio_thres = 2 * dx * dy
+        tx = np.asarray(tx)[:N].astype(np.int64)
+        ty = np.asarray(ty)[:N].astype(np.int64)
+        mcost = np.asarray(mcost)[:N]
+        bio_sub = np.where(mcost < 2 * dx * dy, False, bio_cu[CI])
+        moved = (tx != 0) | (ty != 0)
 
-        # ---- phase B: final padded MC ----
-        batch_buf = McBatch(bd)     # planes = per-job padded prefetch buffers
-        batch_pln = McBatch(bd)     # planes = reference planes (unmoved chroma)
-        for i, rec in enumerate(recs):
-            mvd = (int(tx[i]), int(ty[i]))
-            rec["mvd"] = mvd
-            rec["mvd_sub"][(rec["sy"], rec["sx"])] = mvd
-            rec["bio_sub"] = False if int(mcost[i]) < bio_thres else rec["bio"]
-            moved = mvd != (0, 0)
-            merge = rec["merge"]
-            x, y = rec["x"], rec["y"]
-            sub_mv = [
-                (merge[0][0] + mvd[0], merge[0][1] + mvd[1]),
-                (merge[1][0] - mvd[0], merge[1][1] - mvd[1]),
-            ]
-            rec["h"] = [[None] * ncomp, [None] * ncomp]
-            rec["ext_info"] = [None, None]
-            rec["pad_luma"] = [None, None]
-            for lst in range(2):
-                cmv = sub_mv[lst]
-                cmv_cl = M.clip_mv_in_pic(cmv, x, y, dcs)
-                for comp in range(ncomp):
-                    scx = fmt.scale_x if comp else 0
-                    scy = fmt.scale_y if comp else 0
-                    w_c, h_c = dx >> scx, dy >> scy
-                    frac_x = cmv_cl[0] & ((1 << (4 + scx)) - 1)
-                    frac_y = cmv_cl[1] & ((1 << (4 + scy)) - 1)
-                    if moved or comp == 0:
-                        # NOTE: the reference pads the prefetch buffer by
-                        # DMVR_ITER and reads with clamping; reads of the
-                        # edge-padded buffer equal clamped reads of the
-                        # unpadded buffer (clip(r-pad, 0, size-1)), so the
-                        # pad is folded into the kernel's index clamp.
-                        if comp == 0:
-                            padded = rec["pre"][lst]
-                            rec["pad_luma"][lst] = padded
-                            half = 3
-                        else:
-                            ccmv = M.clip_mv_in_pic(
-                                (merge[lst][0] - (1 << (4 + scx)),
-                                 merge[lst][1] - (1 << (4 + scy))), x, y, dcs)
-                            cfx = (x >> scx) + (ccmv[0] >> (4 + scx))
-                            cfy = (y >> scy) + (ccmv[1] >> (4 + scy))
-                            padded = _gather(rec["ref_planes"][lst][comp], cfx,
-                                             cfy, w_c + 3, h_c + 3).astype(np.int32)
-                            half = 1
-                        d_int_x = (cmv[0] >> (4 + scx)) - (merge[lst][0] >> (4 + scx))
-                        d_int_y = (cmv[1] >> (4 + scy)) - (merge[lst][1] >> (4 + scy))
-                        lx0 = half + d_int_x
-                        ly0 = half + d_int_y
-                        if comp == 0:
-                            cf_h = MCops.luma_coeffs(frac_x, w_c, h_c if frac_y == 0
-                                                     else h_c + 7, False, True)
-                            cf_v = MCops.luma_coeffs(frac_y, w_c, h_c, False, False)
-                            x_off = 1 if frac_x < 8 else 0
-                            y_off = 1 if frac_y < 8 else 0
-                            rec["ext_info"][lst] = (lx0 - x_off, ly0 - y_off)
-                        else:
-                            cf_h = MCops._CHROMA[frac_x << (1 - scx)]
-                            cf_v = MCops._CHROMA[frac_y << (1 - scy)]
-                        rec["h"][lst][comp] = batch_buf.add_block(
-                            padded, lx0, ly0, w_c, h_c, cf_h, cf_v,
-                            frac_y != 0, False, comp == 0)
-                    else:
-                        cb_x = (x >> scx) + (cmv_cl[0] >> (4 + scx))
-                        cb_y = (y >> scy) + (cmv_cl[1] >> (4 + scy))
-                        cf_h = MCops._CHROMA[frac_x << (1 - scx)]
-                        cf_v = MCops._CHROMA[frac_y << (1 - scy)]
-                        rec["h"][lst][comp] = (batch_pln.add_block(
-                            rec["ref_planes"][lst][comp], cb_x, cb_y, w_c, h_c,
-                            cf_h, cf_v, frac_y != 0, False, False), True)
-        from vtm_tpu.ops.mc_kernel import execute_many
+        # ---- final padded MC (xFinalPaddedMCForDMVR), luma ----
+        sub_mvx = np.stack([mmx[:, 0] + tx, mmx[:, 1] - tx], axis=1)
+        sub_mvy = np.stack([mmy[:, 0] + ty, mmy[:, 1] - ty], axis=1)
+        luma_out, ext_off = [], []
+        chroma_out = [[], []]  # [comp-1][lst] -> (N, h_c, w_c)
+        for lst in range(2):
+            cmx, cmy = clipmv(sub_mvx[:, lst], sub_mvy[:, lst])
+            frx, fry = cmx & 15, cmy & 15
+            x0 = 3 + (sub_mvx[:, lst] >> 4) - (mmx[:, lst] >> 4)
+            y0 = 3 + (sub_mvy[:, lst] >> 4) - (mmy[:, lst] >> 4)
+            res = RK.fir_blocks(
+                jnp.asarray(padN(pres[lst])),
+                jnp.asarray(padN(x0)), jnp.asarray(padN(y0)),
+                jnp.asarray(padN(MC._LUMA[frx].astype(np.int32))),
+                jnp.asarray(padN(MC._LUMA[fry].astype(np.int32))),
+                w=dx, h=dy, taps=8, bd=bd)
+            luma_out.append(np.asarray(res)[:N])
+            ext_off.append((x0 - (frx < 8), y0 - (fry < 8)))
 
-        execute_many([batch_buf, batch_pln])
-
-        # ---- assemble: BDOF blend (batched) or bi-average ----
-        bio_recs = [r for r in recs if r["bio_sub"]]
-        bio_out = None
-        if bio_recs:
-            exts = []
-            for r in bio_recs:
-                pair = []
-                for lst in range(2):
-                    center = batch_buf.block_result(r["h"][lst][0])
-                    ox, oy = r["ext_info"][lst]
-                    shift = max(2, MC.IF_INTERNAL_PREC - bd)
-                    ring_src = _gather(r["pad_luma"][lst], ox, oy, dx + 2, dy + 2)
-                    ext = ((ring_src << shift) - MC.IF_INTERNAL_OFFS).astype(np.int32)
-                    ext[1 : dy + 1, 1 : dx + 1] = center
-                    pair.append(ext)
-                exts.append(pair)
-            nbb = _bucket(len(bio_recs))
-            import jax.numpy as jnp2
-
-            res = RK.bdof_blend_batch(
-                jnp2.asarray(_pad_stack([p[0] for p in exts], nbb)),
-                jnp2.asarray(_pad_stack([p[1] for p in exts], nbb)),
-                bd=bd, w=dx, h=dy)
-            bio_out = np.asarray(res)[: len(bio_recs)]
-        bio_i = 0
-        for r in recs:
-            b = r["cu"].blocks[0]
-            ys0 = r["y"] - b.y
-            xs0 = r["x"] - b.x
-            if r["bio_sub"]:
-                blended = bio_out[bio_i].astype(np.int64)
-                bio_i += 1
-            else:
-                l0 = batch_buf.block_result(r["h"][0][0])
-                l1 = batch_buf.block_result(r["h"][1][0])
-                blended = MC.bi_average(l0, l1, bd)
-            r["preds"][0][ys0 : ys0 + dy, xs0 : xs0 + dx] = blended
             for comp in range(1, ncomp):
-                scx, scy = fmt.scale_x, fmt.scale_y
-                ps = []
-                for lst in range(2):
-                    h = r["h"][lst][comp]
-                    if isinstance(h, tuple) and len(h) == 2 and h[1] is True:
-                        ps.append(batch_pln.block_result(h[0]))
-                    else:
-                        ps.append(batch_buf.block_result(h))
-                r["preds"][comp][ys0 >> scy : (ys0 + dy) >> scy,
-                                 xs0 >> scx : (xs0 + dx) >> scx] = MC.bi_average(
-                    ps[0], ps[1], bd)
+                w_c, h_c = dx >> scx, dy >> scy
+                frx_c = cmx & ((1 << (4 + scx)) - 1)
+                fry_c = cmy & ((1 << (4 + scy)) - 1)
+                # moved blocks re-read the merge-MV prefetch window
+                # (xPrefetch !forLuma) and offset inside it; unmoved blocks
+                # read the reference directly at the clipped final MV.
+                ccmvx, ccmvy = clipmv(mmx[:, lst] - (1 << (4 + scx)),
+                                      mmy[:, lst] - (1 << (4 + scy)))
+                mv_ox = (X >> scx) + (ccmvx >> (4 + scx))
+                mv_oy = (Y >> scy) + (ccmvy >> (4 + scy))
+                di_x = (sub_mvx[:, lst] >> (4 + scx)) - (mmx[:, lst] >> (4 + scx))
+                di_y = (sub_mvy[:, lst] >> (4 + scy)) - (mmy[:, lst] >> (4 + scy))
+                um_ox = (X >> scx) + (cmx >> (4 + scx)) - 1
+                um_oy = (Y >> scy) + (cmy >> (4 + scy)) - 1
+                org_x = np.where(moved, mv_ox, um_ox)
+                org_y = np.where(moved, mv_oy, um_oy)
+                x0c = np.where(moved, 1 + di_x, 1)
+                y0c = np.where(moved, 1 + di_y, 1)
+                bufc = plane_gather(lst, comp, org_x, org_y, h_c + 3, w_c + 3)
+                res_c = RK.fir_blocks(
+                    jnp.asarray(padN(bufc)),
+                    jnp.asarray(padN(x0c)), jnp.asarray(padN(y0c)),
+                    jnp.asarray(padN(MC._CHROMA[frx_c << (1 - scx)].astype(np.int32))),
+                    jnp.asarray(padN(MC._CHROMA[fry_c << (1 - scy)].astype(np.int32))),
+                    w=w_c, h=h_c, taps=4, bd=bd)
+                chroma_out[comp - 1].append(np.asarray(res_c)[:N])
+
+        # ---- blend: BDOF (batched) or bi-average ----
+        blended = np.empty((N, dy, dx), np.int64)
+        nonbio = ~bio_sub
+        if nonbio.any():
+            blended[nonbio] = MC.bi_average(
+                luma_out[0][nonbio].astype(np.int64),
+                luma_out[1][nonbio].astype(np.int64), bd)
+        bio_idx = np.nonzero(bio_sub)[0]
+        if bio_idx.size:
+            M = bio_idx.size
+            nbb = _bucket(M)
+
+            def padM(a):
+                out = np.zeros((nbb,) + a.shape[1:], dtype=a.dtype)
+                out[:M] = a
+                return out
+
+            shift_b = max(2, MC.IF_INTERNAL_PREC - bd)
+            exts = []
+            for lst in range(2):
+                ox = ext_off[lst][0][bio_idx]
+                oy = ext_off[lst][1][bio_idx]
+                buf = pres[lst][bio_idx]
+                iy = np.clip(oy[:, None] + np.arange(dy + 2), 0, dy + 6)
+                ix = np.clip(ox[:, None] + np.arange(dx + 2), 0, dx + 6)
+                ring = buf[np.arange(M)[:, None, None],
+                           iy[:, :, None], ix[:, None, :]].astype(np.int32)
+                ext = (ring << shift_b) - MC.IF_INTERNAL_OFFS
+                ext[:, 1 : dy + 1, 1 : dx + 1] = luma_out[lst][bio_idx]
+                exts.append(ext)
+            res = RK.bdof_blend_batch(jnp.asarray(padM(exts[0])),
+                                      jnp.asarray(padM(exts[1])),
+                                      bd=bd, w=dx, h=dy)
+            blended[bio_idx] = np.asarray(res)[:M].astype(np.int64)
+
+        chroma_blend = [MC.bi_average(chroma_out[c][0].astype(np.int64),
+                                      chroma_out[c][1].astype(np.int64), bd)
+                        for c in range(ncomp - 1)]
+
+        # ---- write back ----
+        for i in range(N):
+            c = cus[CI[i]]
+            b = c["cu"].blocks[0]
+            ys0 = int(Y[i]) - b.y
+            xs0 = int(X[i]) - b.x
+            c["mvd_sub"][(ys0 // dy, xs0 // dx)] = (int(tx[i]), int(ty[i]))
+            c["preds"][0][ys0 : ys0 + dy, xs0 : xs0 + dx] = blended[i]
+            for comp in range(1, ncomp):
+                c["preds"][comp][ys0 >> scy : (ys0 + dy) >> scy,
+                                 xs0 >> scx : (xs0 + dx) >> scx] = \
+                    chroma_blend[comp - 1][i]
     return out_preds
 
 

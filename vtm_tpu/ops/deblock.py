@@ -29,6 +29,8 @@ BETA_TABLE = [
 ]
 DEFAULT_INTRA_TC_OFFSET = 2
 EDGE_VER, EDGE_HOR = 0, 1
+_TC_TABLE_NP = np.asarray(TC_TABLE, dtype=np.int32)
+_BETA_TABLE_NP = np.asarray(BETA_TABLE, dtype=np.int32)
 
 
 def _clip3(lo, hi, v):
@@ -334,8 +336,8 @@ def build_pic_maps(dcs, pic) -> list:
                 for cu in luma_cus:
                     _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0, maps, phase=1)
                 _bs_ctu_vec(dcs, state, edge_dir, x0, y0, chroma_tree=False)
-                for cu in luma_cus:
-                    _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0, maps, phase=2)
+                _collect_ctu_vec(dcs, state, edge_dir, x0, y0, maps,
+                                 chroma_tree=False)
                 if is_dual:
                     state.reset(edge_dir)
                     chroma_cus = [
@@ -347,8 +349,8 @@ def build_pic_maps(dcs, pic) -> list:
                     for cu in chroma_cus:
                         _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0, maps, phase=1)
                     _bs_ctu_vec(dcs, state, edge_dir, x0, y0, chroma_tree=True)
-                    for cu in chroma_cus:
-                        _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0, maps, phase=2)
+                    _collect_ctu_vec(dcs, state, edge_dir, x0, y0, maps,
+                                     chroma_tree=True)
         if cap is not None:
             cap["dmaps"][edge_dir] = (
                 maps.l_active.copy(), maps.l_tc.copy(), maps.l_beta.copy(),
@@ -706,7 +708,35 @@ def _build_bs_tables(dcs):
         "cbf0": np.fromiter((bool(tu.cbf[0]) for tu in tus), bool, n_tu),
         "cbf1": np.fromiter((bool(tu.cbf[1]) or bool(tu.joint_cbcr) for tu in tus), bool, n_tu),
         "cbf2": np.fromiter((bool(tu.cbf[2]) or bool(tu.joint_cbcr) for tu in tus), bool, n_tu),
+        "qp": np.fromiter((c.qp for c in cus), np.int32, n_cu),
+        "affine": np.fromiter((bool(getattr(c, "affine", False)) for c in cus), bool, n_cu),
+        "tile": np.fromiter((getattr(c, "tile_idx", 0) for c in cus), np.int32, n_cu),
+        "isp": np.fromiter((bool(c.isp_mode) for c in cus), bool, n_cu),
+        "sep": np.fromiter((bool(getattr(c, "is_sep_tree", False)) for c in cus), bool, n_cu),
+        "lx": np.fromiter(
+            (c.blocks[0].x if c.blocks[0] is not None
+             else c.blocks[1].x << dcs.chroma_format.scale_x for c in cus),
+            np.int32, n_cu),
+        "ly": np.fromiter(
+            (c.blocks[0].y if c.blocks[0] is not None
+             else c.blocks[1].y << dcs.chroma_format.scale_y for c in cus),
+            np.int32, n_cu),
     }
+    # per-TU chroma deblock base QPs (QpParam(tu, comp).Qp(0) - qpBdOffset),
+    # memoized over the few distinct (slice, qp, adj, jcbcr) combinations
+    if dcs.chroma_format.num_components > 1:
+        memo: dict = {}
+        cqp = np.zeros((max(n_tu, 1), 2), dtype=np.int32)
+        for ti, tu in enumerate(tus):
+            cu = tu.cu
+            key = (cu.slice_idx, cu.qp, cu.chroma_qp_adj, tu.joint_cbcr)
+            v = memo.get(key)
+            if v is None:
+                v = (_chroma_base_qp(dcs, tu, 1), _chroma_base_qp(dcs, tu, 2))
+                memo[key] = v
+            cqp[ti, 0] = v[0]
+            cqp[ti, 1] = v[1]
+        t["cqp"] = cqp
     shs = dcs._slice_headers
     max_ref = 1
     for sh in shs:
@@ -722,6 +752,21 @@ def _build_bs_tables(dcs):
     t["ref_id"] = ref_id
     t["is_b"] = np.fromiter((bool(getattr(sh, "is_b", False)) for sh in shs),
                             bool, len(shs)) if shs else np.zeros(1, bool)
+    nsl = max(len(shs), 1)
+
+    def sl_vec(attr):
+        out = np.zeros(nsl, dtype=np.int32)
+        for si, sh in enumerate(shs):
+            out[si] = getattr(sh, attr)
+        return out
+
+    for attr in ("beta_offset_div2", "tc_offset_div2", "cb_tc_offset_div2",
+                 "cr_tc_offset_div2", "cb_beta_offset_div2",
+                 "cr_beta_offset_div2"):
+        t[attr] = sl_vec(attr)
+    cu_idx_of = {id(c): i for i, c in enumerate(cus)}
+    t["tu_cui"] = np.fromiter((cu_idx_of[id(tu.cu)] for tu in tus),
+                              np.int32, n_tu)
     dcs._bs_tables = t
     return t
 
@@ -861,6 +906,161 @@ def _bs_ctu_vec(dcs, state, edge_dir, ctu_x, ctu_y, chroma_tree: bool) -> None:
         bs |= np.where(valid_c, chroma, 0)
 
     state.bs[edge_dir][ys, xs] = bs
+
+
+def _collect_ctu_vec(dcs, state, edge_dir, ctu_x, ctu_y, maps,
+                     chroma_tree: bool) -> None:
+    """Vectorized per-CTU edge-parameter collection — bit-identical twin of
+    _collect_edge_params_luma/_collect_edge_params_chroma over every flagged
+    position of the CTU."""
+    t = _build_bs_tables(dcs)
+    fmt = dcs.chroma_format
+    sps = dcs.sps
+    pps = dcs.pps
+    ef = state.edge_filter[edge_dir]
+    ys, xs = np.nonzero(ef)
+    if ys.size == 0:
+        return
+    qly = ctu_y + (ys << 2)
+    qlx = ctu_x + (xs << 2)
+    inpic = (qly < dcs.pic_h) & (qlx < dcs.pic_w)
+    if not inpic.all():
+        ys, xs, qly, qlx = ys[inpic], xs[inpic], qly[inpic], qlx[inpic]
+        if ys.size == 0:
+            return
+    ver = edge_dir == EDGE_VER
+    q4y, q4x = qly >> 2, qlx >> 2
+    p4y = q4y - (0 if ver else 1)
+    p4x = q4x - (1 if ver else 0)
+    p_ok = (p4y >= 0) & (p4x >= 0)
+    pc4y, pc4x = np.maximum(p4y, 0), np.maximum(p4x, 0)
+    bit_depth = sps.bit_depth
+    bd_scale = 1 << (bit_depth - 8)
+    bs_now = state.bs[edge_dir][ys, xs].astype(np.int64)
+    pgy, pgx = q4y, q4x  # global picture 4x4-map coords
+
+    def tc_from_idx(idx_tc):
+        if bit_depth < 10:
+            return (_TC_TABLE_NP[idx_tc] + (1 << (9 - bit_depth))) >> (10 - bit_depth)
+        return _TC_TABLE_NP[idx_tc] << (bit_depth - 10)
+
+    if not chroma_tree:
+        qcu = dcs.map_l[q4y, q4x]
+        pcu = np.where(p_ok, dcs.map_l[pc4y, pc4x], -1)
+        qc = np.maximum(qcu, 0)
+        pc = np.maximum(pcu, 0)
+        bsl = bs_now & 3
+        act = (bsl != 0) & (qcu >= 0)
+        avail = pcu >= 0
+        if not pps.loop_filter_across_slices:
+            avail &= t["slice"][qc] == t["slice"][pc]
+        if not pps.loop_filter_across_tiles:
+            avail &= t["tile"][qc] == t["tile"][pc]
+        wipe = act & ~avail
+        if wipe.any():
+            state.bs[edge_dir][ys[wipe], xs[wipe]] = 0
+            bs_now = np.where(wipe, 0, bs_now)
+        sel = act & avail
+        if sel.any():
+            qp = (t["qp"][pc] + t["qp"][qc] + 1) >> 1
+            mxp = state.max_len_p[0, xs << 2, ys << 2].astype(np.int64)
+            mxq = state.max_len_q[0, xs << 2, ys << 2]
+            mxp = np.where((mxp > 5) & t["affine"][pc], 5, mxp)
+            if edge_dir == EDGE_HOR:
+                mxp = np.where(qly % sps.ctu_size == 0, np.minimum(mxp, 3), mxp)
+            sl = t["slice"][qc]
+            idx_tc = np.clip(qp + DEFAULT_INTRA_TC_OFFSET * (bsl - 1)
+                             + (t["tc_offset_div2"][sl] << 1),
+                             0, 63 + DEFAULT_INTRA_TC_OFFSET)
+            idx_b = np.clip(qp + (t["beta_offset_div2"][sl] << 1), 0, 63)
+            tc = tc_from_idx(idx_tc)
+            beta = _BETA_TABLE_NP[idx_b] * bd_scale
+            w = sel
+            maps.l_active[pgy[w], pgx[w]] = True
+            maps.l_tc[pgy[w], pgx[w]] = tc[w]
+            maps.l_beta[pgy[w], pgx[w]] = beta[w]
+            maps.l_maxp[pgy[w], pgx[w]] = mxp[w]
+            maps.l_maxq[pgy[w], pgx[w]] = mxq[w]
+            if sps.palette:
+                maps.l_nop[pgy[w], pgx[w]] = (t["mode"][pc] == 3)[w]
+                maps.l_noq[pgy[w], pgx[w]] = (t["mode"][qc] == 3)[w]
+            else:
+                maps.l_nop[pgy[w], pgx[w]] = False
+                maps.l_noq[pgy[w], pgx[w]] = False
+
+    if fmt.num_components <= 1 or dcs.map_c is None:
+        return
+    sx, sy = fmt.scale_x, fmt.scale_y
+    pels_h, pels_v = 4 >> sx, 4 >> sy
+    if pels_h < 8 and pels_v < 8:
+        gate = (xs % (8 // pels_h) == 0) if ver else (ys % (8 // pels_v) == 0)
+    else:
+        gate = np.ones(xs.size, bool)
+    bscb = (bs_now >> 2) & 3
+    bscr = (bs_now >> 4) & 3
+    act_c = gate & ((bscb != 0) | (bscr != 0))
+    qcy = (qly >> sy) >> 1
+    qcx = (qlx >> sx) >> 1
+    if chroma_tree:
+        qcu_c = dcs.map_c[qcy, qcx]
+        own = qcu_c >= 0
+        cu_own = np.maximum(qcu_c, 0)
+    else:
+        qcu_l = dcs.map_l[q4y, q4x]
+        own = (qcu_l >= 0) & t["has_c"][np.maximum(qcu_l, 0)]
+        cu_own = np.maximum(qcu_l, 0)
+    isp = t["isp"][cu_own]
+    at_cu_edge = (qlx == t["lx"][cu_own]) if ver else (qly == t["ly"][cu_own])
+    act_c &= own & (~isp | at_cu_edge)
+    if not act_c.any():
+        return
+    # p-side CU: luma-map CU unless separate-tree, else chroma-map CU
+    cu_p1 = np.where(p_ok, dcs.map_l[pc4y, pc4x], -1)
+    pcy = ((qly - (0 if ver else 4)) >> sy) >> 1
+    pcx = ((qlx - (4 if ver else 0)) >> sx) >> 1
+    cu_p2 = np.where(p_ok, dcs.map_c[np.maximum(pcy, 0), np.maximum(pcx, 0)], -1)
+    use1 = (cu_p1 >= 0) & ~t["sep"][np.maximum(cu_p1, 0)]
+    cu_p = np.where(use1, cu_p1, cu_p2)
+    act_c &= cu_p >= 0
+    if not act_c.any():
+        return
+    mxp_c = state.max_len_p[1, (qlx - ctu_x) >> sx, (qly - ctu_y) >> sy]
+    mxq_c = state.max_len_q[1, (qlx - ctu_x) >> sx, (qly - ctu_y) >> sy]
+    large = (mxp_c >= 3) & (mxq_c >= 3)
+    horctb = np.zeros(xs.size, bool) if ver else (qly % sps.ctu_size == 0)
+    tu_q = np.maximum(dcs.map_tu_c[qcy, qcx], 0)
+    tu_p = np.maximum(
+        np.where(p_ok, dcs.map_tu_c[np.maximum(pcy, 0), np.maximum(pcx, 0)], 0), 0)
+    sl_c = t["slice"][cu_own]
+    any_active = np.zeros(xs.size, bool)
+    for ci in range(2):
+        bs_i = bscb if ci == 0 else bscr
+        a = act_c & ((bs_i == 2) | (large & (bs_i == 1)))
+        if not a.any():
+            continue
+        qp_i = (t["cqp"][tu_p, ci] + t["cqp"][tu_q, ci] + 1) >> 1
+        tc_off = (t["cb_tc_offset_div2"] if ci == 0 else t["cr_tc_offset_div2"])[sl_c]
+        b_off = (t["cb_beta_offset_div2"] if ci == 0 else t["cr_beta_offset_div2"])[sl_c]
+        idx_tc = np.clip(qp_i + DEFAULT_INTRA_TC_OFFSET * (bs_i - 1) + (tc_off << 1),
+                         0, 63 + DEFAULT_INTRA_TC_OFFSET)
+        idx_b = np.clip(qp_i + (b_off << 1), 0, 63)
+        tc = tc_from_idx(idx_tc)
+        beta = _BETA_TABLE_NP[idx_b] * bd_scale
+        pre = "cb" if ci == 0 else "cr"
+        getattr(maps, f"{pre}_active")[pgy[a], pgx[a]] = True
+        getattr(maps, f"{pre}_tc")[pgy[a], pgx[a]] = tc[a]
+        getattr(maps, f"{pre}_beta")[pgy[a], pgx[a]] = beta[a]
+        any_active |= a
+    w = any_active
+    if w.any():
+        maps.c_large[pgy[w], pgx[w]] = large[w]
+        if sps.palette:
+            maps.c_nop[pgy[w], pgx[w]] = (t["mode"][t["tu_cui"][tu_p]] == 3)[w]
+            maps.c_noq[pgy[w], pgx[w]] = (t["mode"][t["tu_cui"][tu_q]] == 3)[w]
+        else:
+            maps.c_nop[pgy[w], pgx[w]] = False
+            maps.c_noq[pgy[w], pgx[w]] = False
+        maps.c_horctb[pgy[w], pgx[w]] = horctb[w]
 
 
 MODE_INTRA_V = MODE_INTRA

@@ -119,6 +119,35 @@ def dmvr_search(pre0, pre1, f0x, f0y, f1x, f1y, bd: int, dx: int, dy: int):
     return total_x, total_y, min_cost
 
 
+@partial(jax.jit, static_argnames=("w", "h", "taps", "bd"))
+def fir_blocks(bufs, x0, y0, cfh, cfv, w: int, h: int, taps: int, bd: int):
+    """Batched two-pass FIR over per-block private support buffers, producing
+    the 14-bit intermediate (the rnd=False / notLast path of
+    InterpolationFilter::filter).  Reads clamp at buffer edges, which equals
+    the reference's edge-padded DMVR prefetch buffers (xFinalPaddedMCForDMVR):
+    replication is idempotent under further clamping.
+
+    bufs: int32 [N, H, W]; x0, y0: int32 [N] block sample origin inside the
+    buffer; cfh, cfv: int32 [N, taps] (identity row for phase 0).
+    Returns int32 [N, h, w]."""
+    N, H, W = bufs.shape
+    half = taps // 2 - 1
+    hr = max(2, IF_INTERNAL_PREC - bd)
+    s1 = 6 - hr
+    off1 = -(IF_OFFS << s1)
+    iy = jnp.clip(y0[:, None] - half + jnp.arange(h + taps - 1), 0, H - 1)
+    ix = jnp.clip(x0[:, None] - half + jnp.arange(w + taps - 1), 0, W - 1)
+    win = bufs[jnp.arange(N)[:, None, None], iy[:, :, None], ix[:, None, :]]
+    tmp = jnp.zeros((N, h + taps - 1, w), dtype=jnp.int32)
+    for k in range(taps):
+        tmp = tmp + cfh[:, k, None, None] * win[:, :, k : k + w]
+    tmp = (tmp + off1) >> s1
+    acc = jnp.zeros((N, h, w), dtype=jnp.int32)
+    for k in range(taps):
+        acc = acc + cfv[:, k, None, None] * tmp[:, k : k + h, :]
+    return acc >> 6
+
+
 def _floor_log2(x):
     """Exact integer floor(log2(max(x,1))) via comparisons."""
     lg = jnp.zeros_like(x)
