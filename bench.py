@@ -29,6 +29,30 @@ def _decode_once():
     return len(pics), mismatches
 
 
+VTM_ENCODE_AI_FPS = 1 / 3.046  # reference EncoderApp AI small208 qp32, this host
+
+
+def _encode_once() -> float:
+    """AI encode of one small208 frame; returns seconds."""
+    from vtm_tpu.common.exec_mode import decode_device_ctx
+    from vtm_tpu.encoder.enc_lib import EncoderConfig, IntraEncoder
+
+    with open("testdata/small208_208x120_420_8.yuv", "rb") as f:
+        raw = f.read(208 * 120 * 3 // 2)
+    import numpy as np
+
+    y = np.frombuffer(raw[: 208 * 120], np.uint8).reshape(120, 208)
+    u = np.frombuffer(raw[208 * 120 : 208 * 120 * 5 // 4], np.uint8).reshape(60, 104)
+    v = np.frombuffer(raw[208 * 120 * 5 // 4 :], np.uint8).reshape(60, 104)
+    frame = [y.astype(np.int32), u.astype(np.int32), v.astype(np.int32)]
+    cfg = EncoderConfig(width=208, height=120, qp=32)
+    with decode_device_ctx():
+        IntraEncoder(cfg).encode([frame])  # warm-up (jit compiles)
+        t0 = time.perf_counter()
+        IntraEncoder(cfg).encode([frame])
+        return time.perf_counter() - t0
+
+
 def main():
     # warm-up: first pass compiles every kernel shape
     n, bad = _decode_once()
@@ -40,11 +64,19 @@ def main():
         assert bad == 0
     dt = (time.perf_counter() - t0) / iters
     fps = n / dt
+    try:
+        enc_dt = _encode_once()
+        enc_fps = round(1.0 / enc_dt, 4)
+        enc_vs = round((1.0 / enc_dt) / VTM_ENCODE_AI_FPS, 4)
+    except Exception:
+        enc_fps = enc_vs = None
     print(json.dumps({
         "metric": "e2e_decode_fps_ra_full_bq416_qp37",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / VTM_DECODE_FPS, 4),
+        "encode_ai_fps_small208": enc_fps,
+        "encode_vs_vtm": enc_vs,
     }))
 
 

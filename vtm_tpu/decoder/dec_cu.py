@@ -446,46 +446,47 @@ class CuReconstructor:
             return int(plane[py, px])
 
         if num_intra == total_units:
-            for j in range(pred_size + mrl + 1):
-                top[j] = src(x0 - 1 - mrl + j, y0 - 1 - mrl)
-            for i in range(pred_hsize + mrl + 1):
-                left[i] = src(x0 - 1 - mrl, y0 - 1 - mrl + i)
+            ty = min(max(y0 - 1 - mrl, 0), ph - 1)
+            txs = np.clip(np.arange(x0 - 1 - mrl, x0 + pred_size), 0, pw - 1)
+            top[: pred_size + mrl + 1] = plane[ty, txs]
+            lx = min(max(x0 - 1 - mrl, 0), pw - 1)
+            lys = np.clip(np.arange(y0 - 1 - mrl, y0 + pred_hsize), 0, ph - 1)
+            left[: pred_hsize + mrl + 1] = plane[lys, lx]
             return top, left
-        # partial: fill available, then pad (mirror of reference logic)
-        filled = np.zeros(total_units, dtype=bool)
+        # partial: fill available, then pad (mirror of reference logic).
+        # The available reads are rows/columns of the plane with clamped
+        # coordinates, so read both lines once and copy slices: top[j] ==
+        # plane[clamp(y0-1-mrl), clamp(x0-1-mrl+j)] and likewise for left.
+        trow_y = min(max(y0 - 1 - mrl, 0), ph - 1)
+        trow = plane[trow_y, np.clip(np.arange(x0 - 1 - mrl, x0 + pred_size),
+                                     0, pw - 1)]
+        lcol_x = min(max(x0 - 1 - mrl, 0), pw - 1)
+        lcol = plane[np.clip(np.arange(y0 - 1 - mrl, y0 + pred_hsize),
+                             0, ph - 1), lcol_x]
         # top-left
         if flags[total_left]:
-            top[0] = src(x0 - 1 - mrl, y0 - 1 - mrl)
+            top[0] = trow[0]
             left[0] = top[0]
-            for i in range(1, mrl + 1):
-                top[i] = src(x0 - 1 - mrl + i, y0 - 1 - mrl)
-                left[i] = src(x0 - 1 - mrl, y0 - 1 - mrl + i)
+            top[1 : mrl + 1] = trow[1 : mrl + 1]
+            left[1 : mrl + 1] = lcol[1 : mrl + 1]
         # left/below-left: unit idx total_left-1 down to 1
         for unit in range(total_left - 1, 0, -1):
             if flags[unit]:
-                row0 = y0 + (total_left - 1 - unit) * unit_h
-                for i in range(unit_h):
-                    left[mrl + 1 + (total_left - 1 - unit) * unit_h + i] = src(
-                        x0 - 1 - mrl, row0 + i
-                    )
+                j0 = mrl + 1 + (total_left - 1 - unit) * unit_h
+                left[j0 : j0 + unit_h] = lcol[j0 : j0 + unit_h]
         if flags[0]:
             last = unit_h if pred_hsize % unit_h == 0 else pred_hsize % unit_h
-            row0 = y0 + (total_left - 1) * unit_h
-            for i in range(last):
-                left[mrl + 1 + (total_left - 1) * unit_h + i] = src(x0 - 1 - mrl, row0 + i)
+            j0 = mrl + 1 + (total_left - 1) * unit_h
+            left[j0 : j0 + last] = lcol[j0 : j0 + last]
         # above/above-right
         for unit in range(total_left + 1, total_units - 1):
             if flags[unit]:
-                col0 = x0 + (unit - total_left - 1) * unit_w
-                for j in range(unit_w):
-                    top[mrl + 1 + (unit - total_left - 1) * unit_w + j] = src(
-                        col0 + j, y0 - 1 - mrl
-                    )
+                j0 = mrl + 1 + (unit - total_left - 1) * unit_w
+                top[j0 : j0 + unit_w] = trow[j0 : j0 + unit_w]
         if flags[total_units - 1]:
             last = unit_w if pred_size % unit_w == 0 else pred_size % unit_w
-            col0 = x0 + (total_above - 1) * unit_w
-            for j in range(last):
-                top[mrl + 1 + (total_above - 1) * unit_w + j] = src(col0 + j, y0 - 1 - mrl)
+            j0 = mrl + 1 + (total_above - 1) * unit_w
+            top[j0 : j0 + last] = trow[j0 : j0 + last]
         # padding — mirror of the reference's unit-based pad
         # find first available unit
         if not flags[0]:

@@ -29,6 +29,29 @@ from vtm_tpu.decoder.cabac_reader import (
 )
 from vtm_tpu.decoder.cs import CH_C, CH_L, CU, MODE_INTRA, TU
 
+_NATIVE_EST = None  # None = not probed; False = unavailable
+
+
+def _native_est():
+    """The C residual-coding bit estimator (native/cabac.c rc_est)."""
+    global _NATIVE_EST
+    if _NATIVE_EST is None:
+        from vtm_tpu.native import load_cabac
+
+        mod = load_cabac()
+        if mod is not None and hasattr(mod, "rc_est"):
+            mod.set_tables(
+                np.ascontiguousarray(rom.group_idx(), dtype=np.int32),
+                np.ascontiguousarray(rom.min_in_group(), dtype=np.int32),
+                np.ascontiguousarray(rom.go_rice_pars_coeff(), dtype=np.int32),
+            )
+            mod.set_frac_table(
+                np.ascontiguousarray(rom.bin_frac_bits(), dtype=np.int64))
+            _NATIVE_EST = mod
+        else:
+            _NATIVE_EST = False
+    return _NATIVE_EST
+
 
 class SyntaxWriter:
     def __init__(self, dcs, engine):
@@ -738,6 +761,32 @@ class SyntaxWriter:
         return ctx(f"QtCbf_{comp}", c)
 
     def residual_coding(self, tu: TU, comp: int):
+        from vtm_tpu.encoder.bin_encoder import BitEstimator
+
+        if isinstance(self.e, BitEstimator):
+            mod = _native_est()
+            if mod:
+                from vtm_tpu.decoder.cabac_reader import _rc_static
+
+                b = tu.blocks[comp]
+                ch = 0 if comp == 0 else 1
+                st = _rc_static(b.w, b.h, ch)
+                ratio = (MAX_CTX_BIN_RATIO_LUMA if comp == 0
+                         else MAX_CTX_BIN_RATIO_CHROMA)
+                w = min(32, b.w)
+                h = min(32, b.h)
+                reg_bin_limit = (w * h * ratio) >> 4
+                state_trans = 32040 if self.cs.sh.dep_quant else 0
+                flat = np.ascontiguousarray(tu.coeffs[comp].ravel(),
+                                            dtype=np.int32)
+                fb, _last = mod.rc_est(
+                    self.e.ctx, flat, st[0], st[1], b.w, b.h, st[2], st[3],
+                    ch, state_trans, reg_bin_limit,
+                    st[4], st[5], st[6], st[7], st[8], st[9],
+                    st[10], st[11], st[12], st[13], st[14], st[15], st[16],
+                    st[17], st[18])
+                self.e.frac_bits += fb
+                return
         cctx = CoeffCtx(tu, comp, False, self.sps)
         coeff = tu.coeffs[comp].ravel()
         # last significant position

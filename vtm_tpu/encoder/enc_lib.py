@@ -518,6 +518,15 @@ class IntraEncoder:
         dcs = self.dcs
         fmt = dcs.chroma_format
         src_y = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
+        # full-block reference fills are invariant across the mode trials of
+        # this CU (reconstruction only touches samples INSIDE the block):
+        # cache them for the duration of this _rd_cu call
+        self._ref_ok = {
+            0: (a.x, a.y, a.w, a.h),
+            1: (a.x >> fmt.scale_x, a.y >> fmt.scale_y,
+                a.w >> fmt.scale_x, a.h >> fmt.scale_y),
+        }
+        self._ref_cache = {}
         # ---- luma candidate preselection by SATD-like cost on prediction
         cand_modes = self._preselect_modes(a, src_y)
         best = None  # (cost, dist, snap_after, est_after)
@@ -540,21 +549,35 @@ class IntraEncoder:
         self._restore_region(clipped, cap)
         est.ctx = est_c.ctx
         est.frac_bits = est_c.frac_bits
+        self._ref_ok = None
         return dist
+
+    def _fill_refs(self, b, cu, comp: int, mrl: int):
+        """fill_reference_samples with a per-_rd_cu memo for full-block
+        fills (trial-invariant; see _rd_cu)."""
+        ok = getattr(self, "_ref_ok", None)
+        if ok is not None and ok.get(min(comp, 1)) == (b.x, b.y, b.w, b.h):
+            key = (comp, mrl)
+            v = self._ref_cache.get(key)
+            if v is None:
+                v = self.recon.fill_reference_samples(b, cu, comp, mrl)
+                self._ref_cache[key] = v
+            return v
+        return self.recon.fill_reference_samples(b, cu, comp, mrl)
 
     def _predict_luma_cu(self, cu, b) -> np.ndarray:
         """Luma prediction dispatch matching the decoder's intra_rec_blk
         (DecCu.cpp xIntraRecBlk): MIP, MRL reference lines, or the regular
         angular/planar/DC path."""
         if getattr(cu, "mip_flag", False):
-            top, left = self.recon.fill_reference_samples(b, cu, 0, 0)
+            top, left = self._fill_refs(b, cu, 0, 0)
             return I.pred_mip(
                 top[1 : b.w + 1], left[1 : b.h + 1], b.w, b.h,
                 cu.intra_dir[0], cu.mip_transposed, self.cfg.bit_depth)
         mrl = getattr(cu, "multi_ref_idx", 0)
         mode = cu.intra_dir[0]
         p = I.IntraParams(mode, b.w, b.h, b.w, b.h, True, mrl, False, False)
-        top, left = self.recon.fill_reference_samples(b, cu, 0, mrl)
+        top, left = self._fill_refs(b, cu, 0, mrl)
         if p.ref_filter_flag:
             ftop, fleft = I.filter_reference_samples(top, left, b.w * 2,
                                                      b.h * 2, mrl)
@@ -578,9 +601,7 @@ class IntraEncoder:
     def _preselect_modes(self, a: Rect, src_y: np.ndarray) -> list[int]:
         """Coarse angular sweep + refinement, SAD cost on luma prediction."""
         cu_probe = self._make_cu(a)  # temporary for ref fetch (not committed)
-        top, left = self.recon.fill_reference_samples(
-            Rect(a.x, a.y, a.w, a.h), cu_probe, 0, 0
-        )
+        top, left = self._fill_refs(Rect(a.x, a.y, a.w, a.h), cu_probe, 0, 0)
         ftop, fleft = I.filter_reference_samples(top, left, a.w * 2, a.h * 2, 0)
         sad = {}
         coarse = [0, 1, 2, 10, 18, 26, 34, 42, 50, 58, 66]
@@ -634,7 +655,7 @@ class IntraEncoder:
             mpm = self._helper._get_intra_mpms(cu_probe)
             best_mrl = None
             for ref in (1, 2):
-                top_r, left_r = self.recon.fill_reference_samples(
+                top_r, left_r = self._fill_refs(
                     Rect(a.x, a.y, a.w, a.h), cu_probe, 0, ref)
                 for m in mpm[1:]:
                     if m < 2:
@@ -1006,7 +1027,7 @@ class IntraEncoder:
         if cu.intra_dir[1] in (D.LM_CHROMA_IDX, D.MDLM_L_IDX, D.MDLM_T_IDX):
             return self.recon._pred_cclm(tu, comp, cu.intra_dir[1])
         mode = self.recon._final_intra_mode(cu, comp)
-        top, left = self.recon.fill_reference_samples(b, cu, comp, 0)
+        top, left = self._fill_refs(b, cu, comp, 0)
         p = I.IntraParams(mode, b.w, b.h, b.w, b.h, False, 0, False, False)
         if mode == D.PLANAR_IDX:
             pred = I.pred_planar(top, left, b.w, b.h)

@@ -339,6 +339,17 @@ static int32_t g_min_in_group[14];
 static int32_t g_go_rice[32];
 static int g_tables_set = 0;
 
+static int64_t g_frac_lut[512];  /* (256, 2) m_binFracBits */
+
+static PyObject *mod_set_frac_table(PyObject *mod, PyObject *arg)
+{
+    Py_buffer b;
+    if (PyObject_GetBuffer(arg, &b, PyBUF_SIMPLE) < 0) return NULL;
+    memcpy(g_frac_lut, b.buf, b.len < (Py_ssize_t)sizeof(g_frac_lut) ? b.len : (Py_ssize_t)sizeof(g_frac_lut));
+    PyBuffer_Release(&b);
+    Py_RETURN_NONE;
+}
+
 static PyObject *mod_set_tables(PyObject *mod, PyObject *args)
 {
     PyObject *gi, *mig, *gr;
@@ -844,6 +855,229 @@ static PyObject *nc_rc_block_ts(NativeCabac *self, PyObject *args)
     Py_RETURN_NONE;
 }
 
+/* ------------------------------------------------------------------ */
+/* Residual-coding fractional-bit ESTIMATION (encoder RD trials) —     */
+/* exact twin of vtm_tpu/encoder/cabac_writer.py residual_coding on a  */
+/* BitEstimator (EncoderLib/CABACWriter.cpp residual_coding +          */
+/* BinEncoder.h TBitEstimator): context-state updates + frac-bit LUT,  */
+/* no arithmetic words.  One call per TU component.                    */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    int32_t *s0, *s1;
+    const int32_t *r0, *r1;
+    int64_t fb;
+} EstState;
+
+static inline void est_bin(EstState *e, int bin, int i)
+{
+    int32_t s0 = e->s0[i], s1 = e->s1[i];
+    int state = (int)((uint32_t)(s0 + s1) >> 8);
+    e->fb += g_frac_lut[state * 2 + bin];
+    int32_t r0 = e->r0[i], r1 = e->r1[i];
+    s0 -= (s0 >> r0) & MASK_0;
+    s1 -= (s1 >> r1) & MASK_1;
+    if (bin) {
+        s0 += (0x7FFF >> r0) & MASK_0;
+        s1 += (0x7FFF >> r1) & MASK_1;
+    }
+    e->s0[i] = s0;
+    e->s1[i] = s1;
+}
+
+static inline int est_rem_len(int64_t bins, int rice, int cutoff, int maxlog)
+{
+    if (bins < ((int64_t)cutoff << rice))
+        return (int)(bins >> rice) + 1 + rice;
+    int max_prefix_len = 32 - cutoff - maxlog;
+    int64_t code_value = (bins >> rice) - cutoff;
+    int prefix_len = 0, suffix_len;
+    if (code_value >= (1ll << max_prefix_len) - 1) {
+        prefix_len = max_prefix_len;
+        suffix_len = maxlog;
+    } else {
+        while (code_value > (2ll << prefix_len) - 2)
+            prefix_len++;
+        suffix_len = prefix_len + rice + 1;
+    }
+    return prefix_len + cutoff + suffix_len;
+}
+
+static PyObject *mod_rc_est(PyObject *mod, PyObject *args)
+{
+    PyObject *ctx, *coeff_o, *scan_o, *scan_cg_o;
+    int w, h, log2_cg_w, log2_cg_h, ch;
+    int state_trans, reg_bin_limit;
+    int max_last_x, max_last_y, last_off_x, last_off_y, last_shift_x, last_shift_y;
+    int ctx_last_x, ctx_last_y, sig0, sig1, sig2, par_set, gtx0, gtx1, sig_cg;
+    if (!PyArg_ParseTuple(args, "OOOOiiiiiiiiiiiiiiiiiiiiii",
+                          &ctx, &coeff_o, &scan_o, &scan_cg_o,
+                          &w, &h, &log2_cg_w, &log2_cg_h, &ch,
+                          &state_trans, &reg_bin_limit,
+                          &max_last_x, &max_last_y, &last_off_x, &last_off_y,
+                          &last_shift_x, &last_shift_y,
+                          &ctx_last_x, &ctx_last_y, &sig0, &sig1, &sig2,
+                          &par_set, &gtx0, &gtx1, &sig_cg))
+        return NULL;
+    Py_buffer bs0, bs1, br0, br1, cb, sb, scgb;
+    PyObject *a;
+    a = PyObject_GetAttrString(ctx, "state0");
+    if (!a || PyObject_GetBuffer(a, &bs0, PyBUF_WRITABLE) < 0) { Py_XDECREF(a); return NULL; }
+    Py_DECREF(a);
+    a = PyObject_GetAttrString(ctx, "state1");
+    if (!a || PyObject_GetBuffer(a, &bs1, PyBUF_WRITABLE) < 0) { Py_XDECREF(a); PyBuffer_Release(&bs0); return NULL; }
+    Py_DECREF(a);
+    a = PyObject_GetAttrString(ctx, "rate0");
+    if (!a || PyObject_GetBuffer(a, &br0, PyBUF_SIMPLE) < 0) { Py_XDECREF(a); PyBuffer_Release(&bs0); PyBuffer_Release(&bs1); return NULL; }
+    Py_DECREF(a);
+    a = PyObject_GetAttrString(ctx, "rate1");
+    if (!a || PyObject_GetBuffer(a, &br1, PyBUF_SIMPLE) < 0) { Py_XDECREF(a); PyBuffer_Release(&bs0); PyBuffer_Release(&bs1); PyBuffer_Release(&br0); return NULL; }
+    Py_DECREF(a);
+    if (PyObject_GetBuffer(coeff_o, &cb, PyBUF_SIMPLE) < 0) goto fail_ctx;
+    if (PyObject_GetBuffer(scan_o, &sb, PyBUF_SIMPLE) < 0) { PyBuffer_Release(&cb); goto fail_ctx; }
+    if (PyObject_GetBuffer(scan_cg_o, &scgb, PyBUF_SIMPLE) < 0) { PyBuffer_Release(&cb); PyBuffer_Release(&sb); goto fail_ctx; }
+
+    {
+    EstState e = {(int32_t *)bs0.buf, (int32_t *)bs1.buf,
+                  (const int32_t *)br0.buf, (const int32_t *)br1.buf, 0};
+    RcCtx rc;
+    memset(rc.sig_group_flags, 0, sizeof(rc.sig_group_flags));
+    rc.w = w; rc.h = h;
+    rc.log2_cg_w = log2_cg_w; rc.log2_cg_h = log2_cg_h;
+    rc.log2_cg_size = log2_cg_w + log2_cg_h;
+    rc.wig = ((w < 32 ? w : 32) >> log2_cg_w);
+    rc.hig = ((h < 32 ? h : 32) >> log2_cg_h);
+    rc.ch = ch;
+    rc.scan = (const int32_t *)sb.buf;
+    rc.scan_cg = (const int32_t *)scgb.buf;
+    rc.coeff = (int32_t *)cb.buf;
+    rc.sig_set[0] = sig0; rc.sig_set[1] = sig1; rc.sig_set[2] = sig2;
+    rc.par_set = par_set; rc.gtx_set[0] = gtx0; rc.gtx_set[1] = gtx1;
+    rc.sig_cg_set = sig_cg;
+    rc.tmpl_diag = -1; rc.tmpl_sum1 = -1;
+    const int32_t *coeff = rc.coeff;
+    int max_num_coeff = w * h;
+
+    int last = -1;
+    for (int sp = max_num_coeff - 1; sp >= 0; sp--)
+        if (coeff[rc.scan[sp * 3]]) { last = sp; break; }
+    if (last < 0) {
+        PyBuffer_Release(&cb); PyBuffer_Release(&sb); PyBuffer_Release(&scgb);
+        PyBuffer_Release(&bs0); PyBuffer_Release(&bs1);
+        PyBuffer_Release(&br0); PyBuffer_Release(&br1);
+        PyErr_SetString(PyExc_ValueError, "rc_est on all-zero block");
+        return NULL;
+    }
+    rc.scan_pos_last = last;
+
+    /* last significant position */
+    {
+        int pos_x = rc.scan[last * 3 + 1];
+        int pos_y = rc.scan[last * 3 + 2];
+        int gx = g_group_idx[pos_x], gy = g_group_idx[pos_y];
+        for (int i = 0; i < gx; i++)
+            est_bin(&e, 1, ctx_last_x + last_off_x + (i >> last_shift_x));
+        if (gx < max_last_x)
+            est_bin(&e, 0, ctx_last_x + last_off_x + (gx >> last_shift_x));
+        for (int i = 0; i < gy; i++)
+            est_bin(&e, 1, ctx_last_y + last_off_y + (i >> last_shift_y));
+        if (gy < max_last_y)
+            est_bin(&e, 0, ctx_last_y + last_off_y + (gy >> last_shift_y));
+        if (gx > 3) e.fb += (int64_t)((gx - 2) >> 1) << 15;
+        if (gy > 3) e.fb += (int64_t)((gy - 2) >> 1) << 15;
+    }
+
+    int state = 0;
+    int rem_limit = reg_bin_limit;
+    for (int subset = last >> rc.log2_cg_size; subset >= 0; subset--) {
+        rc_init_subblock(&rc, subset, 0);
+        int min_sub_pos = rc.min_sub_pos;
+        int is_last_sb = (last >> rc.log2_cg_size) == subset;
+        int first_sig_pos = is_last_sb ? last : rc.max_sub_pos;
+        int sig_group = 0;
+        for (int sp = min_sub_pos; sp <= rc.max_sub_pos; sp++)
+            if (coeff[rc.scan[sp * 3]]) { sig_group = 1; break; }
+        if (!(is_last_sb || subset == 0)) {
+            int sig_right = (rc.cg_pos_x + 1 < rc.wig) ? rc.sig_group_flags[rc.sub_set_pos + 1] : 0;
+            int sig_lower = (rc.cg_pos_y + 1 < rc.hig) ? rc.sig_group_flags[rc.sub_set_pos + rc.wig] : 0;
+            est_bin(&e, sig_group, rc.sig_cg_set + ((sig_right || sig_lower) ? 1 : 0));
+        }
+        if (sig_group)
+            rc.sig_group_flags[rc.sub_set_pos] = 1;
+        else
+            continue;
+        int infer_sig_pos = (first_sig_pos != last)
+                                ? (subset != 0 ? min_sub_pos : -1)
+                                : first_sig_pos;
+        int num_nonzero = 0;
+        int rem_reg_bins = rem_limit;
+        int pos = first_sig_pos;
+        while (pos >= min_sub_pos && rem_reg_bins >= 4) {
+            int blk_pos = rc.scan[pos * 3];
+            int32_t level = coeff[blk_pos];
+            if (level < 0) level = -level;
+            int sig = level != 0;
+            int inferred = (num_nonzero == 0 && pos == infer_sig_pos);
+            if (!inferred) {
+                int sig_ctx = rc_sig_ctx_id_abs(&rc, NULL, pos, state);
+                est_bin(&e, sig, sig_ctx);
+                rem_reg_bins -= 1;
+            } else if (pos != last) {
+                rc_sig_ctx_id_abs(&rc, NULL, pos, state);
+            }
+            if (sig) {
+                int off = rc_ctx_offset_abs(&rc);
+                num_nonzero += 1;
+                int gt1 = level > 1;
+                est_bin(&e, gt1, rc.gtx_set[1] + off);
+                rem_reg_bins -= 1;
+                if (gt1) {
+                    est_bin(&e, (level - 2) & 1, rc.par_set + off);
+                    rem_reg_bins -= 1;
+                    est_bin(&e, level > 3, rc.gtx_set[0] + off);
+                    rem_reg_bins -= 1;
+                }
+            }
+            state = (state_trans >> ((state << 2) + ((level & 1) << 1))) & 3;
+            pos -= 1;
+        }
+        int first_pos_mode2 = pos;
+        rem_limit = rem_reg_bins;
+        for (int sp = first_sig_pos; sp > first_pos_mode2; sp--) {
+            int32_t level = coeff[rc.scan[sp * 3]];
+            if (level < 0) level = -level;
+            int sum_all = rc_template_abs_sum(&rc, sp, 4);
+            int rice = g_go_rice[sum_all];
+            if (level >= 4)
+                e.fb += (int64_t)est_rem_len((level - 4) >> 1, rice,
+                                             COEF_REMAIN_BIN_REDUCTION, 15) << 15;
+        }
+        for (int sp = first_pos_mode2; sp >= min_sub_pos; sp--) {
+            int32_t level = coeff[rc.scan[sp * 3]];
+            if (level < 0) level = -level;
+            int sum_all = rc_template_abs_sum(&rc, sp, 0);
+            int rice = g_go_rice[sum_all];
+            int64_t pos0 = (int64_t)(state < 2 ? 1 : 2) << rice;
+            int64_t rem = level == 0 ? pos0 : (level <= pos0 ? level - 1 : level);
+            e.fb += (int64_t)est_rem_len(rem, rice, COEF_REMAIN_BIN_REDUCTION, 15) << 15;
+            state = (state_trans >> ((state << 2) + ((level & 1) << 1))) & 3;
+        }
+        int ns = 0;
+        for (int sp = first_sig_pos; sp >= min_sub_pos; sp--)
+            if (coeff[rc.scan[sp * 3]]) ns++;
+        e.fb += (int64_t)ns << 15;
+    }
+    PyBuffer_Release(&cb); PyBuffer_Release(&sb); PyBuffer_Release(&scgb);
+    PyBuffer_Release(&bs0); PyBuffer_Release(&bs1);
+    PyBuffer_Release(&br0); PyBuffer_Release(&br1);
+    return Py_BuildValue("Li", (long long)e.fb, last);
+    }
+fail_ctx:
+    PyBuffer_Release(&bs0); PyBuffer_Release(&bs1);
+    PyBuffer_Release(&br0); PyBuffer_Release(&br1);
+    return NULL;
+}
+
 static PyObject *nc_get_ctx(NativeCabac *self, void *closure)
 {
     Py_INCREF(self->ctx_obj);
@@ -886,6 +1120,10 @@ static PyMethodDef nc_methods[] = {
 static PyMethodDef mod_methods[] = {
     {"set_tables", (PyCFunction)mod_set_tables, METH_VARARGS,
      "register groupIdx / minInGroup / goRiceParsCoeff ROM tables"},
+    {"set_frac_table", (PyCFunction)mod_set_frac_table, METH_O,
+     "register the (256,2) int64 m_binFracBits estimator LUT"},
+    {"rc_est", (PyCFunction)mod_rc_est, METH_VARARGS,
+     "fractional-bit estimate of residual_coding for one TU component"},
     {NULL}
 };
 

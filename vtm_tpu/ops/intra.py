@@ -105,12 +105,12 @@ def filter_reference_samples(top: np.ndarray, left: np.ndarray,
     fl = left.copy()
     top_left = (int(top[0]) + int(top[1]) + int(left[0]) + int(left[1]) + 2) >> 2
     ft[0] = top_left
-    for i in range(1, ps):
-        ft[i] = (int(top[i - 1]) + 2 * int(top[i]) + int(top[i + 1]) + 2) >> 2
+    t = top.astype(np.int64)
+    ft[1:ps] = (t[:ps - 1] + 2 * t[1:ps] + t[2:ps + 1] + 2) >> 2
     ft[ps] = top[ps]
     fl[0] = top_left
-    for i in range(1, phs):
-        fl[i] = (int(left[i - 1]) + 2 * int(left[i]) + int(left[i + 1]) + 2) >> 2
+    le = left.astype(np.int64)
+    fl[1:phs] = (le[:phs - 1] + 2 * le[1:phs] + le[2:phs + 1] + 2) >> 2
     fl[phs] = left[phs]
     return ft, fl
 
@@ -174,10 +174,10 @@ def pred_angular(
         # refAbove[x + height] = top[x] for x in 0..w+1+mrl
         ref_above = np.zeros(1400, dtype=np.int64)
         ref_left = np.zeros_like(ref_above)
-        for x in range(w + 2 + mrl):
-            ref_above[x + h] = top[x]
-        for y in range(h + 2 + mrl):
-            ref_left[y + w] = left[y]
+        nt = w + 2 + mrl
+        nl = h + 2 + mrl
+        ref_above[h : h + nt] = top[:nt]
+        ref_left[w : w + nl] = left[:nl]
         if is_ver:
             ref_main_base = h
             ref_main = ref_above
@@ -189,9 +189,10 @@ def pred_angular(
             ref_side = ref_above
             side_off = h
         size_side = h if is_ver else w
-        for k in range(-size_side, 0):
-            idx = min((-k * inv_angle + 256) >> 9, size_side)
-            ref_main[ref_main_base + k] = ref_side[side_off + idx]
+        ks = np.arange(-size_side, 0, dtype=np.int64)
+        sidx = np.minimum((-ks * inv_angle + 256) >> 9, size_side)
+        ref_main[ref_main_base - size_side : ref_main_base] = \
+            ref_side[side_off + sidx]
     else:
         if top_ref_len is None:
             top_ref_len = w * 2
@@ -199,10 +200,8 @@ def pred_angular(
             left_ref_len = h * 2
         ref_above = np.zeros(1400, dtype=np.int64)
         ref_left = np.zeros_like(ref_above)
-        for x in range(top_ref_len + mrl + 1):
-            ref_above[x] = top[x]
-        for y in range(left_ref_len + mrl + 1):
-            ref_left[y] = left[y]
+        ref_above[: top_ref_len + mrl + 1] = top[: top_ref_len + mrl + 1]
+        ref_left[: left_ref_len + mrl + 1] = left[: left_ref_len + mrl + 1]
         ref_main = ref_above if is_ver else ref_left
         ref_side = ref_left if is_ver else ref_above
         ref_main_base = 0
@@ -210,69 +209,62 @@ def pred_angular(
         s = max(0, log2_ratio if is_ver else -log2_ratio)
         max_index = (mrl << s) + 2
         ref_length = top_ref_len if is_ver else left_ref_len
-        val = ref_main[ref_length + mrl]
-        for z in range(1, max_index + 1):
-            ref_main[ref_length + mrl + z] = val
+        ref_main[ref_length + mrl + 1 : ref_length + mrl + max_index + 1] = \
+            ref_main[ref_length + mrl]
     # swap w/h for horizontal modes
     dw, dh = (w, h) if is_ver else (h, w)
-    dst = np.zeros((dh, dw), dtype=np.int64)
     rm = ref_main_base + mrl  # compensate line offset
     rs_base = (w if angle < 0 and is_ver else (h if angle < 0 else 0)) + mrl
     ref_side_arr = ref_side
     maxv = (1 << bit_depth) - 1
+    xr = np.arange(dw, dtype=np.int64)
+    yr = np.arange(dh, dtype=np.int64)
     if angle == 0:
-        for y in range(dh):
-            dst[y, :] = ref_main[rm + 1 : rm + 1 + dw]
+        dst = np.broadcast_to(ref_main[rm + 1 : rm + 1 + dw],
+                              (dh, dw)).copy()
         if p.apply_pdpc:
             scale = (floor_log2(dw) + floor_log2(dh) - 2) >> 2
             top_left_s = ref_main[rm]
-            for y in range(dh):
-                left_s = ref_side_arr[rs_base + 1 + y]
-                for x in range(min(3 << scale, dw)):
-                    wl = 32 >> ((2 * x) >> scale)
-                    val = dst[y, x] + ((wl * (left_s - top_left_s) + 32) >> 6)
-                    dst[y, x] = max(0, min(maxv, val))
+            nx = min(3 << scale, dw)
+            wl = 32 >> ((2 * xr[:nx]) >> scale)
+            left_s = ref_side_arr[rs_base + 1 + yr][:, None]
+            val = dst[:, :nx] + ((wl[None, :] * (left_s - top_left_s) + 32) >> 6)
+            dst[:, :nx] = np.clip(val, 0, maxv)
     else:
-        delta_pos = angle * (1 + mrl)
+        delta_pos = angle * (1 + mrl) + yr * angle
+        delta_int = delta_pos >> 5
+        delta_fract = delta_pos & 31
         abs_ang_int = (abs(angle) & 0x1F) == 0
-        for y in range(dh):
-            delta_int = delta_pos >> 5
-            delta_fract = delta_pos & 31
-            if not abs_ang_int:
-                if is_luma:
-                    use_cubic = not p.interpolation_flag
-                    if use_cubic:
-                        f = _CHROMA_FILTER[delta_fract]
-                    else:
-                        f = np.array(
-                            [16 - (delta_fract >> 1), 32 - (delta_fract >> 1),
-                             16 + (delta_fract >> 1), delta_fract >> 1],
-                            dtype=np.int64,
-                        )
-                    base = rm + delta_int
-                    p0 = ref_main[base : base + dw]
-                    p1 = ref_main[base + 1 : base + 1 + dw]
-                    p2 = ref_main[base + 2 : base + 2 + dw]
-                    p3 = ref_main[base + 3 : base + 3 + dw]
-                    val = (f[0] * p0 + f[1] * p1 + f[2] * p2 + f[3] * p3 + 32) >> 6
-                    dst[y, :] = np.clip(val, 0, maxv)
+        if not abs_ang_int:
+            if is_luma:
+                if not p.interpolation_flag:  # cubic (DCT-IF)
+                    f = _CHROMA_FILTER[delta_fract]  # (dh, 4)
                 else:
-                    base = rm + delta_int + 1
-                    p0 = ref_main[base : base + dw]
-                    p1 = ref_main[base + 1 : base + 1 + dw]
-                    dst[y, :] = p0 + ((delta_fract * (p1 - p0) + 16) >> 5)
+                    hf = delta_fract >> 1
+                    f = np.stack([16 - hf, 32 - hf, 16 + hf, hf], axis=1)
+                idx = (rm + delta_int)[:, None] + xr[None, :]
+                val = (f[:, 0, None] * ref_main[idx]
+                       + f[:, 1, None] * ref_main[idx + 1]
+                       + f[:, 2, None] * ref_main[idx + 2]
+                       + f[:, 3, None] * ref_main[idx + 3] + 32) >> 6
+                dst = np.clip(val, 0, maxv)
             else:
-                base = rm + delta_int + 1
-                dst[y, :] = ref_main[base : base + dw]
-            if p.apply_pdpc:
-                scale = p.angular_scale
-                inv_angle_sum = 256
-                for x in range(min(3 << scale, dw)):
-                    inv_angle_sum += inv_angle
-                    wl = 32 >> ((2 * x) >> scale)
-                    left_s = ref_side_arr[rs_base + y + (inv_angle_sum >> 9) + 1]
-                    dst[y, x] = dst[y, x] + ((wl * (left_s - dst[y, x]) + 32) >> 6)
-            delta_pos += angle
+                idx = (rm + delta_int + 1)[:, None] + xr[None, :]
+                p0 = ref_main[idx]
+                p1 = ref_main[idx + 1]
+                dst = p0 + ((delta_fract[:, None] * (p1 - p0) + 16) >> 5)
+        else:
+            idx = (rm + delta_int + 1)[:, None] + xr[None, :]
+            dst = ref_main[idx].copy()
+        if p.apply_pdpc:
+            scale = p.angular_scale
+            nx = min(3 << scale, dw)
+            inv_sum = 256 + (xr[:nx] + 1) * inv_angle
+            wl = 32 >> ((2 * xr[:nx]) >> scale)
+            sidx = rs_base + yr[:, None] + (inv_sum >> 9)[None, :] + 1
+            left_s = ref_side_arr[sidx]
+            d = dst[:, :nx]
+            dst[:, :nx] = d + ((wl[None, :] * (left_s - d) + 32) >> 6)
     if not is_ver:
         dst = dst.T
     return dst

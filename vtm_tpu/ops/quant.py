@@ -107,6 +107,33 @@ def quant_fwd(
     return np.clip(sign * mag, -(1 << max_range), (1 << max_range) - 1).astype(np.int32)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_col0(w: int, h: int) -> np.ndarray:
+    return np.ascontiguousarray(rom.scan(1, w, h)[:, 0], dtype=np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def _dqi_consts(w: int, h: int, qp0: int, bit_depth: int, is_ts: bool):
+    """Derived constants of the dependent-quantization inverse."""
+    max_range = 15
+    qp_dq = qp0 + 1
+    qp_per, qp_rem = qp_dq // 6, qp_dq % 6
+    transform_shift = max_range - bit_depth - ((floor_log2(w) + floor_log2(h)) >> 1)
+    needs_sqrt2 = (not is_ts) and (((floor_log2(w) + floor_log2(h)) & 1) == 1)
+    if needs_sqrt2:
+        transform_shift -= 1
+    shift = IQUANT_SHIFT + 1 - qp_per - transform_shift
+    inv_scale = rom.inv_quant_scale(qp_rem, needs_sqrt2)
+    if shift < 0:
+        inv_scale <<= -shift
+        shift = 0
+    add = (1 << shift) >> 1
+    return shift, inv_scale, add
+
+
 def dequant_dep(
     coeff: np.ndarray,
     qp: tuple[int, int, int],
@@ -127,18 +154,7 @@ def dequant_dep(
     nz = np.nonzero(lv_scan)[0]
     if nz.size == 0:
         return out.reshape(h, w)
-    qp_dq = qp[0] + 1
-    qp_per, qp_rem = qp_dq // 6, qp_dq % 6
-    transform_shift = max_range - bit_depth - ((floor_log2(w) + floor_log2(h)) >> 1)
-    needs_sqrt2 = (not is_ts) and (((floor_log2(w) + floor_log2(h)) & 1) == 1)
-    if needs_sqrt2:
-        transform_shift -= 1
-    shift = IQUANT_SHIFT + 1 - qp_per - transform_shift
-    inv_scale = rom.inv_quant_scale(qp_rem, needs_sqrt2)
-    if shift < 0:
-        inv_scale <<= -shift
-        shift = 0
-    add = (1 << shift) >> 1
+    shift, inv_scale, add = _dqi_consts(w, h, qp[0], bit_depth, is_ts)
     # state walk over nonzeros only: between them the levels are zero, whose
     # transition T0 = [0,2,1,3] swaps {1,2} per step and fixes {0,3}
     trans = ((0, 2), (2, 0), (1, 3), (3, 1))  # trans[s] = (next|par0, next|par1)
@@ -163,6 +179,25 @@ def dequant_dep(
 
 _DQ_STATE_TRANS = 32040  # DepQuant.cpp state transition table (2 bits/entry)
 _DQ_NATIVE = None  # lazily loaded native trellis (False = build failed)
+
+
+@functools.lru_cache(maxsize=None)
+def _dqf_consts(w: int, h: int, qp0: int, bit_depth: int):
+    """Derived constants of the forward dependent-quantization trellis."""
+    max_range = 15
+    lg = (floor_log2(w) + floor_log2(h)) >> 1
+    transform_shift = max_range - bit_depth - lg
+    needs_sqrt2 = ((floor_log2(w) + floor_log2(h)) & 1) == 1
+    d_trans_shift = transform_shift + (-0.5 if needs_sqrt2 else 0.0)
+    if needs_sqrt2:
+        transform_shift -= 1
+    qp_dq = qp0 + 1
+    qp_per, qp_rem = qp_dq // 6, qp_dq % 6
+    qbits = QUANT_SHIFT + qp_per + transform_shift
+    scale = rom.quant_scale(qp_rem, needs_sqrt2)
+    err_scale = (2.0 ** (-2.0 * d_trans_shift)) / (scale * scale)
+    half = 1 << (qbits - 1)
+    return qbits, scale, err_scale, half
 
 
 def _dq_rate(level: int) -> float:
@@ -196,22 +231,11 @@ def quant_dep(
     """
     h, w = coeff.shape
     max_range = 15
-    lg = (floor_log2(w) + floor_log2(h)) >> 1
-    transform_shift = max_range - bit_depth - lg
-    needs_sqrt2 = ((floor_log2(w) + floor_log2(h)) & 1) == 1
-    d_trans_shift = transform_shift + (-0.5 if needs_sqrt2 else 0.0)
-    if needs_sqrt2:
-        transform_shift -= 1
-    qp_dq = qp[0] + 1
-    qp_per, qp_rem = qp_dq // 6, qp_dq % 6
-    qbits = QUANT_SHIFT + qp_per + transform_shift
-    scale = rom.quant_scale(qp_rem, needs_sqrt2)
-    err_scale = (2.0 ** (-2.0 * d_trans_shift)) / (scale * scale)
-    half = 1 << (qbits - 1)
+    qbits, scale, err_scale, half = _dqf_consts(w, h, qp[0], bit_depth)
 
     flat = coeff.ravel()
     n = w * h
-    sidx = scan[:, 0].astype(np.int64)
+    sidx = _scan_col0(w, h)
     mags = np.abs(flat[sidx]).astype(np.int64)  # magnitude per scan pos
     u = mags * scale  # scaled-domain magnitudes
     # candidate last: highest scan pos whose round-to-nearest level is >=1
