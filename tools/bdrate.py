@@ -79,7 +79,9 @@ def encode_ours(frames, w, h, mode, qp, bit_depth=8):
     cfg = EncoderConfig(width=w, height=h, qp=qp, bit_depth=bit_depth)
     cfg.sao = True
     cfg.dep_quant = True
+    cfg.alf = True
     if mode == "ai":
+        cfg.mts = cfg.lfnst = cfg.mip = cfg.mrl = cfg.cclm = cfg.isp = True
         enc = IntraEncoder(cfg)
     elif mode == "ld":
         enc = LowDelayBEncoder(cfg)

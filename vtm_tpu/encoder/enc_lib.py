@@ -1799,9 +1799,10 @@ class RandomAccessEncoder(InterEncoder):
     ]
     INTRA_QP_OFFSET = -3  # IntraQPOffset (CTC RA)
 
-    def __init__(self, cfg, gop_size: int = 8):
+    def __init__(self, cfg, gop_size: int = 16):
         cfg.mmvd = True  # MMVD merge search on by default for RA
         cfg.amvr = True  # IMV (full-pel / 4-pel) trials on by default for RA
+        cfg.geo = True  # geometric-partition merge on by default for RA (CTC)
         cfg.num_active_refs = max(cfg.num_active_refs, 2)  # multi-ref ME
         super().__init__(cfg)
         self.gop_size = gop_size
