@@ -79,6 +79,9 @@ class EncoderConfig:
     bcw: bool = False  # bi-prediction with CU-level weights (weight trials)
     num_active_refs: int = 1  # active L0 references (multi-ref ME when > 1)
     geo: bool = False  # geometric-partition merge search (B slices)
+    hash_sei: bool = True  # decoded-picture-hash SEI per picture
+    # (VTM CTC measures rate WITHOUT hash SEI: SEIDecodedPictureHash is a
+    # debug option, EncApp default off — disable for BD-rate runs)
 
 
 def _quantize_tu(coeffs, qp, bd, lam, dep):
@@ -212,8 +215,10 @@ class IntraEncoder:
         rbsp = bytes(hdr.bytes) + slice_bw.data()
         nal = make_nal(nalio.NAL_IDR_N_LP, rbsp)
         # hash SEI (computed on the filtered reconstruction, like VTM)
-        digest = pic_hash.pic_md5(planes, [cfg.bit_depth] * len(planes))
-        sei = W.write_hash_sei(digest)
+        sei = b""
+        if cfg.hash_sei:
+            digest = pic_hash.pic_md5(planes, [cfg.bit_depth] * len(planes))
+            sei = W.write_hash_sei(digest)
         self.last_recon = planes
         self._log_picture(poc, "I", self.frame_qp, len(nal) * 8, planes)
         return self._alf_aps_nal + nal + sei
@@ -1211,8 +1216,10 @@ class InterEncoder(IntraEncoder):
                                         active=tuple(sh.num_ref_idx))
         rbsp = bytes(hdr.bytes) + slice_bw.data()
         nal = make_nal(nalio.NAL_TRAIL, rbsp)
-        digest = pic_hash.pic_md5(planes, [cfg.bit_depth] * len(planes))
-        sei = W.write_hash_sei(digest)
+        sei = b""
+        if cfg.hash_sei:
+            digest = pic_hash.pic_md5(planes, [cfg.bit_depth] * len(planes))
+            sei = W.write_hash_sei(digest)
         self.last_recon = planes
         self._store_ref(poc)
         self._log_picture(poc, "B" if is_b else "P", self.frame_qp,
