@@ -87,3 +87,28 @@ def test_isp_all_intra_tools_roundtrip():
     assert dec.hash_results and all(hr.ok for hr in dec.hash_results)
     for c in range(3):
         assert np.array_equal(pics[0].planes[c], enc.last_recon[c])
+
+
+def test_angular_sad_batch_exact():
+    """angular_sad_batch (the RMD preselection sweep as one batched gather)
+    is bit-exact with per-mode pred_angular(+PDPC) SAD."""
+    import numpy as np
+
+    from vtm_tpu.ops import intra as I
+
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        w = int(rng.choice([4, 8, 16, 32, 64]))
+        h = int(rng.choice([4, 8, 16, 32, 64]))
+        top = rng.integers(0, 256, size=2 * w + 3).astype(np.int64)
+        left = rng.integers(0, 256, size=2 * h + 3).astype(np.int64)
+        ft, fl = I.filter_reference_samples(top, left, w * 2, h * 2, 0)
+        src = rng.integers(0, 256, size=(h, w)).astype(np.int64)
+        modes = [int(m) for m in
+                 rng.choice(np.arange(2, 67), size=9, replace=False)]
+        got = I.angular_sad_batch(top, left, ft, fl, w, h, modes, src, 8)
+        for m in modes:
+            p = I.IntraParams(m, w, h, w, h, True, 0, False, False)
+            use_t, use_l = (ft, fl) if p.ref_filter_flag else (top, left)
+            pred = I.pred_angular(use_t, use_l, w, h, p, True, 8)
+            assert got[m] == float(np.abs(src - pred).sum()), (m, w, h)

@@ -610,13 +610,20 @@ class IntraEncoder:
         ftop, fleft = I.filter_reference_samples(top, left, a.w * 2, a.h * 2, 0)
         sad = {}
         coarse = [0, 1, 2, 10, 18, 26, 34, 42, 50, 58, 66]
-        for m in coarse:
+        for m in (0, 1):
             sad[m] = self._pred_cost(m, a, src_y, top, left, ftop, fleft)
+        # all angular probes of the sweep in one batched gather+interp
+        sad.update(I.angular_sad_batch(top, left, ftop, fleft, a.w, a.h,
+                                       [m for m in coarse if m > 1],
+                                       src_y, self.cfg.bit_depth))
         best_ang = min((m for m in coarse if m > 1), key=lambda m: sad[m])
-        for m in (best_ang - 4, best_ang - 2, best_ang - 1, best_ang + 1,
-                  best_ang + 2, best_ang + 4):
-            if 2 <= m <= 66 and m not in sad:
-                sad[m] = self._pred_cost(m, a, src_y, top, left, ftop, fleft)
+        refine = [m for m in (best_ang - 4, best_ang - 2, best_ang - 1,
+                              best_ang + 1, best_ang + 2, best_ang + 4)
+                  if 2 <= m <= 66 and m not in sad]
+        if refine:
+            sad.update(I.angular_sad_batch(top, left, ftop, fleft, a.w, a.h,
+                                           refine, src_y,
+                                           self.cfg.bit_depth))
         ranked = sorted(sad, key=lambda m: sad[m])
         finalists = []
         for m in (0, 1):

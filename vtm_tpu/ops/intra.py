@@ -270,6 +270,124 @@ def pred_angular(
     return dst
 
 
+def angular_sad_batch(top, left, ftop, fleft, w: int, h: int, modes,
+                      src: np.ndarray, bit_depth: int) -> dict:
+    """SAD(src, pred) for a set of angular luma modes (2..66), mrl=0, no
+    ISP/BDPCM — the encoder's RMD preselection sweep as ONE batched gather
+    + 4-tap interpolation over all modes (vs one pred_angular call per
+    mode).  Bit-exact with pred_angular(+PDPC): verified by
+    tests/test_mip_mrl_encode.py::test_angular_sad_batch_exact.
+
+    Returns {mode: float sad}.
+    """
+    maxv = (1 << bit_depth) - 1
+    out: dict = {}
+    # per-mode metadata + ref_main/ref_side construction (cheap 1D ops);
+    # the (h, w) interpolation below is batched across modes
+    groups: dict = {}  # is_ver -> list of per-mode records
+    for m in modes:
+        p = IntraParams(m, w, h, w, h, True, 0, False, False)
+        angle, inv_angle, is_ver = p.intra_pred_angle, p.inv_angle, p.is_mode_ver
+        if angle == 0:  # exact hor/ver: rare (2 modes) — scalar fallback
+            use_t, use_l = (ftop, fleft) if p.ref_filter_flag else (top, left)
+            pred = pred_angular(use_t, use_l, w, h, p, True, bit_depth)
+            out[m] = float(np.abs(src - pred).sum())
+            continue
+        use_t, use_l = (ftop, fleft) if p.ref_filter_flag else (top, left)
+        ref_above = np.zeros(1400, dtype=np.int64)
+        ref_left = np.zeros_like(ref_above)
+        if angle < 0:
+            nt, nl = w + 2, h + 2
+            ref_above[h : h + nt] = use_t[:nt]
+            ref_left[w : w + nl] = use_l[:nl]
+            if is_ver:
+                ref_main, ref_side = ref_above, ref_left
+                ref_main_base, side_off = h, w
+            else:
+                ref_main, ref_side = ref_left, ref_above
+                ref_main_base, side_off = w, h
+            size_side = h if is_ver else w
+            ks = np.arange(-size_side, 0, dtype=np.int64)
+            sidx = np.minimum((-ks * inv_angle + 256) >> 9, size_side)
+            ref_main[ref_main_base - size_side : ref_main_base] = \
+                ref_side[side_off + sidx]
+            rs_base = side_off
+        else:
+            trl, lrl = w * 2, h * 2
+            ref_above[: trl + 1] = use_t[: trl + 1]
+            ref_left[: lrl + 1] = use_l[: lrl + 1]
+            ref_main = ref_above if is_ver else ref_left
+            ref_side = ref_left if is_ver else ref_above
+            ref_main_base = 0
+            log2_ratio = floor_log2(w) - floor_log2(h)
+            s = max(0, log2_ratio if is_ver else -log2_ratio)
+            max_index = 2
+            ref_length = trl if is_ver else lrl
+            ref_main[ref_length + 1 : ref_length + max_index + 1] = \
+                ref_main[ref_length]
+            rs_base = 0
+        groups.setdefault(is_ver, []).append(
+            (m, p, angle, inv_angle, ref_main, ref_side,
+             ref_main_base, rs_base))
+    for is_ver, recs in groups.items():
+        dw, dh = (w, h) if is_ver else (h, w)
+        M = len(recs)
+        xr = np.arange(dw, dtype=np.int64)
+        yr = np.arange(dh, dtype=np.int64)
+        rmains = np.stack([r[4] for r in recs])              # (M, L)
+        angles = np.array([r[2] for r in recs], dtype=np.int64)
+        rms = np.array([r[6] for r in recs], dtype=np.int64)  # ref_main_base
+        delta_pos = angles[:, None] * (1 + yr[None, :])       # (M, dh)
+        delta_int = delta_pos >> 5
+        delta_fract = delta_pos & 31
+        # filter bank per mode/row: cubic DCT-IF, smoothing, or integer tap
+        f = np.empty((M, dh, 4), dtype=np.int64)
+        for i, (m, p, angle, *_rest) in enumerate(recs):
+            if (abs(angle) & 0x1F) == 0:
+                f[i] = np.array([64, 0, 0, 0], dtype=np.int64)
+                delta_int[i] += 1  # integer path reads ref[rm+di+1+x]
+                delta_fract[i] = 0
+            elif not p.interpolation_flag:
+                f[i] = _CHROMA_FILTER[delta_fract[i]]
+            else:
+                hf = delta_fract[i] >> 1
+                f[i] = np.stack([16 - hf, 32 - hf, 16 + hf, hf], axis=1)
+        idx = (rms[:, None] + delta_int)[:, :, None] + xr[None, None, :]
+        g = np.take_along_axis(
+            rmains[:, None, :], idx.reshape(M, -1)[:, None, :], axis=2
+        ).reshape(M, dh, dw)
+        g1 = np.take_along_axis(
+            rmains[:, None, :], (idx + 1).reshape(M, -1)[:, None, :], axis=2
+        ).reshape(M, dh, dw)
+        g2 = np.take_along_axis(
+            rmains[:, None, :], (idx + 2).reshape(M, -1)[:, None, :], axis=2
+        ).reshape(M, dh, dw)
+        g3 = np.take_along_axis(
+            rmains[:, None, :], (idx + 3).reshape(M, -1)[:, None, :], axis=2
+        ).reshape(M, dh, dw)
+        dst = (f[:, :, 0:1] * g + f[:, :, 1:2] * g1
+               + f[:, :, 2:3] * g2 + f[:, :, 3:4] * g3 + 32) >> 6
+        np.clip(dst, 0, maxv, out=dst)
+        # integer-slope taps produce the raw sample (no clip needed, but
+        # clip is a no-op there); PDPC tail per mode (small slices)
+        cmp_src = src if is_ver else src.T
+        for i, (m, p, angle, inv_angle, _rm, ref_side, _rb, rs_base) in \
+                enumerate(recs):
+            d = dst[i]
+            if angle > 0 and p.apply_pdpc:
+                scale = p.angular_scale
+                nx = min(3 << scale, dw)
+                inv_sum = 256 + (xr[:nx] + 1) * inv_angle
+                wl = 32 >> ((2 * xr[:nx]) >> scale)
+                sidx = rs_base + yr[:, None] + (inv_sum >> 9)[None, :] + 1
+                left_s = ref_side[sidx]
+                dd = d[:, :nx]
+                d = d.copy()
+                d[:, :nx] = dd + ((wl[None, :] * (left_s - dd) + 32) >> 6)
+            out[m] = float(np.abs(cmp_src - d).sum())
+    return out
+
+
 def pdpc_planar_dc(pred: np.ndarray, top: np.ndarray, left: np.ndarray) -> np.ndarray:
     """PDPC for planar/DC (predIntraAng tail)."""
     h, w = pred.shape
