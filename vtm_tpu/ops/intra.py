@@ -352,19 +352,16 @@ def angular_sad_batch(top, left, ftop, fleft, w: int, h: int, modes,
             else:
                 hf = delta_fract[i] >> 1
                 f[i] = np.stack([16 - hf, 32 - hf, 16 + hf, hf], axis=1)
-        idx = (rms[:, None] + delta_int)[:, :, None] + xr[None, None, :]
-        g = np.take_along_axis(
-            rmains[:, None, :], idx.reshape(M, -1)[:, None, :], axis=2
-        ).reshape(M, dh, dw)
-        g1 = np.take_along_axis(
-            rmains[:, None, :], (idx + 1).reshape(M, -1)[:, None, :], axis=2
-        ).reshape(M, dh, dw)
-        g2 = np.take_along_axis(
-            rmains[:, None, :], (idx + 2).reshape(M, -1)[:, None, :], axis=2
-        ).reshape(M, dh, dw)
-        g3 = np.take_along_axis(
-            rmains[:, None, :], (idx + 3).reshape(M, -1)[:, None, :], axis=2
-        ).reshape(M, dh, dw)
+        # flat gather: row m of rmains starts at m*L in the raveled buffer
+        L = rmains.shape[1]
+        flat = rmains.ravel()
+        idx = (rms[:, None] + delta_int
+               + (np.arange(M, dtype=np.int64) * L)[:, None])[:, :, None] \
+            + xr[None, None, :]
+        g = flat[idx]
+        g1 = flat[idx + 1]
+        g2 = flat[idx + 2]
+        g3 = flat[idx + 3]
         dst = (f[:, :, 0:1] * g + f[:, :, 1:2] * g1
                + f[:, :, 2:3] * g2 + f[:, :, 3:4] * g3 + 32) >> 6
         np.clip(dst, 0, maxv, out=dst)
