@@ -74,6 +74,9 @@ PARALLEL_STREAMS = [
     "ai_wpp_small208_qp32",
     "ld_wpp_small208_qp32",
     "ai_tiles_bq416_qp32",
+    "ra_wpp_bq416_qp37",
+    # 2x2 tiles + 3 raster-scan slices per picture + standalone PH NAL
+    "ai_slices_bq416_qp32",
 ]
 
 
@@ -127,7 +130,8 @@ TENBIT_STREAMS = [
     "ai10_small208_qp32",
     "ai10src_small208_qp27",
     "ra10_small208_qp32",
-    "ai_sclist_small208_qp32",
+    "ai_sclist_small208_qp32",   # default scaling lists (flat 16 in VVC)
+    "ai_sclaps_small208_qp32",   # CUSTOM scaling lists via APS
 ]
 
 
@@ -147,6 +151,7 @@ FORMAT_TOOL_STREAMS = [
     "ai444_screen_qp32",    # 4:4:4 chroma format
     "act444_screen_qp32",   # adaptive color transform + IBC/PLT in 4:4:4
     "wp_fade_ldb_qp32",     # explicit weighted prediction (uni + bi)
+    "ai422_small208_qp32",  # 4:2:2 chroma format
 ]
 
 

@@ -109,8 +109,10 @@ def test_roundtrip_intra_sao():
     frames = read_yuv(f"{TESTDATA}/screen208_208x120_420_8.yuv", fmt, 1)
 
     def enc_psnr(sao):
+        # split pruning off: this test isolates the SAO gain margin
         enc = IntraEncoder(EncoderConfig(width=208, height=120, qp=42,
-                                         max_mtt_depth_intra=0, sao=sao))
+                                         max_mtt_depth_intra=0, sao=sao,
+                                         intra_split_prune=0.0))
         bits = enc.encode(frames)
         dec = Decoder()
         pics = dec.decode_stream(bits)

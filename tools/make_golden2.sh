@@ -49,4 +49,31 @@ enc ai10src_small208_qp27 encoder_intra_vtm.cfg small208_208x120_420_10.yuv 208 
 # explicit scaling lists
 enc ai_sclist_small208_qp32 encoder_intra_vtm.cfg small208_208x120_420_8.yuv 208 120 2 \
   --QP=32 --IntraPeriod=1 --ScalingList=1
+
+# CUSTOM scaling lists via APS (scaling_list_data parse + non-flat dequant)
+cp /root/reference/cfg/scaling_list/sample_scaling_list_file.txt /tmp/sclist.txt
+enc ai_sclaps_small208_qp32 encoder_intra_vtm.cfg small208_208x120_420_8.yuv 208 120 2 \
+  --QP=32 --IntraPeriod=1 --ScalingList=2 --ScalingListFile=/tmp/sclist.txt
+
+# multi-slice picture: 2x2 tiles (128-CTU units), 3 raster-scan slices,
+# standalone PH NAL
+cat > /tmp/slices3.cfg <<'SLC'
+EnablePicPartitioning         : 1
+TileColumnWidthArray          : 2
+TileRowHeightArray            : 1
+RasterScanSlices              : 1
+RasterSliceSizes              : 1 2
+DisableLoopFilterAcrossTiles  : 0
+DisableLoopFilterAcrossSlices : 0
+SLC
+enc ai_slices_bq416_qp32 encoder_intra_vtm.cfg bq416_416x240_420_8.yuv 416 240 2 \
+  --QP=32 --IntraPeriod=1 -c /tmp/slices3.cfg
+
+# 4:2:2 chroma format
+enc ai422_small208_qp32 encoder_intra_vtm.cfg small208_208x120_422_8.yuv 208 120 2 \
+  --QP=32 --IntraPeriod=1 --InputChromaFormat=422 --ChromaFormatIDC=422
+
+# 1080p AI point (bench / BD-rate ladder at the north-star resolution)
+enc ai_full_hd1080_qp37 encoder_intra_vtm.cfg hd1080_1920x1080_420_8.yuv 1920 1080 2 \
+  --QP=37 --IntraPeriod=1
 echo done

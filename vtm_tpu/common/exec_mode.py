@@ -36,16 +36,22 @@ _FETCH_PROBE_MS_LIMIT = 3.0
 
 
 def _probe_fetch_ms() -> float:
+    """Warm dispatch+readback roundtrip of a tiny jitted op.
+
+    The op is jit-compiled and executed once BEFORE timing so the probe
+    measures the link sync latency, not one-time XLA compilation (a
+    mistake an earlier revision made: it charged the compile of `a + 1`
+    to the link and misread a ~25 ms tunnel as a ~220 ms one)."""
     import jax
     import numpy as np
 
     dev = jax.devices()[0]
+    f = jax.jit(lambda x: x + 1)
     a = jax.device_put(np.zeros((64, 64), np.int32), dev)
-    a.block_until_ready()
-    np.asarray(a)  # warm the path
+    np.asarray(f(a))  # warm compile + fetch path
     t0 = time.perf_counter()
     for _ in range(3):
-        np.asarray(a + 1)
+        np.asarray(f(a))
     return (time.perf_counter() - t0) / 3 * 1e3
 
 

@@ -849,6 +849,33 @@ class CuReconstructor:
             return np.zeros((b.h, b.w), dtype=np.int32)
         return self._inv_tx_one(tu, comp)
 
+    def _scaling_for(self, tu: TU, comp: int, qp_rem: int):
+        """Explicit scaling-list dequant matrix for this TB, or None
+        (Quant::dequant gates, Quant.cpp:373-377 getUseScalingList)."""
+        sl = getattr(self.cs, "scaling_list", None)
+        if sl is None:
+            return None
+        cu = tu.cu
+        sps = self.sps
+        # isLfnstApplied (Quant.cpp:374): separate-tree chroma CUs apply
+        # LFNST to their chroma TBs; joint-tree CUs only to luma.  Our
+        # chroma-only CUs are identified by ch_type (tree_type stays
+        # TREE_D in the global dual tree).
+        lfnst_applied = cu.lfnst_idx > 0 and (
+            comp == 0 or cu.ch_type == D.CH_C)
+        if lfnst_applied and getattr(
+                sps, "scaling_matrix_for_lfnst_disabled", False):
+            return None
+        if getattr(sps, "scaling_matrix_alt_colour_disabled", False) and \
+                getattr(sps, "scaling_matrix_designated_colour", False) == \
+                bool(getattr(cu, "color_transform", False)):
+            return None
+        from vtm_tpu.decoder import scaling_list as _scl
+
+        b = tu.blocks[comp]
+        lt = _scl.scaling_list_type(cu.pred_mode == D.MODE_INTRA, comp)
+        return _scl.dequant_matrix(sl, lt, qp_rem, b.w, b.h)
+
     def _inv_tx_one(self, tu: TU, comp: int) -> np.ndarray:
         cu = tu.cu
         b = tu.blocks[comp]
@@ -869,10 +896,16 @@ class CuReconstructor:
             return Q.dequant(coeffs, qp_ts, self.bit_depth, is_ts=True)
         use_regular = sh.ts_residual_coding_disabled or tu.mts_idx[comp] != D.MTS_SKIP
         if sh.dep_quant and use_regular:
+            # dep-quant matrices are indexed by the DQ qp (+1) remainder
+            # (DepQuant.cpp:1616-1631)
+            scaling = self._scaling_for(tu, comp, (qp[0] + 1) % 6)
             scan = rom.scan(1, b.w, b.h)
-            deq = Q.dequant_dep(tu.coeffs[comp], qp, self.bit_depth, scan)
+            deq = Q.dequant_dep(tu.coeffs[comp], qp, self.bit_depth, scan,
+                                scaling=scaling)
         else:
-            deq = Q.dequant(tu.coeffs[comp], qp, self.bit_depth)
+            scaling = self._scaling_for(tu, comp, qp[2])
+            deq = Q.dequant(tu.coeffs[comp], qp, self.bit_depth,
+                            scaling=scaling)
         if cu.lfnst_idx:
             deq = self.inv_lfnst(tu, comp, deq)
         tr_h, tr_v = self._tr_types(tu, comp)

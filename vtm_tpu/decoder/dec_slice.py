@@ -58,6 +58,11 @@ def decompress_slice(dec, sps, pps, ph, sh, r) -> None:
         pic.lmcs_model = cache[key]
     else:
         dcs.lmcs_model = None
+    # explicit scaling lists (PH -> scaling-list APS activation)
+    if getattr(ph, "explicit_scaling_list_enabled", False):
+        dcs.scaling_list = dec.psm.aps[(2, ph.scaling_list_aps_id)].scaling_list
+    else:
+        dcs.scaling_list = None
     dcs.cur_slice_idx = pic.slice_count
     sh.independent_slice_idx = pic.slice_count
     dcs.cur_ind_slice_idx = pic.slice_count

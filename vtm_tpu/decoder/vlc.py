@@ -479,11 +479,12 @@ def parse_sps(rbsp: bytes) -> SPS:
     sps.explicit_scaling_list = bool(r.flag())
     if sps.lfnst and sps.explicit_scaling_list:
         sps.scaling_matrix_for_lfnst_disabled = bool(r.flag())
-    scaling_matrix_alt_colour = False
+    sps.scaling_matrix_alt_colour_disabled = False
+    sps.scaling_matrix_designated_colour = False
     if sps.act and sps.explicit_scaling_list:
-        scaling_matrix_alt_colour = bool(r.flag())
-    if scaling_matrix_alt_colour:
-        r.flag()  # designated colour space flag
+        sps.scaling_matrix_alt_colour_disabled = bool(r.flag())
+    if sps.scaling_matrix_alt_colour_disabled:
+        sps.scaling_matrix_designated_colour = bool(r.flag())
     sps.dep_quant = bool(r.flag())
     sps.sign_data_hiding = bool(r.flag())
     sps.virtual_boundaries_enabled = bool(r.flag())
@@ -931,8 +932,10 @@ def parse_aps(rbsp: bytes) -> APS:
         abs_crs = r.u(3)
         sign = r.u(1) if abs_crs > 0 else 0
         aps.lmcs_delta_crs = (1 - 2 * sign) * abs_crs
-    elif aps.aps_type == 2:  # scaling list
-        raise NotImplementedError("scaling list APS not supported yet")
+    elif aps.aps_type == 2:  # scaling list (VLCReader parseScalingListAps)
+        from vtm_tpu.decoder import scaling_list as _scl
+
+        aps.scaling_list = _scl.parse_scaling_list(r)
     if r.flag():
         while r.more_rbsp_data():
             r.flag()

@@ -81,9 +81,11 @@ def main(argv=None):
     if geti("RateControl", 0) and geti("TargetBitrate", 0):
         cfg.target_bitrate = geti("TargetBitrate", 0)
         cfg.frame_rate = float(opts.get("FrameRate", 30))
-    # EncAppCfg SEIDecodedPictureHash (default 0 in the reference; our
-    # library default stays on so conformance tests can self-check)
-    cfg.hash_sei = geti("SEIDecodedPictureHash", 1) != 0
+    # EncAppCfg SEIDecodedPictureHash defaults to 0 (EncAppCfg.cpp); the
+    # library-level EncoderConfig default stays 1 so conformance tests
+    # self-check, but a cfg-driven run must match reference CLI rate
+    # semantics (a 58-byte/picture hash SEI skews any comparison)
+    cfg.hash_sei = geti("SEIDecodedPictureHash", 0) != 0
     gop_size = geti("GOPSize", 1)
     frame1 = opts.get("Frame1", "")
     if intra_period == 1:

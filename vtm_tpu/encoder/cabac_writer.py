@@ -842,10 +842,14 @@ class SyntaxWriter:
         )
         if not (is_last or cctx.sub_set_id == 0):
             e.encode_bin(int(sig_group), cctx.sig_group_ctx_id())
-        if sig_group:
-            cctx.sig_group_flags[cctx.sub_set_pos] = True
-        else:
-            return state
+            if not sig_group:
+                return state
+        # the last and DC subblocks have coded_sub_block_flag inferred 1:
+        # even an all-zero DC subblock must code its (all-zero) sig flags
+        # (the reader reads them — an early return here desyncs the
+        # stream; the context-aware DQ trellis legitimately produces
+        # all-zero DC subblocks)
+        cctx.sig_group_flags[cctx.sub_set_pos] = True
         infer_sig_pos = (
             (min_sub_pos if cctx.sub_set_id != 0 else -1)
             if first_sig_pos != cctx.scan_pos_last

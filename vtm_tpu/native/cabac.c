@@ -1001,11 +1001,12 @@ static PyObject *mod_rc_est(PyObject *mod, PyObject *args)
             int sig_right = (rc.cg_pos_x + 1 < rc.wig) ? rc.sig_group_flags[rc.sub_set_pos + 1] : 0;
             int sig_lower = (rc.cg_pos_y + 1 < rc.hig) ? rc.sig_group_flags[rc.sub_set_pos + rc.wig] : 0;
             est_bin(&e, sig_group, rc.sig_cg_set + ((sig_right || sig_lower) ? 1 : 0));
+            if (!sig_group)
+                continue;
         }
-        if (sig_group)
-            rc.sig_group_flags[rc.sub_set_pos] = 1;
-        else
-            continue;
+        /* last + DC subblocks: coded_sub_block_flag inferred 1; an
+         * all-zero DC subblock still codes 16 zero sig flags */
+        rc.sig_group_flags[rc.sub_set_pos] = 1;
         int infer_sig_pos = (first_sig_pos != last)
                                 ? (subset != 0 ? min_sub_pos : -1)
                                 : first_sig_pos;

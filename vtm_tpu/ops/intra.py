@@ -319,8 +319,7 @@ def angular_sad_batch(top, left, ftop, fleft, w: int, h: int, modes,
             ref_main = ref_above if is_ver else ref_left
             ref_side = ref_left if is_ver else ref_above
             ref_main_base = 0
-            log2_ratio = floor_log2(w) - floor_log2(h)
-            s = max(0, log2_ratio if is_ver else -log2_ratio)
+            # max_index = (mrl << s) + 2 with mrl fixed at 0 here
             max_index = 2
             ref_length = trl if is_ver else lrl
             ref_main[ref_length + 1 : ref_length + max_index + 1] = \

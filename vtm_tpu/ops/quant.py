@@ -53,11 +53,15 @@ def dequant(
     qp: tuple[int, int, int],
     bit_depth: int,
     is_ts: bool = False,
+    scaling: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Quant::dequant with flat (default) scaling list.
+    """Quant::dequant.
 
     coeff: (h, w) int; qp: (qp, per, rem) from qp_param (TS variant applies
-    the max(qpTS) rule before calling).
+    the max(qpTS) rule before calling).  `scaling`: per-position dequant
+    coefficients (inv_scale * matrix entry, scaling_list.dequant_matrix)
+    for explicit scaling lists (Quant.cpp:405 enableScalingLists path);
+    None = flat list.
     """
     h, w = coeff.shape
     max_range = 15
@@ -67,8 +71,13 @@ def dequant(
     i_transform_shift = transform_shift + (-1 if needs_sqrt2 else 0)
     _, qp_per, qp_rem = qp
     right_shift = IQUANT_SHIFT - ((0 if is_ts else i_transform_shift) + qp_per)
-    scale = rom.inv_quant_scale(qp_rem, needs_sqrt2)
-    scale_bits = IQUANT_SHIFT + 1
+    if scaling is not None:
+        right_shift += 4  # LOG2_SCALING_LIST_NEUTRAL_VALUE
+        scale = scaling.astype(np.int64)
+        scale_bits = 1 + IQUANT_SHIFT + 8  # dequantCoefBits w/ SCALING_LIST_BITS
+    else:
+        scale = rom.inv_quant_scale(qp_rem, needs_sqrt2)
+        scale_bits = IQUANT_SHIFT + 1
     target_bd = min(max_range + 1, 64 + right_shift - scale_bits)
     in_min, in_max = -(1 << (target_bd - 1)), (1 << (target_bd - 1)) - 1
     c = np.clip(coeff.astype(np.int64), in_min, in_max)
@@ -140,10 +149,13 @@ def dequant_dep(
     bit_depth: int,
     scan: np.ndarray,
     is_ts: bool = False,
+    scaling: np.ndarray | None = None,
 ) -> np.ndarray:
     """Dependent-quantization inverse (DepQuant.cpp Quantizer::dequantBlock
     :705): per-coefficient 8-state machine over the scan order with
-    qIdx = 2*level -/+ (state>>1) and QP+1 scaling."""
+    qIdx = 2*level -/+ (state>>1) and QP+1 scaling.  `scaling`: explicit
+    scaling-list dequant coefficients (dequantBlock enableScalingLists:
+    per-position invQScale, +LOG2_SCALING_LIST_NEUTRAL_VALUE shift)."""
     h, w = coeff.shape
     max_range = 15
     tmin, tmax = -(1 << max_range), (1 << max_range) - 1
@@ -155,6 +167,21 @@ def dequant_dep(
     if nz.size == 0:
         return out.reshape(h, w)
     shift, inv_scale, add = _dqi_consts(w, h, qp[0], bit_depth, is_ts)
+    per_pos_scale = None
+    if scaling is not None:
+        # recompute shift with the scaling-list neutral offset, without
+        # the flat path's shift<0 folding (handled per position below)
+        qp_dq = qp[0] + 1
+        qp_per = qp_dq // 6
+        tshift = max_range - bit_depth - ((floor_log2(w) + floor_log2(h)) >> 1)
+        if (not is_ts) and (((floor_log2(w) + floor_log2(h)) & 1) == 1):
+            tshift -= 1
+        shift = IQUANT_SHIFT + 1 - qp_per - tshift + 4
+        per_pos_scale = scaling.ravel().astype(np.int64)
+        if shift < 0:
+            per_pos_scale = per_pos_scale << (-shift)
+            shift = 0
+        add = (1 << shift) >> 1
     # state walk over nonzeros only: between them the levels are zero, whose
     # transition T0 = [0,2,1,3] swaps {1,2} per step and fixes {0,3}
     trans = ((0, 2), (2, 0), (1, 3), (3, 1))  # trans[s] = (next|par0, next|par1)
@@ -172,7 +199,10 @@ def dequant_dep(
     lv_nz = lv_scan[nz]
     half = states >> 1
     q_idx = (lv_nz << 1) + np.where(lv_nz > 0, -half, half)
-    val = (q_idx * int(inv_scale) + add) >> shift
+    if per_pos_scale is not None:
+        val = (q_idx * per_pos_scale[scan_pos[nz]] + add) >> shift
+    else:
+        val = (q_idx * int(inv_scale) + add) >> shift
     out[scan_pos[nz]] = np.clip(val, tmin, tmax)
     return out.reshape(h, w)
 

@@ -88,8 +88,13 @@ def dmvr_search(pre0, pre1, f0x, f0y, f1x, f1y, bd: int, dx: int, dy: int):
     minc0 = c00 - (c00 >> 2)
     early = minc0 < (dx * dy)
     cvec = costs.at[:, 12].set(minc0)
+    # xBIPMVRefine scans with minCost pre-seeded to the biased centre and
+    # strict <, so an offset that TIES the centre loses to it even when it
+    # comes earlier in scan order; plain argmin would pick the earlier
+    # index.  Resolve: centre wins any tie with the global minimum.
+    min_cost = jnp.min(cvec, axis=1)
     best = jnp.argmin(cvec, axis=1).astype(jnp.int32)  # first-min, eval order
-    min_cost = jnp.take_along_axis(cvec, best[:, None], axis=1)[:, 0]
+    best = jnp.where(minc0 == min_cost, 12, best)
     bx = best % 5 - 2
     by = best // 5 - 2
     bx = jnp.where(early, 0, bx)

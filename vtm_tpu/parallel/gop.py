@@ -11,6 +11,7 @@ sequential intra-period encode.
 
 from __future__ import annotations
 
+import multiprocessing
 import os
 import tempfile
 from concurrent.futures import ProcessPoolExecutor
@@ -45,7 +46,11 @@ def encode_parallel(frames, cfg_kwargs: dict, mode: str = "ldp",
     if workers is None:
         workers = min(len(segments), os.cpu_count() or 1)
     if workers > 1 and len(segments) > 1:
-        with ProcessPoolExecutor(max_workers=workers) as pool:
+        # spawn, not fork: the encoder runs jax kernels (batched RMD,
+        # filter chains) whose XLA runtime threads/mutexes make a forked
+        # child deadlock-prone; spawn gives each worker a clean runtime
+        ctx = multiprocessing.get_context("spawn")
+        with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as pool:
             streams = list(pool.map(_encode_segment, jobs))
     else:
         streams = [_encode_segment(j) for j in jobs]
