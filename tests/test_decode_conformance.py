@@ -152,6 +152,9 @@ FORMAT_TOOL_STREAMS = [
     "act444_screen_qp32",   # adaptive color transform + IBC/PLT in 4:4:4
     "wp_fade_ldb_qp32",     # explicit weighted prediction (uni + bi)
     "ai422_small208_qp32",  # 4:2:2 chroma format
+    # luma-correlated chroma: the reference encoder enables CC-ALF CTBs
+    # (exercises the cc filter-control parse + the CC-ALF clip path)
+    "ai_ccalf_cc208_qp32",
 ]
 
 

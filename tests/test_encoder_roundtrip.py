@@ -327,3 +327,29 @@ def test_roundtrip_ra_geo():
     n_geo = sum(1 for p in pics if hasattr(p, "dcs")
                 for c in p.dcs.cus if getattr(c, "geo_flag", False))
     assert n_geo > 0, "no geometric-partition CUs coded"
+
+
+def test_roundtrip_intra_ccalf():
+    """CC-ALF training: on luma-correlated chroma the encoder trains a
+    cross-component filter, signals it (APS + SH + per-CTU idc), improves
+    chroma PSNR, and the stream decodes hash-exact."""
+    fmt = YuvFormat(208, 120, ChromaFormat.YUV420, 8)
+    frames = read_yuv(f"{TESTDATA}/cc208_208x120_420_8.yuv", fmt, 1)
+
+    def run(cc):
+        enc = IntraEncoder(EncoderConfig(width=208, height=120, qp=37,
+                                         alf=True, sao=True, ccalf=cc))
+        bits = enc.encode(frames)
+        dec = Decoder()
+        pics = dec.decode_stream(bits)
+        for hr in dec.hash_results:
+            assert hr.ok, f"hash mismatch at POC {hr.poc} (ccalf={cc})"
+        log = enc.frame_log[-1]
+        used = any(np.asarray(pics[0].ccalf_control[i]).any() for i in (0, 1))
+        return log["psnr"][1] + log["psnr"][2], used
+
+    base, used0 = run(False)
+    gain, used1 = run(True)
+    assert not used0
+    assert used1, "CC-ALF CTBs not engaged on correlated-chroma content"
+    assert gain > base, "CC-ALF did not improve chroma PSNR"

@@ -80,6 +80,7 @@ def encode_ours(frames, w, h, mode, qp, bit_depth=8):
     cfg.sao = True
     cfg.dep_quant = True
     cfg.alf = True
+    cfg.ccalf = True
     # VTM CTC rate excludes the decoded-picture-hash SEI (EncApp default
     # off); correctness is still checked via the reference DecoderApp below
     cfg.hash_sei = False

@@ -76,4 +76,8 @@ enc ai422_small208_qp32 encoder_intra_vtm.cfg small208_208x120_422_8.yuv 208 120
 # 1080p AI point (bench / BD-rate ladder at the north-star resolution)
 enc ai_full_hd1080_qp37 encoder_intra_vtm.cfg hd1080_1920x1080_420_8.yuv 1920 1080 2 \
   --QP=37 --IntraPeriod=1
+
+# luma-correlated chroma clip: reference encoder engages CC-ALF CTBs
+enc ai_ccalf_cc208_qp32 encoder_intra_vtm.cfg cc208_208x120_420_8.yuv 208 120 2 \
+  --QP=32 --IntraPeriod=1
 echo done

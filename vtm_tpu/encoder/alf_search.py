@@ -382,3 +382,144 @@ def alf_search(dcs, shim, src_planes, lam):
     shim.alf_ctb_alt = [np.zeros(n_ctu, dtype=np.int64) for _ in range(3)]
     shim.ccalf_control = [np.zeros(n_ctu, dtype=np.int64) for _ in range(2)]
     return param
+
+
+# ---------------------------------------------------------------------------
+# CC-ALF training (EncAdaptiveLoopFilter CC-ALF derivation analogue)
+
+_CC_SCALE = 7  # SCALE_BITS_CC
+# per-coefficient codable values: 0 and +-2^k (APS syntax, vlc.py:906-919)
+_CC_LEVELS = np.array([0, 1, 2, 4, 8, 16, 32, 64], dtype=np.int64)
+_CC_CAND = np.unique(np.concatenate([_CC_LEVELS, -_CC_LEVELS]))
+
+
+def _cc_tap_diffs(luma_pad, Hc, Wc, sx, sy, ctu, vb_pos):
+    """The 7 CC-ALF tap differences (luma neighbour - collocated centre)
+    at every chroma position, with the virtual-boundary tap adjustments
+    of ops.alf.filter_block_ccalf.  Returns (d (7,Hc,Wc), skip (Hc,) row
+    mask of positions the filter leaves untouched)."""
+    yl = (np.arange(Hc) << sy)
+    xl = (np.arange(Wc) << sx)
+    pos = yl & (ctu - 1)
+    o1 = np.ones(Hc, np.int64)
+    o2 = -np.ones(Hc, np.int64)
+    o3 = np.full(Hc, 2, np.int64)
+    m = (pos == vb_pos - 2) | (pos == vb_pos + 1)
+    o3[m] = o1[m]
+    m = (pos == vb_pos - 1) | (pos == vb_pos)
+    o1[m] = 0
+    o2[m] = 0
+    o3[m] = 0
+    skip = (sy == 0) & ((pos == vb_pos) | (pos == vb_pos + 1))
+
+    def L(dy_rows, dxc):
+        return luma_pad[(PAD + yl + dy_rows)[:, None], (PAD + xl + dxc)[None, :]]
+
+    zero = np.zeros(Hc, np.int64)
+    cur = L(zero, 0)
+    d = np.stack([
+        L(o2, 0) - cur,
+        L(zero, -1) - cur,
+        L(zero, 1) - cur,
+        L(o1, -1) - cur,
+        L(o1, 0) - cur,
+        L(o1, 1) - cur,
+        L(o3, 0) - cur,
+    ])
+    return d, skip
+
+
+def derive_ccalf(dcs, shim, src_planes, lam, pre_alf_luma, param):
+    """Train one CC-ALF filter per chroma component + per-CTU control.
+
+    Least-squares over the tap differences against the post-ALF chroma
+    residual, coefficients snapped to the codable {0, +-2^k} grid, then a
+    greedy per-CTU on/off RD with the exact integer filter output.  On
+    success installs coefficients in `param`, control maps in
+    shim.ccalf_control, and slice-header enables.  The caller must apply
+    the returned delta maps to shim.planes (decode-exact)."""
+    sps = dcs.sps
+    fmt = dcs.chroma_format
+    if fmt.num_components < 2 or not getattr(sps, "ccalf", False):
+        return
+    bd = sps.bit_depth
+    ctu = sps.ctu_size
+    w_ctu, h_ctu = dcs.pic_w_ctu, dcs.pic_h_ctu
+    sh = dcs.sh
+    vb_pos = ctu - 4
+    maxv = (1 << bd) - 1
+    half = (1 << bd) >> 1
+    luma_pad = np.pad(pre_alf_luma, PAD, mode="edge").astype(np.int64)
+    sx, sy = fmt.scale_x, fmt.scale_y
+
+    for comp in (1, 2):
+        orgc = src_planes[comp].astype(np.int64)
+        recc = shim.planes[comp].astype(np.int64)
+        resid = orgc - recc
+        Hc, Wc = recc.shape
+        d, skip = _cc_tap_diffs(luma_pad, Hc, Wc, sx, sy, ctu, vb_pos)
+        valid = ~skip
+        dv = d[:, valid, :].reshape(7, -1).astype(np.float64)
+        rv = resid[valid, :].reshape(-1).astype(np.float64)
+        A = dv @ dv.T
+        b = dv @ (rv * (1 << _CC_SCALE))
+        try:
+            cf = np.linalg.solve(A + np.eye(7) * 1e-3, b)
+        except np.linalg.LinAlgError:
+            continue
+        # snap to the codable grid (nearest by value)
+        q = np.array([_CC_CAND[np.argmin(np.abs(_CC_CAND - v))] for v in cf],
+                     dtype=np.int64)
+        if not q.any():
+            continue
+        # exact integer filter delta over the plane
+        s = np.zeros((Hc, Wc), np.int64)
+        for i in range(7):
+            s += int(q[i]) * d[i]
+        s = (s + (1 << (_CC_SCALE - 1))) >> _CC_SCALE
+        s = np.clip(s, -half, maxv - half)
+        s[skip, :] = 0
+        filtered = np.clip(recc + s, 0, maxv)
+        delta_on = (orgc - filtered) ** 2
+        delta_off = resid ** 2
+        control = np.zeros(w_ctu * h_ctu, np.int64)
+        sxc, syc = sx, sy
+        any_on = False
+        for addr in range(w_ctu * h_ctu):
+            cx, cy = addr % w_ctu, addr // w_ctu
+            x0 = (cx * ctu) >> sxc
+            y0 = (cy * ctu) >> syc
+            wc = min(ctu >> sxc, Wc - x0)
+            hc = min(ctu >> syc, Hc - y0)
+            if wc <= 0 or hc <= 0:
+                continue
+            on = float(delta_on[y0:y0 + hc, x0:x0 + wc].sum())
+            off = float(delta_off[y0:y0 + hc, x0:x0 + wc].sum())
+            # ~2 bins for the control idc + amortized APS coeff cost
+            if on + lam * 2.5 < off + lam * 1.0:
+                control[addr] = 1
+                any_on = True
+        if not any_on:
+            continue
+        cc = comp - 1
+        param.new_ccalf[cc] = True
+        param.ccalf_filter_count[cc] = 1
+        param.ccalf_enabled_idx[cc][0] = True
+        param.ccalf_coeff[cc][0] = [int(v) for v in q]
+        shim.ccalf_control[cc] = control
+        if comp == 1:
+            sh.ccalf_cb_enabled = True
+            sh.ccalf_cb_aps_id = 0
+        else:
+            sh.ccalf_cr_enabled = True
+            sh.ccalf_cr_aps_id = 0
+        # apply on enabled CTUs (decode-exact)
+        for addr in np.nonzero(control)[0]:
+            cx, cy = addr % w_ctu, addr // w_ctu
+            x0 = (int(cx) * ctu) >> sxc
+            y0 = (int(cy) * ctu) >> syc
+            wc = min(ctu >> sxc, Wc - x0)
+            hc = min(ctu >> syc, Hc - y0)
+            blk = filtered[y0:y0 + hc, x0:x0 + wc]
+            shim.planes[comp][y0:y0 + hc, x0:x0 + wc] = blk.astype(
+                shim.planes[comp].dtype)

@@ -127,13 +127,52 @@ class SyntaxWriter:
                 self.e.encode_bins_ep(params.type_idc[comp], 2)
 
     def alf_ctb(self, ctu_rect, ctu_rs_addr: int, pic):
-        """Mirror of SyntaxReader._alf_ctb: per-component ctb flag with
-        left/above context, APS-vs-fixed filter index for luma, chroma
-        alternative index (CABACWriter::codeAlfCtuEnableFlag analogue)."""
+        """Mirror of SyntaxReader._alf_ctb + _ccalf_filter_control_idc:
+        per-component ctb flag with left/above context, APS-vs-fixed
+        filter index for luma, chroma alternative index, CC-ALF control
+        idc (CABACWriter::codeAlfCtuEnableFlag / codeCcAlfFilterControlIdc
+        analogue)."""
         sps = self.sps
         sh = self.cs.sh
-        if not sps.alf or not sh.alf_enabled[0]:
-            return
+        if sps.alf and sh.alf_enabled[0]:
+            self._alf_ctb_body(ctu_rect, ctu_rs_addr, pic)
+        if getattr(sps, "ccalf", False):
+            for comp in (1, 2):
+                enabled = (sh.ccalf_cb_enabled if comp == 1
+                           else sh.ccalf_cr_enabled)
+                if enabled:
+                    self._ccalf_filter_control_idc(
+                        comp, ctu_rs_addr, ctu_rect, pic)
+
+    def _ccalf_filter_control_idc(self, comp: int, ctu_rs_addr: int, ctu,
+                                  pic):
+        filter_controls = pic.ccalf_control[comp - 1]
+        ctu_sz = self.sps.ctu_size
+        left = self.cs.get_cu_restricted(
+            ctu.x - ctu_sz, ctu.y, ctu.x, ctu.y, CH_L)
+        above = self.cs.get_cu_restricted(
+            ctu.x, ctu.y - ctu_sz, ctu.x, ctu.y, CH_L)
+        c = 0
+        if left:
+            c += 1 if filter_controls[ctu_rs_addr - 1] else 0
+        if above:
+            c += 1 if filter_controls[ctu_rs_addr - self.cs.pic_w_ctu] else 0
+        c += 3 if comp == 2 else 0
+        aps_id = (self.cs.sh.ccalf_cb_aps_id if comp == 1
+                  else self.cs.sh.ccalf_cr_aps_id)
+        filter_count = self.cs.aps_map[(0, aps_id)].alf.ccalf_filter_count[
+            comp - 1]
+        idc = int(filter_controls[ctu_rs_addr])
+        self.e.encode_bin(1 if idc else 0, ctx("CcAlfFilterControlFlag", c))
+        if idc:
+            for _ in range(idc - 1):
+                self.e.encode_bin_ep(1)
+            if idc != filter_count:
+                self.e.encode_bin_ep(0)
+
+    def _alf_ctb_body(self, ctu_rect, ctu_rs_addr: int, pic):
+        sps = self.sps
+        sh = self.cs.sh
         w_ctu = self.cs.pic_w_ctu
         ctu = sps.ctu_size
         left = self.cs.get_cu_restricted(

@@ -80,6 +80,7 @@ class EncoderConfig:
     num_active_refs: int = 1  # active L0 references (multi-ref ME when > 1)
     geo: bool = False  # geometric-partition merge search (B slices)
     satd_rmd: bool = True  # whole-frame batched device RMD (SATD costs)
+    ccalf: bool = False  # cross-component ALF training (needs alf=True)
     # intra split pruning from the RMD SATD table: skip an RD split trial
     # whose children's summed best-SATD (plus per-child signalling cost)
     # is >= margin * the node's own best SATD.  0 disables; larger =
@@ -309,9 +310,18 @@ class IntraEncoder:
             from vtm_tpu.encoder.vlc_writer import write_aps_alf
             from vtm_tpu.ops import alf as ALFOP
 
+            pre_alf_luma = (shim.planes[0].copy()
+                            if getattr(cfg, "ccalf", False) else None)
             param = alf_search(dcs, shim, self.src, self.lam)
             if param is not None:
                 ALFOP.alf_picture(dcs, shim)
+                if pre_alf_luma is not None and dcs.sh.alf_enabled[0]:
+                    # CC-ALF trains against the post-ALF chroma with the
+                    # pre-ALF (post-SAO) luma as filter input
+                    from vtm_tpu.encoder.alf_search import derive_ccalf
+
+                    derive_ccalf(dcs, shim, self.src, self.lam,
+                                 pre_alf_luma, param)
                 self._alf_aps_nal = write_aps_alf(param, aps_id=0)
             else:
                 n = dcs.pic_w_ctu * dcs.pic_h_ctu
@@ -1807,8 +1817,18 @@ class InterEncoder(IntraEncoder):
 
     # -- motion estimation ---------------------------------------------
     def _motion_estimate(self, a: Rect, part, lst: int = 0, ref_idx: int = 0):
-        """Diamond integer search + quarter-pel refinement on luma SAD."""
+        """TZ-style integer search + SATD fractional refinement.
+
+        InterSearch::xMotionEstimation (InterSearch.cpp:3299) redesign:
+        MVP/zero starts, batched 8-point diamond rings at exponential
+        distances (xTZ8PointDiamondSearch), a stride-5 raster stage when
+        the best point is far from the start (xTZSearch raster), star
+        refinement rings around the raster winner, then half->quarter-pel
+        refinement over the full 8-neighbourhood costed with Hadamard
+        SATD (xPatternSearchFracDIF / RdCost HAD)."""
         from vtm_tpu.decoder import motion as M
+        from vtm_tpu.ops import mc as MC
+        from vtm_tpu.ops import rdcost as RC
 
         dcs = self.dcs
         ref = dcs.sh.ref_pics[lst][ref_idx].planes[0]
@@ -1820,68 +1840,120 @@ class InterEncoder(IntraEncoder):
         probe.ref_idx[lst] = ref_idx
         cands = M.fill_mvp_cand(dcs, probe, lst, ref_idx)
         lam_me = np.sqrt(self.lam)
-
         ph_, pw_ = ref.shape
+        rng = self.me_range
 
-        def sad_int(ix, iy):
-            ys = np.clip(np.arange(a.y + iy, a.y + iy + a.h), 0, ph_ - 1)
-            xs = np.clip(np.arange(a.x + ix, a.x + ix + a.w), 0, pw_ - 1)
-            return float(np.abs(src - ref[np.ix_(ys, xs)]).sum())
+        # row-subsampled SAD for blocks taller than 8 (DistParam subShift)
+        sub = 2 if a.h > 8 else 1
+        ys_base = np.arange(0, a.h, sub, dtype=np.int64)
+        xs_base = np.arange(a.w, dtype=np.int64)
+        src_sub = src[::sub]
 
-        def mvd_cost(ix, iy, mvp):
+        def sad_batch(pts):
+            """SAD for a list of integer (ix, iy) positions, batched."""
+            p = np.asarray(pts, dtype=np.int64)
+            Y = np.clip(a.y + p[:, 1, None] + ys_base[None, :], 0, ph_ - 1)
+            X = np.clip(a.x + p[:, 0, None] + xs_base[None, :], 0, pw_ - 1)
+            wins = ref[Y[:, :, None], X[:, None, :]]
+            return (np.abs(src_sub[None] - wins).sum(axis=(1, 2))
+                    .astype(np.float64) * sub)
+
+        def mvd_bits(ix, iy, mvp):
             dx = abs((ix << 4) - mvp[0]) >> 2
             dy = abs((iy << 4) - mvp[1]) >> 2
             return lam_me * (dx.bit_length() * 2 + dy.bit_length() * 2 + 2)
 
-        best = None
+        # ---- start points: MVPs + zero ----
+        starts = []
         for mvp_idx, mvp in enumerate(cands[:2]):
-            sx = int(round(mvp[0] / 16.0))
-            sy = int(round(mvp[1] / 16.0))
-            c = sad_int(sx, sy) + mvd_cost(sx, sy, mvp)
+            starts.append((int(round(mvp[0] / 16.0)),
+                           int(round(mvp[1] / 16.0)), mvp_idx))
+        starts.append((0, 0, 0))
+        scosts = sad_batch([(sx, sy) for sx, sy, _ in starts])
+        best = None
+        for (sx, sy, mi), c0 in zip(starts, scosts):
+            c = c0 + mvd_bits(sx, sy, cands[mi])
             if best is None or c < best[0]:
-                best = (c, sx, sy, mvp_idx)
-        # diamond refinement
-        step = 16
-        _, bx, by, bi = best
-        bcost = best[0]
+                best = (c, sx, sy, mi)
+        bcost, bx, by, bi = best
         mvp = cands[bi]
-        while step >= 1:
-            improved = False
-            for dx, dy in ((step, 0), (-step, 0), (0, step), (0, -step)):
-                nx, ny = bx + dx, by + dy
-                if abs(nx) > self.me_range or abs(ny) > self.me_range:
-                    continue
-                c = sad_int(nx, ny) + mvd_cost(nx, ny, mvp)
+        sx0, sy0 = bx, by  # search centre for the raster decision
+
+        def ring_sweep(cx, cy, dists):
+            """Evaluate 8-point diamond rings at the given distances around
+            (cx, cy); returns the best (cost, x, y) among them."""
+            pts = []
+            for d in dists:
+                h = max(1, d >> 1)
+                for dx, dy in ((0, -d), (0, d), (-d, 0), (d, 0),
+                               (-h, -h), (h, -h), (-h, h), (h, h)):
+                    nx, ny = cx + dx, cy + dy
+                    if abs(nx) <= rng and abs(ny) <= rng:
+                        pts.append((nx, ny))
+            if not pts:
+                return None
+            cs = sad_batch(pts)
+            out = None
+            for (nx, ny), c0 in zip(pts, cs):
+                c = c0 + mvd_bits(nx, ny, mvp)
+                if out is None or c < out[0]:
+                    out = (c, nx, ny)
+            return out
+
+        # ---- exponential diamond rings around the start ----
+        r = ring_sweep(bx, by, [1, 2, 4, 8, 16, 32, 64])
+        if r is not None and r[0] < bcost:
+            bcost, bx, by = r
+        # ---- raster stage when the winner is far from the start ----
+        # (restricted to PUs >= 256 samples: small blocks rarely profit
+        # and the batched full-window sweep is where the cost is)
+        i_raster = 5
+        if (a.w * a.h >= 256
+                and max(abs(bx - sx0), abs(by - sy0)) > i_raster):
+            pts = [(x, y)
+                   for y in range(-rng, rng + 1, i_raster)
+                   for x in range(-rng, rng + 1, i_raster)]
+            cs = sad_batch(pts)
+            for (nx, ny), c0 in zip(pts, cs):
+                c = c0 + mvd_bits(nx, ny, mvp)
                 if c < bcost:
                     bcost, bx, by = c, nx, ny
-                    improved = True
-            if not improved:
-                step >>= 1
-        # quarter-pel refinement around the best integer position
-        from vtm_tpu.ops import mc as MC
+        # ---- star refinement: shrinking rings around the current best ----
+        for _ in range(3):
+            moved = False
+            r = ring_sweep(bx, by, [1, 2, 4])
+            if r is not None and r[0] < bcost:
+                bcost, bx, by = r
+                moved = True
+            if not moved:
+                break
+
+        # ---- fractional: half then quarter pel, full 8-neighbourhood,
+        #      Hadamard SATD cost (xPatternSearchFracDIF) ----
+        def satd_frac(mv):
+            fx, fy = mv[0] & 15, mv[1] & 15
+            pred = MC.mc_block(ref, a.x + (mv[0] >> 4), a.y + (mv[1] >> 4),
+                               a.w, a.h, fx, fy, True,
+                               self.cfg.bit_depth, rnd_res=True)
+            return float(RC.satd(src, pred)) + lam_me * (
+                (abs(mv[0] - mvp[0]) >> 2).bit_length() * 2
+                + (abs(mv[1] - mvp[1]) >> 2).bit_length() * 2 + 2)
 
         best_q = (bx << 4, by << 4)
-        bqcost = bcost
+        bqcost = satd_frac(best_q)
         for qstep in (8, 4):
-            improved = True
-            while improved:
-                improved = False
-                for dx, dy in ((qstep, 0), (-qstep, 0), (0, qstep), (0, -qstep)):
-                    mvq = (best_q[0] + dx, best_q[1] + dy)
+            centre = best_q
+            for dx in (-qstep, 0, qstep):
+                for dy in (-qstep, 0, qstep):
+                    if dx == 0 and dy == 0:
+                        continue
+                    mvq = (centre[0] + dx, centre[1] + dy)
                     if mvq[0] & 3 or mvq[1] & 3:
                         continue  # quarter-pel signalling granularity
-                    fx, fy = mvq[0] & 15, mvq[1] & 15
-                    pred = MC.mc_block(ref, a.x + (mvq[0] >> 4), a.y + (mvq[1] >> 4),
-                                       a.w, a.h, fx, fy, True,
-                                       self.cfg.bit_depth, rnd_res=True)
-                    c = float(np.abs(src - pred).sum()) + lam_me * (
-                        (abs(mvq[0] - mvp[0]) >> 2).bit_length() * 2
-                        + (abs(mvq[1] - mvp[1]) >> 2).bit_length() * 2 + 2
-                    )
+                    c = satd_frac(mvq)
                     if c < bqcost:
                         bqcost = c
                         best_q = mvq
-                        improved = True
         return best_q, bi
 
 

@@ -90,7 +90,7 @@ def write_sps(cfg) -> bytes:
     if getattr(cfg, "alf", False):
         w.flag(1)  # alf
         if cfg.chroma_format_idc != 0:
-            w.flag(0)  # ccalf (search not enabled yet)
+            w.flag(1 if getattr(cfg, "ccalf", False) else 0)  # ccalf
     else:
         w.flag(0)  # alf
     w.flag(0)  # transform_skip
@@ -229,7 +229,7 @@ def write_aps_alf(p, aps_id: int = 0) -> bytes:
         if p.new_ccalf[cc_idx]:
             w.ue(p.ccalf_filter_count[cc_idx] - 1)
             for f in range(p.ccalf_filter_count[cc_idx]):
-                for i in range(7 - 1):
+                for i in range(7):  # CCALF_NUM_COEFF - 1 signalled coeffs
                     v = int(p.ccalf_coeff[cc_idx][f][i])
                     code = 0 if v == 0 else abs(v).bit_length()
                     w.u(code, 3)
@@ -315,7 +315,15 @@ def write_slice_header_head(cfg, poc: int, qp: int, slice_type=None,
                 w.u(1 if alf.alf_enabled[2] else 0, 1)
                 if alf.alf_enabled[1] or alf.alf_enabled[2]:
                     w.u(alf.alf_aps_id_chroma, 3)
-            # sps.ccalf is 0 → no ccalf syntax
+            if getattr(cfg, "ccalf", False):
+                cb_on = bool(getattr(alf, "ccalf_cb_enabled", False))
+                w.flag(1 if cb_on else 0)
+                if cb_on:
+                    w.u(alf.ccalf_cb_aps_id, 3)
+                cr_on = bool(getattr(alf, "ccalf_cr_enabled", False))
+                w.flag(1 if cr_on else 0)
+                if cr_on:
+                    w.u(alf.ccalf_cr_aps_id, 3)
     if slice_type != SliceType.I:
         # explicit RPLs (no SPS candidate lists): L0 then L1
         _write_rpl(w, rpl0)

@@ -294,7 +294,8 @@ def filter_block_ccalf(luma_pad, dst, x0c, y0c, wc, hc, scale_x, scale_y,
             s += coeffs[5] * (L(yl + o1, xl + 1) - curr)
             s += coeffs[6] * (L(yl + o3, xl) - curr)
             s = (s + ((1 << SCALE_BITS_CC) >> 1)) >> SCALE_BITS_CC
-            s = _clip3(-half, maxv - half, s + half) - half
+            # ClipPel(sum + offset) - offset (AdaptiveLoopFilter.cpp:1399)
+            s = _clip3(0, maxv, s + half) - half
             v = s + int(dst[yc, xc])
             dst[yc, xc] = _clip3(0, maxv, v)
 
@@ -400,7 +401,9 @@ def build_alf_tables(dcs, pic):
                 if idc:
                     aps_id = sh.ccalf_cb_aps_id if comp == 1 else sh.ccalf_cr_aps_id
                     aps = dcs.aps_map[(0, aps_id)]
-                    cc_coeff[comp][addr] = aps.alf.ccalf_coeff[comp - 1][idc - 1]
+                    # APS rows carry CCALF_NUM_COEFF(8) slots; 7 signalled
+                    cc_coeff[comp][addr] = \
+                        aps.alf.ccalf_coeff[comp - 1][idc - 1][:7]
                     any_cc[comp] = True
 
     # ---- host-side tables for the fused dispatch ----

@@ -323,6 +323,7 @@ def ccalf_filter(luma_pad, dst, coefmap, o_rows, skip,
     s = s + c[5] * (cols(R1, 1) - curr)
     s = s + c[6] * (cols(R3, 0) - curr)
     s = (s + ((1 << 7) >> 1)) >> 7  # SCALE_BITS_CC
-    s = jnp.clip(s + half, -half, maxv - half) - half
+    # ClipPel(sum + offset) - offset (AdaptiveLoopFilter.cpp:1399)
+    s = jnp.clip(s + half, 0, maxv) - half
     out = jnp.clip(s + dst, 0, maxv)
     return jnp.where(skip[:, None], dst, out)
