@@ -401,38 +401,37 @@ def dmvr_batch(recon, dcs, jobs):
             out[:N] = a
             return out
 
-        tx, ty, mcost = RK.dmvr_search(
+        search = np.asarray(RK.dmvr_search(
             jnp.asarray(padN(pres[0])), jnp.asarray(padN(pres[1])),
             jnp.asarray(padN(frs[0][0])), jnp.asarray(padN(frs[0][1])),
             jnp.asarray(padN(frs[1][0])), jnp.asarray(padN(frs[1][1])),
-            bd=bd, dx=dx, dy=dy)
-        tx = np.asarray(tx)[:N].astype(np.int64)
-        ty = np.asarray(ty)[:N].astype(np.int64)
-        mcost = np.asarray(mcost)[:N]
+            bd=bd, dx=dx, dy=dy))
+        tx = search[0, :N].astype(np.int64)
+        ty = search[1, :N].astype(np.int64)
+        mcost = search[2, :N]
         bio_sub = np.where(mcost < 2 * dx * dy, False, bio_cu[CI])
         moved = (tx != 0) | (ty != 0)
 
-        # ---- final padded MC (xFinalPaddedMCForDMVR), luma ----
+        # ---- final padded MC (xFinalPaddedMCForDMVR): collect both
+        # lists' luma + chroma FIR args, run as ONE packed dispatch ----
         sub_mvx = np.stack([mmx[:, 0] + tx, mmx[:, 1] - tx], axis=1)
         sub_mvy = np.stack([mmy[:, 0] + ty, mmy[:, 1] - ty], axis=1)
-        luma_out, ext_off = [], []
-        chroma_out = [[], []]  # [comp-1][lst] -> (N, h_c, w_c)
+        ext_off = []
+        largs, cargs = [], []
+        w_c, h_c = dx >> scx, dy >> scy
         for lst in range(2):
             cmx, cmy = clipmv(sub_mvx[:, lst], sub_mvy[:, lst])
             frx, fry = cmx & 15, cmy & 15
             x0 = 3 + (sub_mvx[:, lst] >> 4) - (mmx[:, lst] >> 4)
             y0 = 3 + (sub_mvy[:, lst] >> 4) - (mmy[:, lst] >> 4)
-            res = RK.fir_blocks(
+            largs.append((
                 jnp.asarray(padN(pres[lst])),
                 jnp.asarray(padN(x0)), jnp.asarray(padN(y0)),
                 jnp.asarray(padN(MC._LUMA[frx].astype(np.int32))),
-                jnp.asarray(padN(MC._LUMA[fry].astype(np.int32))),
-                w=dx, h=dy, taps=8, bd=bd)
-            luma_out.append(np.asarray(res)[:N])
+                jnp.asarray(padN(MC._LUMA[fry].astype(np.int32)))))
             ext_off.append((x0 - (frx < 8), y0 - (fry < 8)))
 
             for comp in range(1, ncomp):
-                w_c, h_c = dx >> scx, dy >> scy
                 frx_c = cmx & ((1 << (4 + scx)) - 1)
                 fry_c = cmy & ((1 << (4 + scy)) - 1)
                 # moved blocks re-read the merge-MV prefetch window
@@ -451,13 +450,25 @@ def dmvr_batch(recon, dcs, jobs):
                 x0c = np.where(moved, 1 + di_x, 1)
                 y0c = np.where(moved, 1 + di_y, 1)
                 bufc = plane_gather(lst, comp, org_x, org_y, h_c + 3, w_c + 3)
-                res_c = RK.fir_blocks(
+                cargs.append((
                     jnp.asarray(padN(bufc)),
                     jnp.asarray(padN(x0c)), jnp.asarray(padN(y0c)),
                     jnp.asarray(padN(MC._CHROMA[frx_c << (1 - scx)].astype(np.int32))),
-                    jnp.asarray(padN(MC._CHROMA[fry_c << (1 - scy)].astype(np.int32))),
-                    w=w_c, h=h_c, taps=4, bd=bd)
-                chroma_out[comp - 1].append(np.asarray(res_c)[:N])
+                    jnp.asarray(padN(MC._CHROMA[fry_c << (1 - scy)].astype(np.int32)))))
+        flat = np.asarray(RK.dmvr_final_pack(
+            largs[0], largs[1], tuple(cargs), w=dx, h=dy, wc=w_c, hc=h_c,
+            bd=bd, nc=len(cargs)))
+        lsz = nb * dy * dx
+        csz = nb * h_c * w_c
+        luma_out = [flat[i * lsz : (i + 1) * lsz].reshape(nb, dy, dx)[:N]
+                    for i in range(2)]
+        # cargs order is list-major: [l0 comps..., l1 comps...]
+        chroma_out = [[], []]  # [comp-1][lst]
+        for lst in range(2):
+            for ci in range(ncomp - 1):
+                k = lst * (ncomp - 1) + ci
+                seg = flat[2 * lsz + k * csz : 2 * lsz + (k + 1) * csz]
+                chroma_out[ci].append(seg.reshape(nb, h_c, w_c)[:N])
 
         # ---- blend: BDOF (batched) or bi-average ----
         blended = np.empty((N, dy, dx), np.int64)

@@ -52,7 +52,10 @@ def _chain(y, cb, cr, lmcs_lut, dbv, dbh, sao, alf,
             y_pad, cb, cr, *alf, bit_depth=bd, sx=sx, sy=sy,
             has_l=a_l, has_cb=a_cb, has_cr=a_cr,
             has_cc1=a_cc1, has_cc2=a_cc2)
-    return y, cb, cr
+    # pack the three planes into ONE output so the host pays a single
+    # device->host sync per picture (the tunnel link charges per fetch)
+    return jnp.concatenate(
+        [y.reshape(-1), cb.reshape(-1), cr.reshape(-1)])
 
 
 def run_filter_chain(pic, planes, lmcs_lut, dmaps, sao_maps, alf_tables,
@@ -101,11 +104,15 @@ def run_filter_chain(pic, planes, lmcs_lut, dmaps, sao_maps, alf_tables,
     fl = (f_lmcs,) + fv + fh + tuple(sflags) + aflags
     if not any(fl):
         return
-    oy, ocb, ocr = _chain(
+    packed = np.asarray(_chain(
         y, cb, cr, j(lmcs_lut.astype(np.int32)) if f_lmcs else y,
         dbv, dbh, tuple(sao), alf_args,
-        bd=bit_depth, sx=sx, sy=sy, fl=fl)
-    planes[0][:] = np.asarray(oy).astype(planes[0].dtype)
+        bd=bit_depth, sx=sx, sy=sy, fl=fl))
+    ny = planes[0].size
+    planes[0][:] = packed[:ny].reshape(planes[0].shape).astype(planes[0].dtype)
     if n_comp > 1:
-        planes[1][:] = np.asarray(ocb).astype(planes[1].dtype)
-        planes[2][:] = np.asarray(ocr).astype(planes[2].dtype)
+        nc = planes[1].size
+        planes[1][:] = packed[ny : ny + nc].reshape(
+            planes[1].shape).astype(planes[1].dtype)
+        planes[2][:] = packed[ny + nc : ny + 2 * nc].reshape(
+            planes[2].shape).astype(planes[2].dtype)

@@ -86,10 +86,14 @@ CAPTURE = None
 
 @partial(jax.jit, static_argnames=("bd",))
 def _mc_tiles_pair(largs, cargs, bd: int):
-    """Luma + chroma tile batches in ONE device dispatch."""
-    lout = mc_tiles(*largs, taps=8, tile=4, bd=bd) if largs is not None else None
-    cout = mc_tiles(*cargs, taps=4, tile=2, bd=bd) if cargs is not None else None
-    return lout, cout
+    """Luma + chroma tile batches in ONE device dispatch, outputs packed
+    into a single flat vector (one device->host sync)."""
+    parts = []
+    if largs is not None:
+        parts.append(mc_tiles(*largs, taps=8, tile=4, bd=bd).reshape(-1))
+    if cargs is not None:
+        parts.append(mc_tiles(*cargs, taps=4, tile=2, bd=bd).reshape(-1))
+    return jnp.concatenate(parts)
 
 
 @partial(jax.jit, static_argnames=("kinds", "bd"))
@@ -175,11 +179,20 @@ class McBatch:
                 args[lum] = self._build_args(lum)
         if args[True] is None and args[False] is None:
             return
-        lout, cout = _mc_tiles_pair(args[True], args[False], bd=self.bd)
+        packed = np.asarray(_mc_tiles_pair(args[True], args[False],
+                                           bd=self.bd))
+        off = 0
         if args[True] is not None:
-            self.results[True] = np.asarray(lout[: self.n[True]])
+            npad = args[True][1].shape[0]  # r_idx padded length
+            sz = npad * 16
+            self.results[True] = packed[off : off + sz].reshape(
+                npad, 4, 4)[: self.n[True]]
+            off += sz
         if args[False] is not None:
-            self.results[False] = np.asarray(cout[: self.n[False]])
+            npad = args[False][1].shape[0]
+            sz = npad * 4
+            self.results[False] = packed[off : off + sz].reshape(
+                npad, 2, 2)[: self.n[False]]
         global CAPTURE
         if CAPTURE is not None and args[True] is not None and self.n[True] >= 64:
             CAPTURE = {"args": tuple(np.asarray(a) for a in args[True]),

@@ -121,7 +121,24 @@ def dmvr_search(pre0, pre1, f0x, f0y, f1x, f1y, bd: int, dx: int, dy: int):
 
     total_x = total_x + jnp.where(do_sub, axis_delta(sL, sR), 0)
     total_y = total_y + jnp.where(do_sub, axis_delta(sT, sB), 0)
-    return total_x, total_y, min_cost
+    # stacked into one output: a single device->host sync
+    return jnp.stack([total_x, total_y, min_cost])
+
+
+@partial(jax.jit, static_argnames=("w", "h", "wc", "hc", "bd", "nc"))
+def dmvr_final_pack(l0, l1, cargs, w: int, h: int, wc: int, hc: int,
+                    bd: int, nc: int):
+    """Both lists' final luma FIR + all chroma FIRs in ONE dispatch,
+    outputs packed into a single flat vector (one sync).
+
+    l0/l1: (bufs, x0, y0, cfh, cfv) luma args; cargs: tuple of nc
+    (bufs, x0, y0, cfh, cfv) chroma args (list-major order)."""
+    parts = []
+    for a in (l0, l1):
+        parts.append(fir_blocks(*a, w=w, h=h, taps=8, bd=bd).reshape(-1))
+    for a in cargs:
+        parts.append(fir_blocks(*a, w=wc, h=hc, taps=4, bd=bd).reshape(-1))
+    return jnp.concatenate(parts)
 
 
 @partial(jax.jit, static_argnames=("w", "h", "taps", "bd"))
