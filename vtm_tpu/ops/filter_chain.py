@@ -17,9 +17,10 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("bd", "sx", "sy", "fl"))
-def _chain(y, cb, cr, lmcs_lut, dbv, dbh, sao, alf,
-           bd: int, sx: int, sy: int, fl: tuple):
+def chain_body(y, cb, cr, lmcs_lut, dbv, dbh, sao, alf,
+               bd: int, sx: int, sy: int, fl: tuple):
+    """Un-jitted chain body — also vmapped/shard_mapped by
+    parallel/pic_shard for the gop-axis data-parallel dryrun."""
     from vtm_tpu.ops import alf_kernel as AK
     from vtm_tpu.ops import deblock_kernel as DK
     from vtm_tpu.ops import sao_kernel as SK
@@ -56,6 +57,9 @@ def _chain(y, cb, cr, lmcs_lut, dbv, dbh, sao, alf,
     # device->host sync per picture (the tunnel link charges per fetch)
     return jnp.concatenate(
         [y.reshape(-1), cb.reshape(-1), cr.reshape(-1)])
+
+
+_chain = partial(jax.jit, static_argnames=("bd", "sx", "sy", "fl"))(chain_body)
 
 
 def run_filter_chain(pic, planes, lmcs_lut, dmaps, sao_maps, alf_tables,
@@ -108,6 +112,19 @@ def run_filter_chain(pic, planes, lmcs_lut, dmaps, sao_maps, alf_tables,
         y, cb, cr, j(lmcs_lut.astype(np.int32)) if f_lmcs else y,
         dbv, dbh, tuple(sao), alf_args,
         bd=bit_depth, sx=sx, sy=sy, fl=fl))
+    cap = getattr(pic, "filter_capture", None) if pic is not None else None
+    if cap is not None:
+        # full-chain capture for the gop-axis multichip dryrun
+        cap["full"] = dict(
+            y=np.asarray(y), cb=np.asarray(cb), cr=np.asarray(cr),
+            lmcs=(np.asarray(lmcs_lut, dtype=np.int32) if f_lmcs else None),
+            dbv=None if dbv is None else tuple(np.asarray(a) for a in dbv),
+            dbh=None if dbh is None else tuple(np.asarray(a) for a in dbh),
+            sao=tuple(None if s is None else
+                      tuple(np.asarray(x) for x in s) for s in sao),
+            alf=None if alf_args is None else
+            tuple(np.asarray(a) for a in alf_args),
+            fl=fl, bd=bit_depth, sx=sx, sy=sy, out=packed.copy())
     ny = planes[0].size
     planes[0][:] = packed[:ny].reshape(planes[0].shape).astype(planes[0].dtype)
     if n_comp > 1:

@@ -158,3 +158,74 @@ def sharded_mc_tiles(mesh, cap):
                          bd=cap["bd"]))
     out = fn(*args)
     return np.asarray(out)[:nb]
+
+
+def full_chain_sig(c):
+    """Static signature of a full-chain capture (groupable frames)."""
+    def shp(v):
+        if v is None:
+            return None
+        if isinstance(v, tuple):
+            return tuple(shp(x) for x in v)
+        return v.shape
+    return (c["fl"], c["bd"], c["sx"], c["sy"], shp(c["y"]), shp(c["cb"]),
+            shp(c["dbv"]), shp(c["dbh"]), shp(c["sao"]), shp(c["alf"]),
+            None if c["lmcs"] is None else c["lmcs"].shape)
+
+
+def run_full_chain_gop(mesh, caps):
+    """Gop-axis data-parallel FULL in-loop filter chain.
+
+    Each mesh 'gop' lane carries a DISTINCT picture's luma+chroma planes
+    and filter maps; the fused LMCS-inverse -> deblock -> SAO -> ALF/
+    CC-ALF chain (ops/filter_chain.chain_body) runs vmapped inside
+    shard_map.  Returns the packed [B, n] outputs (host-asserted against
+    each lane's single-device decode by the driver dryrun).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from vtm_tpu.ops.filter_chain import chain_body
+
+    g = mesh.shape["gop"]
+    b = len(caps)
+    sel = [caps[i % b] for i in range(((b + g - 1) // g) * g)]
+    c0 = sel[0]
+    fl, bd, sx, sy = c0["fl"], c0["bd"], c0["sx"], c0["sy"]
+
+    def stack(key):
+        v0 = c0[key]
+        if v0 is None:
+            return None
+        if isinstance(v0, tuple):
+            return tuple(
+                None if e is None else
+                (tuple(np.stack([c[key][i][j] for c in sel])
+                       for j in range(len(e)))
+                 if isinstance(e, tuple)
+                 else np.stack([c[key][i] for c in sel]))
+                for i, e in enumerate(v0))
+        return np.stack([c[key] for c in sel])
+
+    Y = stack("y")
+    CB = stack("cb")
+    CR = stack("cr")
+    LM = stack("lmcs")
+    DBV = stack("dbv")
+    DBH = stack("dbh")
+    SAO = stack("sao")
+    ALF = stack("alf")
+    args = (Y, CB, CR, LM if LM is not None else Y, DBV, DBH, SAO, ALF)
+
+    def lane(y, cb, cr, lm, dbv, dbh, sao, alf):
+        return jax.vmap(
+            lambda *a: chain_body(*a, bd=bd, sx=sx, sy=sy, fl=fl)
+        )(y, cb, cr, lm, dbv, dbh, sao, alf)
+
+    specs = jax.tree.map(lambda _: P("gop"), args)
+    fn = jax.jit(shard_map(lane, mesh=mesh, in_specs=specs,
+                           out_specs=P("gop")))
+    sharded = jax.device_put(
+        args, jax.tree.map(
+            lambda _: jax.sharding.NamedSharding(mesh, P("gop")), args))
+    return np.asarray(fn(*sharded)), sel
