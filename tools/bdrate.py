@@ -116,7 +116,7 @@ def run_reference(yuv, w, h, n, mode, qp, workdir):
         "-c", os.path.join(REF_CFG, cfgs[mode]),
         "-i", yuv, "-wdt", str(w), "-hgt", str(h),
         "-fr", "30", "-f", str(n), "-q", str(qp),
-        "-b", bit, "-o", rec,
+        "-b", bit, "-o", rec, "--TemporalSubsampleRatio=1",
         "--ConformanceWindowMode=1", "--InternalBitDepth=8",
     ]
     if mode == "ra":

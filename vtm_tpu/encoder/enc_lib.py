@@ -81,6 +81,7 @@ class EncoderConfig:
     geo: bool = False  # geometric-partition merge search (B slices)
     satd_rmd: bool = True  # whole-frame batched device RMD (SATD costs)
     ccalf: bool = False  # cross-component ALF training (needs alf=True)
+    ciip: bool = False  # combined inter/intra prediction merge trials
     # intra split pruning from the RMD SATD table: skip an RD split trial
     # whose children's summed best-SATD (plus per-child signalling cost)
     # is >= margin * the node's own best SATD.  0 disables; larger =
@@ -1441,6 +1442,11 @@ class InterEncoder(IntraEncoder):
         for idx in merge_list[:4]:
             consider(lambda e, idx=idx: self._try_merge(a, part, idx, True, e))
             consider(lambda e, idx=idx: self._try_merge(a, part, idx, False, e))
+        # CIIP: regular-merge MC + planar intra blend (EncCu CIIP loop)
+        if (self.sps.ciip and a.w < 128 and a.h < 128 and a.w * a.h >= 64
+                and a.x1 <= dcs.pic_w and a.y1 <= dcs.pic_h):
+            for idx in merge_list[:2]:
+                consider(lambda e, idx=idx: self._try_ciip(a, part, idx, e))
         # MMVD: SATD preselection over base x step x direction, then full RD
         # of the top candidates (EncCu xCheckRDCostMerge2Nx2N MMVD part)
         if self.sps.mmvd and mrg.num_valid > 0:
@@ -1527,6 +1533,8 @@ class InterEncoder(IntraEncoder):
             preds = IC._geo_motion_compensation(self.recon, dcs, cu)
         else:
             preds = IC.motion_compensation(self.recon, dcs, cu)
+            if getattr(cu, "ciip_flag", False):
+                preds = IC.ciip_blend(self.recon, dcs, cu, preds)
         fmt = dcs.chroma_format
         tu = TU(blocks=[Rect(b.x, b.y, b.w, b.h) if b else None for b in cu.blocks],
                 cu=cu, depth=0)
@@ -1590,6 +1598,28 @@ class InterEncoder(IntraEncoder):
             return dist
         cu.root_cbf = False
         return self._commit_inter(cu, a, part, est, skip=True)
+
+    def _try_ciip(self, a, part, idx: int, est):
+        """CIIP merge trial (EncCu xCheckRDCostMerge2Nx2N CIIP part):
+        regular merge MC blended with planar intra; root cbf inferred 1
+        so an all-zero residual invalidates the candidate."""
+        from vtm_tpu.decoder import motion as M
+
+        dcs = self.dcs
+        cu = self._make_inter_cu(a, part)
+        cu.idx = len(dcs.cus)
+        cu.merge_flag = True
+        cu.skip = False
+        cu.ciip_flag = True
+        cu.regular_merge_flag = False
+        mrg = M.get_inter_merge_candidates(dcs, cu, idx)
+        M.set_merge_info(dcs, cu, mrg, idx)
+        dist = self._commit_inter(cu, a, part, est, skip=False)
+        if not cu.root_cbf or not (
+            cu.tus[0].cbf[0] or cu.tus[0].cbf[1] or cu.tus[0].cbf[2]
+        ):
+            return None
+        return dist
 
     def _preselect_mmvd(self, a: Rect, mrg) -> list[int]:
         """Luma-SAD preselection of MMVD refine positions, computed through
@@ -2030,6 +2060,7 @@ class RandomAccessEncoder(InterEncoder):
             cfg.mmvd = True  # MMVD merge search on by default for RA
             cfg.amvr = True  # IMV (full/4-pel) trials on by default for RA
             cfg.geo = True  # geometric-partition merge on for RA (CTC)
+            cfg.ciip = True  # combined inter/intra merge on for RA (CTC)
             cfg.num_active_refs = max(cfg.num_active_refs, 2)  # multi-ref ME
         super().__init__(cfg)
         self.gop_size = gop_size
