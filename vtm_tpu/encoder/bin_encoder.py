@@ -206,17 +206,29 @@ class BinEncoder:
         self.bw.u(self.low >> 8, 24 - self.bits_left)
 
 
+import itertools
+
+_LINEAGE = itertools.count()
+
+
 class BitEstimator:
     """TBitEstimator: accumulates fractional bits (1/32768) and updates
-    contexts; API-compatible with BinEncoder for RD trials."""
+    contexts; API-compatible with BinEncoder for RD trials.
+
+    `lineage` identifies the root estimator a copy descends from (fresh
+    per slice); consumers that cache derived data across RD branches
+    (dq_ctx rate tables) key on (lineage, frac_bits epoch) so copies
+    share the cache instead of thrashing on object identity."""
 
     def __init__(self, ctx: ContextModels):
         self.ctx = ctx
         self.frac_bits = 0
+        self.lineage = next(_LINEAGE)
 
     def copy(self) -> "BitEstimator":
         e = BitEstimator(self.ctx.copy())
         e.frac_bits = self.frac_bits
+        e.lineage = self.lineage
         return e
 
     def encode_bin(self, bin_val: int, ctx_id: int):

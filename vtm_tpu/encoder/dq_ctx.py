@@ -1,12 +1,13 @@
 """Context-aware dependent quantization (encoder side).
 
-Python orchestration for the native TCQ trellis (native/depquant.c
-trellis_ctx) — the behavioral equivalent of the reference dependent
-quantizer DepQuant.cpp:806-1560: per-TU rate tables are computed from
-the LIVE CABAC estimator contexts (sig/par/gt1/gt2/sbb flags and
-last-position prefixes), neighbor-template geometry tables are cached
-per block size, and the trellis prices every candidate level with the
-real fractional bits the final CABAC pass will pay.
+Python orchestration for the batched TCQ scan (encoder/tcq_scan.py
+design; native twin native/tcq.c) — the behavioral counterpart of the
+reference dependent quantizer (DepQuant.cpp:806-1008, contract only):
+per-TU rate tables are computed from the LIVE CABAC estimator contexts
+(sig/par/gt1/gt2/sbb flags and last-position prefixes), neighbor-
+template geometry tables are cached per block size, and the trellis
+prices every candidate level with the real fractional bits the final
+CABAC pass will pay.
 
 Replaces the context-free 4-state rate model (quant.quant_dep) on the
 luma/chroma regular residual path; reconstruction still goes through
@@ -32,6 +33,7 @@ _GROUP_IDX = np.array(
 _MIN_IN_GROUP = [0, 1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96]
 
 _NATIVE = None
+_TABLES: dict = {}  # (lineage, epoch, ch, w, h, cbf_delta) -> rate tables
 
 
 class _RateCtx:
@@ -77,7 +79,7 @@ def _native():
     if _NATIVE is None:
         from vtm_tpu import native
 
-        _NATIVE = native.load_depquant() or False
+        _NATIVE = native.load_tcq() or False
     return _NATIVE
 
 
@@ -209,7 +211,7 @@ def quant_dep_ctx(coeff: np.ndarray, qp: tuple, bit_depth: int, lam: float,
     """Context-aware TCQ for one TU component; returns int32 levels (h,w)
     or None when the native trellis is unavailable."""
     nat = _native()
-    if not nat or not hasattr(nat, "trellis_ctx"):
+    if not nat:
         return None
     h, w = coeff.shape
     geom = _dq_geom(w, h)
@@ -256,30 +258,33 @@ def quant_dep_ctx(coeff: np.ndarray, qp: tuple, bit_depth: int, lam: float,
     # frac_bits is a monotone version counter for the ctx.  Quantized to
     # ~128-bit epochs: context probabilities drift slowly (dual-rate
     # adaptation), so refreshing the trellis rate tables every ~128 coded
-    # bits loses nothing measurable and cuts table builds ~50x.
-    epoch = (id(est.ctx), est.frac_bits >> 22)
-    cache = getattr(est, "_dq_cache", None)
-    if cache is None or cache[0] != epoch:
-        cache = (epoch, {})
-        est._dq_cache = cache
-    ck = (cctx.ch, w, h, cbf_delta_bits)
-    hit = cache[1].get(ck)
+    # bits loses nothing measurable and cuts table builds ~50x.  The
+    # cache is module-global keyed by estimator LINEAGE (not object id):
+    # RD branches copy the estimator per candidate, and all copies within
+    # an epoch share tables.
+    ck = (est.lineage, est.frac_bits >> 22, cctx.ch, w, h, cbf_delta_bits)
+    hit = _TABLES.get(ck)
     if hit is not None:
         sig, gtx, last = hit
     else:
         sig, gtx = build_rate_tables(est.ctx, cctx)
         last = build_last_bits(est.ctx, cctx, geom, cbf_delta_bits)
-        cache[1][ck] = (sig, gtx, last)
+        if len(_TABLES) > 768:
+            _TABLES.clear()
+        _TABLES[ck] = (sig, gtx, last)
     init_rem_reg = (min(32, eff_w or w) * min(32, eff_h or h) * 28) >> 4
-    lev = np.zeros(n, np.int32)
-    nat.trellis_ctx(
-        np.ascontiguousarray(absc[:first_cap]), lev, n, geom["gsize_l2"],
-        geom["wig"], geom["sbbpos"], geom["sx"], geom["sy"],
-        geom["nbs_num"], geom["nbs"], geom["nbo_num"], geom["nbo"],
-        zero, last, sig, gtx,
+    lev = np.zeros((1, n), np.int32)
+    nat.tcq_run(
+        np.ascontiguousarray(absc[None, :]), lev, 1, n, int(first_cap),
+        geom["gsize_l2"], geom["wig"], geom["sbbpos"], geom["sx"],
+        geom["sy"], geom["nbs_num"], geom["nbs"], geom["nbo_num"],
+        geom["nbo"], zero,
+        np.ascontiguousarray(last[None, :].astype(np.int64)),
+        np.ascontiguousarray(sig[None]), np.ascontiguousarray(gtx[None]),
         0 if cctx.ch else 1, int(init_rem_reg),
         int(q_add), int(max_q_idx), int(q_scale), int(dist_step_add),
         int(dist_org_fact), int(dist_add), int(q_shift), int(dist_shift))
+    lev = lev[0]
     out = np.zeros(w * h, np.int64)
     out[geom["raster"]] = np.where(flat[geom["raster"]] < 0, -lev, lev)
     return out.reshape(h, w).astype(np.int32)

@@ -52,6 +52,24 @@ def load_cabac():
         return None
 
 
+def load_tcq():
+    """Return the _tcq_native module (batched TCQ scan, the native twin
+    of encoder/tcq_scan.py), building on demand; None if disabled or the
+    build fails."""
+    if os.environ.get("VTM_TPU_NO_NATIVE"):
+        return None
+    try:
+        so = _build("tcq_native", ["tcq.c"])
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("_tcq_native", so)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    except Exception:
+        return None
+
+
 def load_depquant():
     """Return the _depquant_native module, building on demand; None if the
     native path is disabled or the build fails."""
