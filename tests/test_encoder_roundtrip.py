@@ -112,7 +112,8 @@ def test_roundtrip_intra_sao():
         # split pruning off: this test isolates the SAO gain margin
         enc = IntraEncoder(EncoderConfig(width=208, height=120, qp=42,
                                          max_mtt_depth_intra=0, sao=sao,
-                                         intra_split_prune=0.0))
+                                         intra_split_prune=0.0,
+                                         fast_rd=False))
         bits = enc.encode(frames)
         dec = Decoder()
         pics = dec.decode_stream(bits)

@@ -88,6 +88,22 @@ class EncoderConfig:
     # more aggressive (1.0 only tries splits that SATD predicts to win).
     # Measured on small208 qp32: 2.1x speedup, +0.5% bits, +0.04 dB.
     intra_split_prune: float = 1.0
+    # fast-RD: decide the whole frame's partition tree bottom-up from the
+    # batched RMD SATD table (one DP pass, no per-split exact-RD trials),
+    # then commit each chosen CU once — the EncCu temp/best recursion
+    # (EncCu.cpp:530 xCompressCU) recast as argmin over the enumerated
+    # candidate table (SURVEY §7).  fast_rd_cands = exact-RD finalists
+    # re-ranked at commit time (1 = table winner only).
+    fast_rd: bool = True
+    fast_rd_cands: int = 1
+    # DP cost-model constants (see _fast_rd_cost_model): residual bits ~
+    # SATD / (bits_per_satd * Qstep); per-CU and per-split signalling bits.
+    # bits_per_satd calibrated on bq416/small208 qp 27-37: at 24 the DP
+    # reproduces the exact-RD tree (fast-part+exact-mode == exact within
+    # 0.1%); the residual fast-path cost is the mode commit (+0.5-3%).
+    fast_rd_bits_per_satd: float = 24.0
+    fast_rd_leaf_bits: float = 6.0
+    fast_rd_split_bits: float = 2.0
     hash_sei: bool = True  # decoded-picture-hash SEI per picture
     # (VTM CTC measures rate WITHOUT hash SEI: SEIDecodedPictureHash is a
     # debug option, EncApp default off — disable for BD-rate runs)
@@ -101,8 +117,13 @@ def _quantize_tu(coeffs, qp, bd, lam, dep, tu=None, comp=0, est=None,
     (quant_dep) or RDOQ by slice flag."""
     from vtm_tpu.common import rom as _rom
 
+    import os as _os
+
     if dep and tu is not None and est is not None and sps is not None \
-            and min(coeffs.shape) >= 4:
+            and min(coeffs.shape) >= 4 \
+            and not _os.environ.get("VTM_TPU_TCQ_4STATE"):
+        # VTM_TPU_TCQ_4STATE=1 drops to the context-free 4-state trellis
+        # (BD-rate ablation knob for the context-aware TCQ)
         from vtm_tpu.encoder import dq_ctx
 
         cctx = dq_ctx.rate_ctx(coeffs.shape[1], coeffs.shape[0], comp)
@@ -207,7 +228,16 @@ class IntraEncoder:
                 est = BitEstimator(ctx.copy())
                 part = P.Partitioner(dcs)
                 part.init_ctu(ctu_rect, D.CH_L)
-                _, self._split_map = self._rd_node(part, est)
+                fast = None
+                if cfg.fast_rd and self._frame_rmd is not None:
+                    fast = self._fast_rd_node(part)
+                if fast is not None:
+                    self._split_map = fast[1]
+                    cpart = P.Partitioner(dcs)
+                    cpart.init_ctu(ctu_rect, D.CH_L)
+                    self._commit_node(cpart, est)
+                else:
+                    _, self._split_map = self._rd_node(part, est)
                 self.__dict__.setdefault("_ctu_split_maps", {})[
                     (ctu_rect.x, ctu_rect.y)] = self._split_map
                 # final write: replay chosen tree with the real encoder
@@ -536,6 +566,146 @@ class IntraEncoder:
         est.frac_bits = est_after.frac_bits
         return cost, choices
 
+    # -- fast-RD: whole-tree partition DP over the RMD SATD table --------
+    def _fast_rd_cost_model(self):
+        """(satd_weight, leaf_cost, split_cost) of the partition DP, in
+        real RD units (pixel SSD + lambda*bits).
+
+        Residual bits of a coded block ~ SATD / (c * Qstep) (the
+        high-rate entropy model), so SATD enters the DP weighted by
+        lambda / (c * Qstep) rather than 1.0 — without this the DP
+        over-splits badly at moderate QP where most residual quantizes
+        away (measured: 255 vs 54 leaves on small208 qp32).  leaf bits ~
+        mode + cbf signalling per CU; split bits ~ split flags."""
+        qstep = 2.0 ** ((self.frame_qp - 4) / 6.0)
+        c = getattr(self.cfg, "fast_rd_bits_per_satd", 8.0)
+        return (self.lam / (c * qstep),
+                self.lam * getattr(self.cfg, "fast_rd_leaf_bits", 6.0),
+                self.lam * getattr(self.cfg, "fast_rd_split_bits", 2.0))
+
+    def _fast_rd_node(self, part: P.Partitioner):
+        """Split-vs-CU decision from the batched RMD table alone (no
+        exact-RD trials): bottom-up cost = weighted best SATD +
+        mode/split signalling estimates, the EncCu recursion recast as
+        argmin over the enumerated table (SURVEY §7).  Returns
+        (cost, {key: split}) or None when a subtree can't be priced from
+        the table (caller falls back to the exact-RD recursion)."""
+        dcs = self.dcs
+        fr = self._frame_rmd
+        a = part.cur_area()
+        key = (a.x, a.y, a.w, a.h, part.cur_depth)
+        can_no, can_qt, can_bh, can_bv, can_th, can_tv = part.can_split_flags()
+        inside = a.x1 <= dcs.pic_w and a.y1 <= dcs.pic_h
+        sw, leaf_bits, split_bits = self._fast_rd_cost_model()
+        best = None
+        ns_satd = None
+        if can_no:
+            row = fr.costs(a.x, a.y, a.w, a.h) if inside else None
+            if row is None:
+                return None
+            ns_satd = float(row[0].min())
+            leaf = ns_satd
+            if self.cfg.mip and len(row[1]):
+                leaf = min(leaf, float(row[1].min()))
+            best = (leaf * sw + leaf_bits, {key: P.CU_DONT_SPLIT})
+        split_modes = []
+        if can_qt and (
+            not can_no or self._helper._signal_mode_cons(part, P.CU_QUAD_SPLIT) == 0
+        ):
+            split_modes.append(P.CU_QUAD_SPLIT)
+        if inside:
+            helper = self._helper
+            for flag, mode in ((can_bh, P.CU_HORZ_SPLIT),
+                               (can_bv, P.CU_VERT_SPLIT),
+                               (can_th, P.CU_TRIH_SPLIT),
+                               (can_tv, P.CU_TRIV_SPLIT)):
+                if flag and helper._signal_mode_cons(part, mode) == 0:
+                    split_modes.append(mode)
+        for mode in split_modes:
+            total = split_bits
+            choices = {key: mode}
+            ok = True
+            part.split_cur_area(mode)
+            while True:
+                sub = part.cur_area()
+                if sub.x < dcs.pic_w and sub.y < dcs.pic_h:
+                    r = self._fast_rd_node(part)
+                    if r is None:
+                        ok = False
+                    else:
+                        total += r[0]
+                        choices.update(r[1])
+                if not part.next_part():
+                    break
+            part.exit_cur_split()
+            if not ok:
+                return None
+            if best is None or total < best[0]:
+                best = (total, choices)
+        return best
+
+    def _commit_node(self, part: P.Partitioner, est: BitEstimator):
+        """Commit the DP-chosen tree: encode each leaf once (no
+        temp/best snapshots) with the table-ranked mode."""
+        dcs = self.dcs
+        a = part.cur_area()
+        key = (a.x, a.y, a.w, a.h, part.cur_depth)
+        mode = self._split_map[key]
+        if mode != P.CU_DONT_SPLIT:
+            part.split_cur_area(mode)
+            while True:
+                sub = part.cur_area()
+                if sub.x < dcs.pic_w and sub.y < dcs.pic_h:
+                    self._commit_node(part, est)
+                if not part.next_part():
+                    break
+            part.exit_cur_split()
+            return
+        cands = self._fast_mode_cands(a)
+        if len(cands) == 1:
+            fmt = dcs.chroma_format
+            self._ref_ok = {
+                0: (a.x, a.y, a.w, a.h),
+                1: (a.x >> fmt.scale_x, a.y >> fmt.scale_y,
+                    a.w >> fmt.scale_x, a.h >> fmt.scale_y),
+            }
+            self._ref_cache = {}
+            self._encode_cu_with_mode(a, part, cands[0], est)
+            self._ref_ok = None
+        else:
+            self._rd_cu(a, part, est, cand_modes=cands)
+
+    def _fast_mode_cands(self, a: Rect) -> list:
+        """Commit-time mode ranking: table SATD + true-MPM signalling
+        bits (the exact-MPM re-rank the frame-level DP can't do because
+        neighbour modes aren't decided yet)."""
+        fr = self._frame_rmd
+        row = fr.costs(a.x, a.y, a.w, a.h)
+        n = max(1, getattr(self.cfg, "fast_rd_cands", 1))
+        if row is None:
+            src_y = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
+            return self._preselect_modes_host(a, src_y)[:n]
+        ang, mipc = row
+        cu_probe = self._make_cu(a)
+        mpm = self._helper._get_intra_mpms(cu_probe)
+        lam_bits = self.lam ** 0.5
+        bits = np.full(67, 7.0)
+        for i, m in enumerate(mpm):
+            bits[m] = (2.0, 3.0, 4.0, 5.0, 6.0, 6.0)[i]
+        cost = ang.astype(np.float64) + lam_bits * bits
+        order = np.argsort(cost, kind="stable")
+        out: list = [int(m) for m in order[:n]]
+        if 0 not in out:
+            out.append(0)  # planar always reaches the RD stage (VTM)
+        if self.cfg.mip and len(mipc):
+            bi = int(np.argmin(mipc))
+            mip_cand = ("mip", bi >> 1, bool(bi & 1))
+            if float(mipc[bi]) + lam_bits * 6.0 < float(cost[order[0]]):
+                out.insert(0, mip_cand)
+            else:
+                out.append(mip_cand)
+        return out
+
     def _split_satd_estimate(self, part: P.Partitioner, mode: int, fr):
         """Sum of children's best angular SATD + per-child mode-signalling
         cost for a candidate split, from the frame RMD table.  None when
@@ -594,9 +764,11 @@ class IntraEncoder:
             dcs.tus.extend(snap["tus_tail"])
 
     # ------------------------------------------------------------------
-    def _rd_cu(self, a: Rect, part: P.Partitioner, est: BitEstimator) -> float:
+    def _rd_cu(self, a: Rect, part: P.Partitioner, est: BitEstimator,
+               cand_modes: list | None = None) -> float:
         """Search intra modes for CU at area a; commit best; return dist and
-        add bits to est."""
+        add bits to est.  cand_modes overrides the RMD preselection (the
+        fast-RD commit passes its own table-ranked finalists)."""
         dcs = self.dcs
         fmt = dcs.chroma_format
         src_y = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
@@ -610,7 +782,8 @@ class IntraEncoder:
         }
         self._ref_cache = {}
         # ---- luma candidate preselection by SATD-like cost on prediction
-        cand_modes = self._preselect_modes(a, src_y)
+        if cand_modes is None:
+            cand_modes = self._preselect_modes(a, src_y)
         best = None  # (cost, dist, snap_after, est_after)
         clipped = a
         snap0 = self._snapshot(clipped)
@@ -1399,9 +1572,10 @@ class InterEncoder(IntraEncoder):
         self.dpb[poc] = self.prev_pic
 
     # ------------------------------------------------------------------
-    def _rd_cu(self, a: Rect, part: P.Partitioner, est: BitEstimator) -> float:
+    def _rd_cu(self, a: Rect, part: P.Partitioner, est: BitEstimator,
+               cand_modes: list | None = None) -> float:
         if self.dcs.sh.slice_type == SliceType.I:
-            return super()._rd_cu(a, part, est)
+            return super()._rd_cu(a, part, est, cand_modes=cand_modes)
         from vtm_tpu.decoder import motion as M
 
         dcs = self.dcs
