@@ -82,22 +82,46 @@ def _decode_once():
     return len(pics), mismatches
 
 
-def _encode_once() -> float:
-    """AI encode of one small208 frame; returns seconds."""
+def _read_420(path, w, h):
+    import numpy as np
+
+    with open(path, "rb") as f:
+        raw = f.read(w * h * 3 // 2)
+    y = np.frombuffer(raw[: w * h], np.uint8).reshape(h, w)
+    u = np.frombuffer(raw[w * h : w * h * 5 // 4], np.uint8).reshape(
+        h // 2, w // 2)
+    v = np.frombuffer(raw[w * h * 5 // 4 :], np.uint8).reshape(h // 2, w // 2)
+    return [p.astype(np.int32) for p in (y, u, v)]
+
+
+def _encode_once() -> tuple:
+    """AI encode of one small208 frame; returns (seconds, rmd device)."""
+    from vtm_tpu.common.exec_mode import decode_device_ctx
+    from vtm_tpu.encoder import rmd_tpu
+    from vtm_tpu.encoder.enc_lib import EncoderConfig, IntraEncoder
+
+    frame = _read_420("testdata/small208_208x120_420_8.yuv", 208, 120)
+    cfg = EncoderConfig(width=208, height=120, qp=32)
+    dev = rmd_tpu.accel_device()
+    with decode_device_ctx():
+        IntraEncoder(cfg).encode([frame])  # warm-up (jit compiles)
+        t0 = time.perf_counter()
+        IntraEncoder(cfg).encode([frame])
+        return (time.perf_counter() - t0,
+                str(dev.platform) if dev is not None else "cpu")
+
+
+def _encode_hd1080_once() -> float:
+    """AI encode of one 1080p frame at QP37 (north-star config); opt-in
+    via VTM_TPU_BENCH_HD=1 (first compile of the 1080p class kernels is
+    several minutes on the tunnel backend)."""
     from vtm_tpu.common.exec_mode import decode_device_ctx
     from vtm_tpu.encoder.enc_lib import EncoderConfig, IntraEncoder
 
-    with open("testdata/small208_208x120_420_8.yuv", "rb") as f:
-        raw = f.read(208 * 120 * 3 // 2)
-    import numpy as np
-
-    y = np.frombuffer(raw[: 208 * 120], np.uint8).reshape(120, 208)
-    u = np.frombuffer(raw[208 * 120 : 208 * 120 * 5 // 4], np.uint8).reshape(60, 104)
-    v = np.frombuffer(raw[208 * 120 * 5 // 4 :], np.uint8).reshape(60, 104)
-    frame = [y.astype(np.int32), u.astype(np.int32), v.astype(np.int32)]
-    cfg = EncoderConfig(width=208, height=120, qp=32)
+    frame = _read_420("testdata/hd1080_1920x1080_420_8.yuv", 1920, 1080)
+    cfg = EncoderConfig(width=1920, height=1080, qp=37)
     with decode_device_ctx():
-        IntraEncoder(cfg).encode([frame])  # warm-up (jit compiles)
+        IntraEncoder(cfg).encode([frame])
         t0 = time.perf_counter()
         IntraEncoder(cfg).encode([frame])
         return time.perf_counter() - t0
@@ -124,11 +148,18 @@ def main():
     exec_backend = ("cpu" if placement == "cpu" else jax.default_backend())
     enc_anchor_fps, enc_anchor_src = measure_vtm_encode_ai_fps()
     try:
-        enc_dt = _encode_once()
+        enc_dt, enc_dev = _encode_once()
         enc_fps = round(1.0 / enc_dt, 4)
         enc_vs = round((1.0 / enc_dt) / enc_anchor_fps, 4)
     except Exception:
         enc_fps = enc_vs = None
+        enc_dev = "error"
+    hd_fps = None
+    if os.environ.get("VTM_TPU_BENCH_HD"):
+        try:
+            hd_fps = round(1.0 / _encode_hd1080_once(), 4)
+        except Exception:
+            hd_fps = None
     print(json.dumps({
         "metric": "e2e_decode_fps_ra_full_bq416_qp37",
         "value": round(fps, 3),
@@ -141,6 +172,8 @@ def main():
         "anchor_source": anchor_src,
         "encode_ai_fps_small208": enc_fps,
         "encode_vs_vtm": enc_vs,
+        "encode_placement": enc_dev,
+        "encode_ai_fps_hd1080": hd_fps,
         "anchor_encode_ai_fps": round(enc_anchor_fps, 4),
         "anchor_encode_source": enc_anchor_src,
     }))

@@ -40,6 +40,19 @@ TOOL_STREAMS = [
 ]
 
 
+@pytest.mark.slow
+def test_bit_exact_decode_hd1080():
+    """North-star config: 1080p full-toolset AI stream decodes hash-exact."""
+    path = os.path.join(TD, "ai_full_hd1080_qp37.bit")
+    if not os.path.exists(path):
+        pytest.skip("golden streams not generated on this machine")
+    dec = Decoder()
+    pics = dec.decode_stream(open(path, "rb").read())
+    assert pics and dec.hash_results
+    for hr in dec.hash_results:
+        assert hr.ok, f"hash mismatch at POC {hr.poc}"
+
+
 @pytest.mark.parametrize("name", TOOL_STREAMS)
 def test_bit_exact_decode_tools(name):
     path = os.path.join(TD, f"{name}.bit")

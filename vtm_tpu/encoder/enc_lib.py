@@ -220,23 +220,46 @@ class IntraEncoder:
             enc.trace = self._trace_f
         w_ctu = dcs.pic_w_ctu
         h_ctu = dcs.pic_h_ctu
+        # fast-RD phase 1: whole-frame partition DP from the reduced RMD
+        # stats, then ONE device gather of the chosen leaves' full mode
+        # rows (2 device syncs per frame total)
+        fast_maps = {}
+        if cfg.fast_rd and self._frame_rmd is not None:
+            leaves = []
+            for cy in range(h_ctu):
+                for cx in range(w_ctu):
+                    ctu_rect = Rect(cx * cfg.ctu_size, cy * cfg.ctu_size,
+                                    cfg.ctu_size, cfg.ctu_size)
+                    part = P.Partitioner(dcs)
+                    part.init_ctu(ctu_rect, D.CH_L)
+                    r = self._fast_rd_node(part)
+                    if r is not None:
+                        fast_maps[(ctu_rect.x, ctu_rect.y)] = r[1]
+                        leaves.extend(
+                            k[:4] for k, v in r[1].items()
+                            if v == P.CU_DONT_SPLIT)
+            self._frame_rmd.prefetch_rows(
+                [(x, y, w, h) for (x, y, w, h) in leaves])
+            if len(fast_maps) == w_ctu * h_ctu:
+                # every CTU is table-decided: release the full on-device
+                # cost tensors now (keeping ~150MB/frame alive stalls the
+                # next frame's dispatches on the tunnel allocator)
+                self._frame_rmd._full = {}
         for cy in range(h_ctu):
             for cx in range(w_ctu):
                 ctu_rect = Rect(cx * cfg.ctu_size, cy * cfg.ctu_size,
                                 cfg.ctu_size, cfg.ctu_size)
                 # RD search with estimator seeded from live contexts
                 est = BitEstimator(ctx.copy())
-                part = P.Partitioner(dcs)
-                part.init_ctu(ctu_rect, D.CH_L)
-                fast = None
-                if cfg.fast_rd and self._frame_rmd is not None:
-                    fast = self._fast_rd_node(part)
+                fast = fast_maps.get((ctu_rect.x, ctu_rect.y))
                 if fast is not None:
-                    self._split_map = fast[1]
+                    self._split_map = fast
                     cpart = P.Partitioner(dcs)
                     cpart.init_ctu(ctu_rect, D.CH_L)
                     self._commit_node(cpart, est)
                 else:
+                    part = P.Partitioner(dcs)
+                    part.init_ctu(ctu_rect, D.CH_L)
                     _, self._split_map = self._rd_node(part, est)
                 self.__dict__.setdefault("_ctu_split_maps", {})[
                     (ctu_rect.x, ctu_rect.y)] = self._split_map
@@ -532,9 +555,9 @@ class IntraEncoder:
         prune = getattr(self.cfg, "intra_split_prune", 0.0)
         ns_satd = None
         if fr is not None and prune > 0 and inside and split_modes:
-            row = fr.costs(clipped.x, clipped.y, clipped.w, clipped.h)
-            if row is not None:
-                ns_satd = float(row[0].min())
+            st = fr.stats(clipped.x, clipped.y, clipped.w, clipped.h)
+            if st is not None:
+                ns_satd = float(st[0])
         for mode in split_modes:
             if ns_satd is not None and best is not None:
                 est_sp_satd = self._split_satd_estimate(part, mode, fr)
@@ -596,17 +619,21 @@ class IntraEncoder:
         key = (a.x, a.y, a.w, a.h, part.cur_depth)
         can_no, can_qt, can_bh, can_bv, can_th, can_tv = part.can_split_flags()
         inside = a.x1 <= dcs.pic_w and a.y1 <= dcs.pic_h
-        sw, leaf_bits, split_bits = self._fast_rd_cost_model()
+        model = getattr(self, "_fast_model", None)
+        if model is None or model[3] != self.frame_qp:
+            self._fast_model = model = (*self._fast_rd_cost_model(),
+                                        self.frame_qp)
+        sw, leaf_bits, split_bits = model[:3]
         best = None
         ns_satd = None
         if can_no:
-            row = fr.costs(a.x, a.y, a.w, a.h) if inside else None
-            if row is None:
+            st = fr.stats(a.x, a.y, a.w, a.h) if inside else None
+            if st is None:
                 return None
-            ns_satd = float(row[0].min())
+            ns_satd = float(st[0])
             leaf = ns_satd
-            if self.cfg.mip and len(row[1]):
-                leaf = min(leaf, float(row[1].min()))
+            if self.cfg.mip and st[3] is not None:
+                leaf = min(leaf, float(st[3]))
             best = (leaf * sw + leaf_bits, {key: P.CU_DONT_SPLIT})
         split_modes = []
         if can_qt and (
@@ -680,11 +707,21 @@ class IntraEncoder:
         bits (the exact-MPM re-rank the frame-level DP can't do because
         neighbour modes aren't decided yet)."""
         fr = self._frame_rmd
-        row = fr.costs(a.x, a.y, a.w, a.h)
+        row = fr._rows.get((a.x, a.y, a.w, a.h))
         n = max(1, getattr(self.cfg, "fast_rd_cands", 1))
         if row is None:
-            src_y = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
-            return self._preselect_modes_host(a, src_y)[:n]
+            st = fr.stats(a.x, a.y, a.w, a.h)
+            if st is None:
+                src_y = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
+                return self._preselect_modes_host(a, src_y)[:n]
+            # un-prefetched leaf: summary-stat candidates (best + planar
+            # + mip) without the full-row MPM re-rank
+            out = [st[1]]
+            if 0 not in out:
+                out.append(0)
+            if self.cfg.mip and st[3] is not None and st[3] < st[0]:
+                out.insert(0, ("mip", st[4] >> 1, bool(st[4] & 1)))
+            return out
         ang, mipc = row
         cu_probe = self._make_cu(a)
         mpm = self._helper._get_intra_mpms(cu_probe)
@@ -721,11 +758,11 @@ class IntraEncoder:
                 if sub.x1 > dcs.pic_w or sub.y1 > dcs.pic_h:
                     ok = False
                 else:
-                    row = fr.costs(sub.x, sub.y, sub.w, sub.h)
-                    if row is None:
+                    st = fr.stats(sub.x, sub.y, sub.w, sub.h)
+                    if st is None:
                         ok = False
                     else:
-                        total += float(row[0].min()) + lam_bits * 7.0
+                        total += float(st[0]) + lam_bits * 7.0
             if not part.next_part():
                 break
         part.exit_cur_split()

@@ -575,7 +575,19 @@ def _make_class_fn(w: int, h: int, bit_depth: int, with_mip: bool):
             cols.append(cc.astype(jnp.int32))
         if with_mip:
             cols.append(_mip_jnp(tu, lu, src, w, h, bit_depth))
-        return jnp.concatenate(cols, axis=1)
+        out = jnp.concatenate(cols, axis=1)
+        # fused per-position reduction (fetched instead of the full
+        # tensor): min/argmin over angular modes, planar, min/argmin MIP
+        ang = out[:, :67]
+        red = [jnp.min(ang, axis=1), jnp.argmin(ang, axis=1).astype(
+            jnp.int32), ang[:, 0]]  # native col 0 == planar (mode_order)
+        if with_mip:
+            red += [jnp.min(out[:, 67:], axis=1),
+                    jnp.argmin(out[:, 67:], axis=1).astype(jnp.int32)]
+        else:
+            red += [jnp.full((P,), np.int32(2 ** 30), jnp.int32),
+                    jnp.zeros((P,), jnp.int32)]
+        return out, jnp.stack(red, axis=1)
 
     return jax.jit(fn), consts, np.array(mode_order)
 
@@ -689,17 +701,23 @@ class FrameRMD:
             cap = max(8, 1 << (p - 1).bit_length())
             fxp = np.concatenate([fx, np.zeros(cap - p, np.int32)])
             fyp = np.concatenate([fy, np.zeros(cap - p, np.int32)])
-            out = fn(sp, jnp.asarray(fxp), jnp.asarray(fyp), *cdev)
-            return out[:p], mode_order
+            out, red = fn(sp, jnp.asarray(fxp), jnp.asarray(fyp), *cdev)
+            return out, red, mode_order
 
         # dispatch concurrently: first-use XLA compiles of the class
         # kernels overlap instead of serializing (the axon tunnel backend
         # compiles remotely; concurrent requests pipeline well)
         with ThreadPoolExecutor(max_workers=8) as ex:
             results = list(ex.map(dispatch, jobs))
-        pieces = []
-        offset = 0
-        for (cw, ch, fx, fy), (out, mode_order) in zip(jobs, results):
+        # the full (P, modes) tensors STAY on the device; only the fused
+        # per-position reductions are fetched (one batched device_get),
+        # and full rows are gathered per chosen leaf afterwards — cutting
+        # host readback ~14x and keeping per-frame syncs at 2
+        self._full = {}
+        self._red_dev = {}
+        self._stats = None
+        self._rows: dict = {}
+        for (cw, ch, fx, fy), (out, red, mode_order) in zip(jobs, results):
             idx = {(int(x), int(y)): i for i, (x, y) in enumerate(zip(fx, fy))}
             p = len(fx)
             ncols = int(out.shape[1])
@@ -707,15 +725,76 @@ class FrameRMD:
             # perm[mode] = column of mode in the kernel's native order
             perm = np.empty(67, np.int64)
             perm[mode_order] = np.arange(67)
-            self._classes[(cw, ch)] = (idx, offset, ncols, nm, perm)
-            offset += p * ncols
-            pieces.append(out.reshape(-1))
-        self._flat_dev = jnp.concatenate(pieces) if pieces else None
+            self._classes[(cw, ch)] = (idx, p, ncols, nm, perm,
+                                       np.asarray(mode_order))
+            self._full[(cw, ch)] = out
+            self._red_dev[(cw, ch)] = red
+
+    def _force_reduced(self):
+        if self._stats is None:
+            import jax
+
+            keys = list(self._red_dev)
+            vals = jax.device_get([self._red_dev[k] for k in keys])
+            self._stats = {}
+            for k, red in zip(keys, vals):
+                idx, p, ncols, nm, perm, mode_order = self._classes[k]
+                red = red[:p]
+                self._stats[k] = (red[:, 0], mode_order[red[:, 1]],
+                                  red[:, 2],
+                                  red[:, 3] if nm else None, red[:, 4])
+            self._red_dev = {}
+        return self._stats
+
+    def stats(self, x: int, y: int, w: int, h: int):
+        """Per-position summary (min_ang, best_mode, planar, min_mip,
+        mip_idx) from the reduced device fetch, or None."""
+        entry = self._classes.get((w, h))
+        if entry is None:
+            return None
+        i = entry[0].get((x, y))
+        if i is None:
+            return None
+        s = self._force_reduced()[(w, h)]
+        return (int(s[0][i]), int(s[1][i]), int(s[2][i]),
+                int(s[3][i]) if s[3] is not None else None, int(s[4][i]))
+
+    def prefetch_rows(self, reqs):
+        """Gather the FULL mode-cost rows of the given (x, y, w, h) leaf
+        positions (one device gather per class, one batched fetch);
+        subsequent costs() calls for them are host-local."""
+        if not self._full or not reqs:
+            return
+        import jax
+
+        per_class: dict = {}
+        for (x, y, w, h) in reqs:
+            entry = self._classes.get((w, h))
+            if entry is None:
+                continue
+            i = entry[0].get((x, y))
+            if i is None or (x, y, w, h) in self._rows:
+                continue
+            per_class.setdefault((w, h), []).append(((x, y, w, h), i))
+        if not per_class:
+            return
+        gathers = []
+        for k, lst in per_class.items():
+            ridx = np.array([i for _, i in lst], np.int32)
+            gathers.append(self._full[k][ridx])
+        for (k, lst), rows in zip(per_class.items(),
+                                  jax.device_get(gathers)):
+            perm = self._classes[k][4]
+            for (key, _), row in zip(lst, rows):
+                self._rows[key] = (row[perm], row[67:])
 
     def _force(self):
-        if self._flat is None and self._flat_dev is not None:
-            self._flat = np.asarray(self._flat_dev)
-            self._flat_dev = None
+        if self._flat is None and self._full:
+            import jax
+
+            keys = list(self._full)
+            self._flat = dict(zip(keys, jax.device_get(
+                [self._full[k] for k in keys])))
         return self._flat
 
     def costs(self, x: int, y: int, w: int, h: int):
@@ -723,10 +802,12 @@ class FrameRMD:
         entry = self._classes.get((w, h))
         if entry is None:
             return None
-        idx, offset, ncols, nm, perm = entry
+        idx, p, ncols, nm, perm = entry[:5]
         i = idx.get((x, y))
         if i is None:
             return None
-        flat = self._force()
-        row = flat[offset + i * ncols : offset + (i + 1) * ncols]
+        hit = self._rows.get((x, y, w, h)) if hasattr(self, "_rows") else None
+        if hit is not None:
+            return hit
+        row = self._force()[(w, h)][i]
         return row[perm], row[67:]
