@@ -75,3 +75,40 @@ def test_stream_merge_and_extract():
         for pr, pg in zip(ref, got):
             for c in range(3):
                 assert np.array_equal(pr.planes[c], pg.planes[c])
+
+
+def test_vps_dci_parse():
+    """VPS body + DCI parsing (VLCReader.cpp parseVPS/parseDCI behavior):
+    the merged two-layer stream's VPS parses with correct layer/OLS
+    derivation, and HRD/VUI-bearing SPS streams activate."""
+    from vtm_tpu.apps.stream_merge import merge_streams
+    from vtm_tpu.bitstream import reader as nalio
+    from vtm_tpu.decoder import vlc
+
+    a = os.path.join(TD, "ai_min_tiny64_qp27.bit")
+    if not os.path.exists(a):
+        pytest.skip("golden streams not generated")
+    open("/tmp/merge_a.bit", "wb").write(open(a, "rb").read())
+    merged = merge_streams(["/tmp/merge_a.bit", "/tmp/merge_a.bit"])
+    vps = None
+    for raw in nalio.split_annexb(merged):
+        nal = nalio.parse_nal(raw)
+        if nal.nal_unit_type == nalio.NAL_VPS:
+            vps = vlc.parse_vps(nal.rbsp)
+            break
+    assert vps is not None
+    assert vps["max_layers"] == 2
+    assert vps["all_independent_layers"]
+    assert vps["total_num_olss"] >= 1
+    assert vps["num_layers_in_ols"][0] == 1
+    # HRD/VUI SPS activation (golden ai_hrdvui stream)
+    h = os.path.join(TD, "ai_hrdvui_small208_qp32.bit")
+    if os.path.exists(h):
+        for raw in nalio.split_annexb(open(h, "rb").read()):
+            nal = nalio.parse_nal(raw)
+            if nal.nal_unit_type == nalio.NAL_SPS:
+                sps = vlc.parse_sps(nal.rbsp)
+                assert sps.general_hrd["time_scale"] > 0
+                assert sps.ols_hrd[-1] is not None
+                assert sps.vui["aspect_ratio_idc"] == 1
+                break

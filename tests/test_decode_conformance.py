@@ -37,6 +37,8 @@ TOOL_STREAMS = [
     "ai_tools_small208_qp27",
     "ai_full_tiny64_qp32",
     "ai_full_small208_qp37",
+    # HRD (general+OLS timing/buffering) + VUI (aspect ratio) in the SPS
+    "ai_hrdvui_small208_qp32",
 ]
 
 

@@ -17,22 +17,27 @@ from vtm_tpu.bitstream.writer import BitWriter, make_nal
 
 
 def _write_vps(num_layers: int) -> bytes:
-    """Minimal VPS: N independent layers, all-layers OLS (vps_ols_mode 0
-    defaults via each_layer_is_an_ols=0, all_independent=1)."""
+    """VPS for N independent layers, each its own OLS (single sublayer):
+    full syntax incl. the shared profile_tier_level and alignment."""
+    from vtm_tpu.encoder.vlc_writer import write_ptl
+
     w = BitWriter()
     w.u(1, 4)   # vps_video_parameter_set_id (must be > 0)
     w.u(num_layers - 1, 6)  # vps_max_layers_minus1
-    w.u(0, 3)   # vps_max_sublayers_minus1
-    # max_layers>1 → vps_all_independent_layers_flag
-    w.flag(1)
+    w.u(0, 3)   # vps_max_sublayers_minus1 (single sublayer)
+    if num_layers > 1:
+        w.flag(1)  # vps_all_independent_layers_flag
     for i in range(num_layers):
         w.u(i, 6)  # vps_layer_id[i]
-        if i > 0:
-            w.flag(1)  # max_tid_ref_present... (independent: layer_id_in_ols?)
-    # all independent → each_layer_is_an_ols_flag
-    w.flag(1)
-    # no PTL for OLSs beyond mandatory: vps_num_ptls_minus1 = 0
-    w.u(0, 8)   # vps_num_ptls_minus1(?) — see note below
+    if num_layers > 1:
+        w.flag(1)  # each_layer_is_an_ols_flag
+    w.u(0, 8)  # vps_num_ptls_minus1
+    # pt_present[0] = 1 inferred; ptl_max_tid inferred (same-sublayers)
+    while not w.byte_aligned():
+        w.u(0, 1)  # vps_ptl_alignment_zero_bit
+    write_ptl(w)  # referenced by every OLS (ols_ptl_idx inferred 0)
+    # each layer is an OLS: no DPB/HRD tables, hrd flag not signalled
+    w.flag(0)  # vps_extension_flag
     w.write_rbsp_trailing()
     return make_nal(nalio.NAL_VPS, w.data())
 
@@ -63,12 +68,10 @@ def _split_aus(data: bytes):
     return aus
 
 
-def merge_streams(paths: list[str], with_vps: bool = False) -> bytes:
-    """Interleave AUs round-robin with per-stream nuh_layer_id.
-
-    Note: a normative multi-layer stream needs a VPS; the generated VPS is
-    optional here because single-extractable-layer decoding works without
-    it (each layer is independently decodable after extraction)."""
+def merge_streams(paths: list[str], with_vps: bool = True) -> bytes:
+    """Interleave AUs round-robin with per-stream nuh_layer_id, preceded
+    by a generated VPS declaring the layers independent (each its own
+    OLS) — the reference StreamMergeApp behavior."""
     streams = [_split_aus(open(p, "rb").read()) for p in paths]
     out = bytearray()
     if with_vps:

@@ -169,6 +169,9 @@ class SPS:
     vb_pos_x: list[int] = field(default_factory=list)
     vb_pos_y: list[int] = field(default_factory=list)
     field_seq: bool = False
+    general_hrd: dict | None = None  # general_hrd_parameters()
+    ols_hrd: list | None = None  # per-sublayer ols_hrd_parameters()
+    vui: dict | None = None  # vui_parameters()
     # profile/level
     profile_idc: int = 0
     level_idc: int = 0

@@ -108,7 +108,12 @@ class Decoder:
                 if msg.payload_type == seilib.SEI_DECODED_PICTURE_HASH:
                     if self.cur_pic is not None:
                         self.cur_pic.hash_sei = seilib.parse_decoded_picture_hash(msg.payload)
-        # AUD/EOS/EOB/VPS/DCI ignored for now
+        elif t == nalio.NAL_VPS:
+            vps = vlc.parse_vps(nal.rbsp)
+            self.psm.vps[vps["vps_id"]] = vps
+        elif t == nalio.NAL_DCI:
+            self.dci = vlc.parse_dci(nal.rbsp)
+        # AUD/EOS/EOB ignored (no decoding-process effect)
 
     # -- internals ----------------------------------------------------------
 

@@ -46,6 +46,7 @@ class ParameterSetManager:
     def __init__(self):
         self.sps: dict[int, SPS] = {}
         self.pps: dict[int, PPS] = {}
+        self.vps: dict[int, dict] = {}
         self.aps: dict[tuple[int, int], APS] = {}  # (type, id)
 
     def store_aps(self, aps: APS):
@@ -497,13 +498,259 @@ def parse_sps(rbsp: bytes) -> SPS:
             sps.vb_pos_y = [r.ue() << 3 for _ in range(sps.num_hor_vbs)]
     if sps.ptl_dpb_hrd_present:
         if r.flag():  # sps_general_hrd_params_present_flag
-            raise NotImplementedError("HRD parameters not supported yet")
+            sps.general_hrd = parse_general_hrd(r)
+            sublayer_cpb = (bool(r.flag())
+                            if sps.max_sub_layers > 1 else False)
+            first = 0 if sublayer_cpb else sps.max_sub_layers - 1
+            sps.ols_hrd = parse_ols_hrd(r, sps.general_hrd, first,
+                                        sps.max_sub_layers - 1)
     sps.field_seq = bool(r.flag())
     if r.flag():  # vui_parameters_present_flag
-        raise NotImplementedError("VUI not supported yet")
+        sps.vui = parse_vui(r)
     if r.flag():  # sps_extension_present_flag
         raise NotImplementedError("SPS extensions not supported")
     return sps
+
+
+def parse_general_hrd(r) -> dict:
+    """general_hrd_parameters() — HRD timing/buffering model header
+    (VLCReader.cpp parseGeneralHrdParameters behavior)."""
+    g = {}
+    g["num_units_in_tick"] = r.u(32)
+    g["time_scale"] = r.u(32)
+    g["nal_hrd"] = bool(r.flag())
+    g["vcl_hrd"] = bool(r.flag())
+    g["same_pic_timing_in_all_ols"] = bool(r.flag())
+    g["du_hrd"] = bool(r.flag())
+    if g["du_hrd"]:
+        g["tick_divisor_minus2"] = r.u(8)
+    g["bit_rate_scale"] = r.u(4)
+    g["cpb_size_scale"] = r.u(4)
+    if g["du_hrd"]:
+        g["cpb_size_du_scale"] = r.u(4)
+    g["cpb_cnt_minus1"] = r.ue()
+    return g
+
+
+def parse_ols_hrd(r, g: dict, first: int, max_sl: int) -> list:
+    """ols_hrd_parameters() for sublayers [first..max_sl]; lower layers
+    inherit the highest layer's values (reference behavior)."""
+    out = [None] * (max_sl + 1)
+    for i in range(first, max_sl + 1):
+        h = {}
+        h["fixed_pic_rate_general"] = bool(r.flag())
+        h["fixed_pic_rate_cvs"] = (True if h["fixed_pic_rate_general"]
+                                   else bool(r.flag()))
+        h["low_delay_hrd"] = False
+        if h["fixed_pic_rate_cvs"]:
+            h["elemental_duration_in_tc_minus1"] = r.ue()
+        elif g["cpb_cnt_minus1"] == 0:
+            h["low_delay_hrd"] = bool(r.flag())
+        cpb = []
+        for nal_or_vcl in range(2):
+            if (nal_or_vcl == 0 and g["nal_hrd"]) or (
+                    nal_or_vcl == 1 and g["vcl_hrd"]):
+                for _ in range(g["cpb_cnt_minus1"] + 1):
+                    e = {"bit_rate_value_minus1": r.ue(),
+                         "cpb_size_value_minus1": r.ue()}
+                    if g["du_hrd"]:
+                        e["bit_rate_du_value_minus1"] = r.ue()
+                        e["cpb_size_du_value_minus1"] = r.ue()
+                    e["cbr"] = bool(r.flag())
+                    cpb.append(e)
+        h["cpb"] = cpb
+        out[i] = h
+    for i in range(first):
+        out[i] = out[max_sl]
+    return out
+
+
+def parse_vui(r) -> dict:
+    """vui_parameters() (VTM 9.3 draft form — no payload-size wrapper)."""
+    v = {}
+    v["progressive_source"] = bool(r.flag())
+    v["interlaced_source"] = bool(r.flag())
+    if r.flag():  # aspect_ratio_info_present
+        v["aspect_ratio_constant"] = bool(r.flag())
+        v["aspect_ratio_idc"] = r.u(8)
+        if v["aspect_ratio_idc"] == 255:
+            v["sar_width"] = r.u(16)
+            v["sar_height"] = r.u(16)
+    if r.flag():  # overscan_info_present
+        v["overscan_appropriate"] = bool(r.flag())
+    if r.flag():  # colour_description_present
+        v["colour_primaries"] = r.u(8)
+        v["transfer_characteristics"] = r.u(8)
+        v["matrix_coeffs"] = r.u(8)
+        v["full_range"] = bool(r.flag())
+    if r.flag():  # chroma_loc_info_present
+        if v["progressive_source"] and not v["interlaced_source"]:
+            v["chroma_sample_loc_type"] = r.ue()
+        else:
+            v["chroma_sample_loc_type_top"] = r.ue()
+            v["chroma_sample_loc_type_bottom"] = r.ue()
+    return v
+
+
+# ---------------------------------------------------------------------------
+# VPS / DCI
+# ---------------------------------------------------------------------------
+
+def parse_dci(rbsp: bytes) -> dict:
+    """Decoding capability information NAL (VLCReader.cpp parseDCI
+    behavior): a list of profile_tier_level structures."""
+    r = BitReader(rbsp)
+    r.u(4)  # dci_reserved_zero_4bits
+    n = r.u(4) + 1
+    return {"ptls": [parse_profile_tier_level(r, True, 0)
+                     for _ in range(n)]}
+
+
+def parse_vps(rbsp: bytes) -> dict:
+    """Video parameter set body (VLCReader.cpp parseVPS behavior):
+    layer/sublayer structure, direct-dependency flags, output-layer-set
+    modes with the OLS count derivation, per-OLS PTL/DPB/HRD tables."""
+    r = BitReader(rbsp)
+    v: dict = {}
+    v["vps_id"] = r.u(4)
+    max_layers = r.u(6) + 1
+    v["max_layers"] = max_layers
+    max_sl = r.u(3) + 1
+    v["max_sublayers"] = max_sl
+    all_same_sl = True
+    if max_layers > 1 and max_sl > 1:
+        all_same_sl = bool(r.flag())
+    v["all_layers_same_num_sublayers"] = all_same_sl
+    all_indep = True
+    if max_layers > 1:
+        all_indep = bool(r.flag())
+    v["all_independent_layers"] = all_indep
+    v["layer_id"] = [0] * max_layers
+    dep = [[0] * max_layers for _ in range(max_layers)]
+    v["max_tid_il_ref_pics_plus1"] = [7] * max_layers
+    for i in range(max_layers):
+        v["layer_id"][i] = r.u(6)
+        if i > 0 and not all_indep:
+            indep = bool(r.flag())
+            if not indep:
+                for j in range(i):
+                    dep[i][j] = r.flag()
+                if r.flag():  # max_tid_ref_present
+                    v["max_tid_il_ref_pics_plus1"][i] = r.u(3)
+    v["direct_ref_layer"] = dep
+    each_ols = max_layers == 1 or all_indep
+    ols_mode = 0
+    num_explicit_ols = 1
+    ols_output = []
+    if max_layers > 1:
+        if all_indep:
+            each_ols = bool(r.flag())
+            if not each_ols:
+                ols_mode = 2
+        if not each_ols:
+            if not all_indep:
+                ols_mode = r.u(2)
+            if ols_mode == 2:
+                num_explicit_ols = r.u(8) + 1
+                ols_output = [[r.flag() for _ in range(max_layers)]
+                              for _ in range(num_explicit_ols - 1)]
+    v["each_layer_is_an_ols"] = each_ols
+    v["ols_mode_idc"] = ols_mode
+    # ---- OLS derivation (VPS::deriveOutputLayerSets subset needed for
+    # parsing: per-OLS layer counts) ----
+    if max_layers == 1:
+        total_ols = 1
+    elif each_ols or ols_mode < 2:
+        total_ols = max_layers
+    else:
+        total_ols = num_explicit_ols
+    # transitive dependency closure for mode-2 layer inclusion
+    closure = [row[:] for row in dep]
+    for i in range(max_layers):
+        for k in range(i):
+            if dep[i][k]:
+                for j in range(max_layers):
+                    closure[i][j] |= closure[k][j]
+    layers_in_ols = []
+    for i in range(total_ols):
+        if max_layers == 1 or each_ols:
+            layers_in_ols.append(1)
+        elif ols_mode in (0, 1):
+            layers_in_ols.append(i + 1)
+        else:  # mode 2: output layers + their dependencies
+            if i == 0:
+                layers_in_ols.append(1)
+                continue
+            inc = [0] * max_layers
+            for j in range(max_layers):
+                if ols_output[i - 1][j]:
+                    inc[j] = 1
+                    for k in range(max_layers):
+                        if closure[j][k]:
+                            inc[k] = 1
+            layers_in_ols.append(sum(inc))
+    v["total_num_olss"] = total_ols
+    v["num_layers_in_ols"] = layers_in_ols
+    num_multi = sum(1 for n in layers_in_ols if n > 1)
+    v["num_multi_layered_olss"] = num_multi
+    # ---- per-OLS PTL ----
+    num_ptls = r.u(8) + 1
+    pt_present = [True] + [bool(r.flag()) for _ in range(num_ptls - 1)]
+    ptl_max_tid = [r.u(3) if not all_same_sl else max_sl - 1
+                   for _ in range(num_ptls)]
+    r.align()
+    v["ptls"] = [parse_profile_tier_level(r, pt_present[i],
+                                          ptl_max_tid[i] - 1)
+                 for i in range(num_ptls)]
+    v["ols_ptl_idx"] = []
+    for i in range(total_ols):
+        if num_ptls > 1 and num_ptls != total_ols:
+            v["ols_ptl_idx"].append(r.u(8))
+        elif num_ptls == total_ols:
+            v["ols_ptl_idx"].append(i)
+        else:
+            v["ols_ptl_idx"].append(0)
+    # ---- DPB parameters (multi-layer OLSs only) ----
+    if not each_ols:
+        num_dpb = r.ue() + 1
+        sub_dpb = bool(r.flag()) if (num_dpb > 0 and max_sl > 1) else False
+        dpbs = []
+        for _ in range(num_dpb):
+            max_tid = r.u(3) if not all_same_sl else max_sl - 1
+            ent = []
+            for _j in range(0 if sub_dpb else max_tid, max_tid + 1):
+                ent.append({"max_dec_pic_buffering_minus1": r.ue(),
+                            "max_num_reorder_pics": r.ue(),
+                            "max_latency_increase_plus1": r.ue()})
+            dpbs.append({"max_tid": max_tid, "sublayers": ent})
+        v["dpb_params"] = dpbs
+        v["ols_dpb"] = []
+        for i in range(total_ols):
+            if layers_in_ols[i] > 1:
+                e = {"pic_width": r.ue(), "pic_height": r.ue(),
+                     "chroma_format_idc": r.u(2),
+                     "bitdepth_minus8": r.ue()}
+                if num_dpb > 1 and num_dpb != num_multi:
+                    e["dpb_params_idx"] = r.ue()
+                v["ols_dpb"].append(e)
+        hrd_present = bool(r.flag())
+    else:
+        hrd_present = False
+    if hrd_present:
+        g = parse_general_hrd(r)
+        v["general_hrd"] = g
+        sub_cpb = bool(r.flag()) if max_sl > 1 else False
+        n_hrd = r.ue() + 1
+        v["ols_hrd"] = []
+        for _ in range(n_hrd):
+            hrd_max_tid = r.u(3) if not all_same_sl else max_sl - 1
+            first = 0 if sub_cpb else hrd_max_tid
+            v["ols_hrd"].append(parse_ols_hrd(r, g, first, hrd_max_tid))
+        for i in range(num_multi):
+            if n_hrd != num_multi and n_hrd > 1:
+                r.ue()  # ols_hrd_idx
+    r.flag()  # vps_extension_flag (payload skipped)
+    return v
 
 
 # ---------------------------------------------------------------------------
