@@ -464,9 +464,18 @@ class SyntaxWriter:
         if not cu.skip:
             self.e.encode_bin(int(cu.merge_flag), ctx("MergeFlag"))
         if cu.merge_flag:
-            # merge_data mirror (subblock_merge_flag: sps affine/sbtmvp off
-            # → no bins; geo off → ciip inferred from regular_merge_flag)
+            # merge_data mirror (SyntaxReader.merge_data)
             sps = self.sps
+            affine = bool(getattr(cu, "affine", False))
+            if (sh.slice_type != SliceType.I
+                    and self.cs.ph.max_num_affine_merge_cand > 0
+                    and cu.lwidth >= 8 and cu.lheight >= 8):
+                self.e.encode_bin(int(affine),
+                                  ctx("SubblockMergeFlag",
+                                      self._ctx_affine_flag(cu)))
+            if affine:
+                self.merge_idx(cu)
+                return
             mmvd = bool(getattr(cu, "mmvd_flag", False)
                         or getattr(cu, "mmvd_skip", False))
             ciip_avail = (sps.ciip and not cu.skip and cu.lwidth < 128
@@ -494,6 +503,10 @@ class SyntaxWriter:
             return
         if sh.slice_type == SliceType.B:
             self.inter_pred_idc(cu)
+        if (sh.slice_type != SliceType.I and self.sps.affine
+                and cu.lwidth > 8 and cu.lheight > 8):
+            # inter_affine_flag (AMVP affine ME not searched: always 0)
+            self.e.encode_bin(0, ctx("AffineFlag", self._ctx_affine_flag(cu)))
         if cu.interdir != 2:
             self.ref_idx(cu, 0)
             self.mvd_coding(cu.mvd[0])
@@ -607,7 +620,27 @@ class SyntaxWriter:
         self.e.encode_bin_ep(var2 >> 1)
         self.e.encode_bin_ep(var2 & 1)
 
+    def _ctx_affine_flag(self, cu: CU) -> int:
+        """Mirror of SyntaxReader._ctx_affine_flag (neighbor affine CUs)."""
+        from vtm_tpu.decoder.cs import CH_L
+
+        x, y = cu.lx, cu.ly
+        left = self.cs.get_cu_restricted(x - 1, y, x, y, CH_L)
+        above = self.cs.get_cu_restricted(x, y - 1, x, y, CH_L)
+        return (1 if (left and getattr(left, "affine", False)) else 0) + (
+            1 if (above and getattr(above, "affine", False)) else 0)
+
     def merge_idx(self, cu: CU):
+        if getattr(cu, "affine", False):
+            # affine/subblock merge index (reader merge_idx affine branch)
+            n_minus1 = self.cs.ph.max_num_affine_merge_cand - 1
+            idx = cu.merge_idx
+            if n_minus1 > 0:
+                self.e.encode_bin(int(idx > 0), ctx("AffMergeIdx"))
+                for k in range(1, idx + 1):
+                    if k < n_minus1:
+                        self.e.encode_bin_ep(int(idx > k))
+            return
         if getattr(cu, "geo_flag", False):
             # GEO: split dir (truncated binary 64) + two merge indices
             # (mirror of SyntaxReader.merge_idx geo branch)

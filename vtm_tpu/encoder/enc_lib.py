@@ -79,6 +79,7 @@ class EncoderConfig:
     bcw: bool = False  # bi-prediction with CU-level weights (weight trials)
     num_active_refs: int = 1  # active L0 references (multi-ref ME when > 1)
     geo: bool = False  # geometric-partition merge search (B slices)
+    affine: bool = False  # affine (subblock) merge candidate trials
     satd_rmd: bool = True  # whole-frame batched device RMD (SATD costs)
     ccalf: bool = False  # cross-component ALF training (needs alf=True)
     ciip: bool = False  # combined inter/intra prediction merge trials
@@ -1478,7 +1479,12 @@ class InterEncoder(IntraEncoder):
         # B pictures code both mvds (true bi ME); P leaves L1 unused
         ph.mvd_l1_zero = not is_b
         ph.tmvp_enabled = bool(self.sps.temporal_mvp)
-        ph.max_num_affine_merge_cand = 0
+        # subblock merge cand count (vlc.py PH derivation rule)
+        if self.sps.affine:
+            ph.max_num_affine_merge_cand = self.sps.max_num_affine_merge_cand
+        else:
+            ph.max_num_affine_merge_cand = int(
+                getattr(self.sps, "sbtmvp", False) and ph.tmvp_enabled)
         ph.min_qt_size = list(sps.min_qt_size)
         ph.max_mtt_depth = list(sps.max_mtt_depth)
         ph.max_bt_size = list(sps.max_bt_size)
@@ -1658,6 +1664,17 @@ class InterEncoder(IntraEncoder):
                 and a.x1 <= dcs.pic_w and a.y1 <= dcs.pic_h):
             for idx in merge_list[:2]:
                 consider(lambda e, idx=idx: self._try_ciip(a, part, idx, e))
+        # Affine/subblock merge: inherited + constructed CPMV candidates
+        # (EncCu::xCheckRDCostAffineMerge2Nx2N analogue; candidate list =
+        # decoder's get_affine_merge_cand, skip + coded trials per index)
+        if (self.dcs.ph.max_num_affine_merge_cand > 0
+                and a.w >= 8 and a.h >= 8):
+            n_aff = min(self.dcs.ph.max_num_affine_merge_cand, 3)
+            for aidx in range(n_aff):
+                consider(lambda e, i=aidx:
+                         self._try_affine_merge(a, part, i, True, e))
+                consider(lambda e, i=aidx:
+                         self._try_affine_merge(a, part, i, False, e))
         # MMVD: SATD preselection over base x step x direction, then full RD
         # of the top candidates (EncCu xCheckRDCostMerge2Nx2N MMVD part)
         if self.sps.mmvd and mrg.num_valid > 0:
@@ -1735,7 +1752,11 @@ class InterEncoder(IntraEncoder):
         cu.depth = part.cur_depth
         cu.split_series = tuple(lvl.split for lvl in part.stack[1:])
         dcs.add_cu(cu)
-        if getattr(cu, "geo_flag", False):
+        if getattr(cu, "affine", False):
+            # decoder-exact derivation: affine merge CPMVs / SbTMVP subPUs
+            # + per-4x4 motion spans (inter_cu.derive_cu_mv)
+            IC.derive_cu_mv(dcs, cu)
+        elif getattr(cu, "geo_flag", False):
             M.span_geo_motion_info(dcs, cu, cu._geo_mrg)
         else:
             M.span_motion_info(dcs, cu)
@@ -1806,6 +1827,29 @@ class InterEncoder(IntraEncoder):
                 return None
             if not cu.root_cbf:
                 return None
+            return dist
+        cu.root_cbf = False
+        return self._commit_inter(cu, a, part, est, skip=True)
+
+    def _try_affine_merge(self, a, part, idx: int, skip: bool, est):
+        """Affine/SbTMVP subblock merge trial: candidate derivation, MC
+        (4x4 CPMV interpolation + PROF / subPU TMVP) and motion span all
+        go through the decoder-exact inter_cu.derive_cu_mv inside
+        _commit_inter — the trial only sets the parsed-syntax fields."""
+        dcs = self.dcs
+        cu = self._make_inter_cu(a, part)
+        cu.idx = len(dcs.cus)
+        cu.merge_flag = True
+        cu.skip = skip
+        cu.affine = True
+        cu.merge_idx = idx
+        cu.regular_merge_flag = False
+        cu.mvp_idx = [0, 0]
+        cu.mvd = [(0, 0), (0, 0)]
+        if not skip:
+            dist = self._commit_inter(cu, a, part, est, skip=False)
+            if not cu.root_cbf:
+                return None  # non-skip merge needs residual (rootCbf = 1)
             return dist
         cu.root_cbf = False
         return self._commit_inter(cu, a, part, est, skip=True)
@@ -2272,6 +2316,7 @@ class RandomAccessEncoder(InterEncoder):
             cfg.amvr = True  # IMV (full/4-pel) trials on by default for RA
             cfg.geo = True  # geometric-partition merge on for RA (CTC)
             cfg.ciip = True  # combined inter/intra merge on for RA (CTC)
+            cfg.affine = True  # affine merge candidates on for RA (CTC)
             cfg.num_active_refs = max(cfg.num_active_refs, 2)  # multi-ref ME
         super().__init__(cfg)
         self.gop_size = gop_size

@@ -117,7 +117,16 @@ def write_sps(cfg) -> bytes:
         w.flag(0)  # mmvd
     w.ue(1)  # six_minus_max_num_merge_cand → 5
     w.flag(0)  # sbt
-    w.flag(0)  # affine
+    if getattr(cfg, "affine", False):
+        w.flag(1)  # affine
+        w.ue(0)    # five_minus_max_num_subblock_merge_cand → 5
+        w.flag(1)  # 6-parameter affine (affine_type)
+        if getattr(cfg, "amvr", False):
+            w.flag(0)  # affine_amvr
+        w.flag(1)  # PROF
+        w.flag(0)  # prof_control_present
+    else:
+        w.flag(0)  # affine
     w.flag(1 if getattr(cfg, "bcw", False) else 0)  # bcw
     w.flag(1 if getattr(cfg, "ciip", False) else 0)  # ciip
     if getattr(cfg, "geo", False):
