@@ -288,6 +288,10 @@ class SyntaxWriter:
         sh = self.cs.sh
         from vtm_tpu.common.types import SliceType
 
+        if cu_ctx.qg_start:
+            cu_ctx.qg_start = False
+            cu_ctx.qp = self.helper._predict_qp(cu, cu_ctx.qp)
+
         is_inter_slice = sh.slice_type != SliceType.I
         if is_inter_slice and cu.blocks[0] is not None:
             # cu_skip_flag (CABACWriter mirror of reader; no IBC)
@@ -316,14 +320,15 @@ class SyntaxWriter:
         if getattr(cu, "isp_mode", 0):
             n = len(cu.tus)
             for i, tu in enumerate(cu.tus):
-                self._write_isp_transform_unit(tu, i, n)
+                self._write_isp_transform_unit(tu, i, n, cu_ctx)
         else:
             for tu in cu.tus:
                 self.transform_unit(tu, cu_ctx, part)
         self.residual_lfnst_mode(cu)
         self.mts_idx(cu)
 
-    def _write_isp_transform_unit(self, tu: TU, sub_idx: int, n_tus: int):
+    def _write_isp_transform_unit(self, tu: TU, sub_idx: int, n_tus: int,
+                                  cu_ctx: CuCtx | None = None):
         """Mirror of SyntaxReader._isp_transform_unit: chroma cbfs on the
         last sub-TU, luma cbf with the all-previous-zero inference."""
         cu = tu.cu
@@ -342,6 +347,14 @@ class SyntaxWriter:
             self.e.encode_bin(tu.cbf[0], self._cbf_ctx(0, prev_cbf, True, cu))
         else:
             assert tu.cbf[0], "ISP last sub-TU cbf inferred 1 but no residual"
+        cbf_chroma = bool(has_chroma and (tu.cbf[1] or tu.cbf[2]))
+        if (cu.lwidth > 64 or cu.lheight > 64 or tu.cbf[0] or cbf_chroma) \
+                and cu_ctx is not None \
+                and self.cs.pps.cu_qp_delta_enabled \
+                and not cu_ctx.is_dqp_coded:
+            self.cu_qp_delta(cu.qp - cu_ctx.qp)
+            cu_ctx.qp = cu.qp
+            cu_ctx.is_dqp_coded = True
         if tu.cbf[0]:
             self.residual_coding(tu, 0)
         if has_chroma:
@@ -813,12 +826,45 @@ class SyntaxWriter:
                 assert tu.cbf[0], "inter root TU luma cbf inferred 1"
             else:
                 self.e.encode_bin(tu.cbf[0], self._cbf_ctx(0, False, False, cu))
+        cbf_chroma = bool(tu.cbf[1] or tu.cbf[2]) if has_chroma else False
+        if (cu.lwidth > 64 or cu.lheight > 64 or tu.cbf[0] or cbf_chroma) \
+                and (not cu.is_sep_tree or part.ch_type == CH_L):
+            if self.cs.pps.cu_qp_delta_enabled and not cu_ctx.is_dqp_coded:
+                self.cu_qp_delta(cu.qp - cu_ctx.qp)
+                cu_ctx.qp = cu.qp
+                cu_ctx.is_dqp_coded = True
         if tu.cbf[0]:
             self.residual_coding(tu, 0)
         if has_chroma:
             for comp in (1, 2):
                 if tu.cbf[comp]:
                     self.residual_coding(tu, comp)
+
+    def cu_qp_delta(self, dqp: int):
+        """Mirror of SyntaxReader.cu_qp_delta: unary-max(5) prefix with
+        DeltaQP contexts, EG0 escape, EP sign."""
+        from vtm_tpu.decoder.cabac_reader import CU_DQP_TU_CMAX
+
+        v = abs(dqp)
+        pre = min(v, CU_DQP_TU_CMAX)
+        for k in range(pre):
+            self.e.encode_bin(1, ctx("DeltaQP", 0 if k == 0 else 1))
+        if pre < CU_DQP_TU_CMAX:
+            self.e.encode_bin(0, ctx("DeltaQP", 0 if pre == 0 else 1))
+        else:
+            self._write_exp_golomb_eqprob(v - CU_DQP_TU_CMAX, 0)
+        if v > 0:
+            self.e.encode_bin_ep(int(dqp < 0))
+
+    def _write_exp_golomb_eqprob(self, symbol: int, count: int):
+        """Mirror of SyntaxReader._exp_golomb_eqprob."""
+        while symbol >= (1 << count):
+            self.e.encode_bin_ep(1)
+            symbol -= 1 << count
+            count += 1
+        self.e.encode_bin_ep(0)
+        if count:
+            self.e.encode_bins_ep(symbol, count)
 
     def _cbf_ctx(self, comp: int, prev_cbf: bool, use_isp: bool, cu) -> int:
         if use_isp and comp == 0:

@@ -80,6 +80,9 @@ class EncoderConfig:
     num_active_refs: int = 1  # active L0 references (multi-ref ME when > 1)
     geo: bool = False  # geometric-partition merge search (B slices)
     affine: bool = False  # affine (subblock) merge candidate trials
+    aqp: bool = False  # variance-adaptive per-CTU QP (cu_qp_delta)
+    aqp_range: int = 3  # max |dQP| (MaxQPAdaptationRange)
+    aqp_strength: float = 1.5  # dQP per doubling of relative activity
     satd_rmd: bool = True  # whole-frame batched device RMD (SATD costs)
     ccalf: bool = False  # cross-component ALF training (needs alf=True)
     ciip: bool = False  # combined inter/intra prediction merge trials
@@ -186,6 +189,10 @@ class IntraEncoder:
         ph.max_tt_size = list(sps.max_tt_size)
         self.frame_qp = cfg.qp
         self.lam = 0.57 * 2.0 ** ((self.frame_qp - 12) / 3.0)
+        self._base_lam = self.lam
+        self._aqp_dqp = (self._aqp_map(src_planes[0].astype(np.int64))
+                         if cfg.aqp else {})
+        self._qg_carry = self.frame_qp
         sh = SliceHeader()
         sh.slice_type = SliceType.I
         sh.qp = self.frame_qp
@@ -221,6 +228,7 @@ class IntraEncoder:
             enc.trace = self._trace_f
         w_ctu = dcs.pic_w_ctu
         h_ctu = dcs.pic_h_ctu
+        rep_ctx = CuCtx(self.frame_qp)  # slice-persistent QP chain
         # fast-RD phase 1: whole-frame partition DP from the reduced RMD
         # stats, then ONE device gather of the chosen leaves' full mode
         # rows (2 device syncs per frame total)
@@ -252,6 +260,7 @@ class IntraEncoder:
                                 cfg.ctu_size, cfg.ctu_size)
                 # RD search with estimator seeded from live contexts
                 est = BitEstimator(ctx.copy())
+                self._enter_ctu_qp(ctu_rect)
                 fast = fast_maps.get((ctu_rect.x, ctu_rect.y))
                 if fast is not None:
                     self._split_map = fast
@@ -268,7 +277,7 @@ class IntraEncoder:
                 writer = SyntaxWriter(dcs, enc)
                 wpart = P.Partitioner(dcs)
                 wpart.init_ctu(ctu_rect, D.CH_L)
-                self._replay_node(writer, wpart)
+                self._replay_node(writer, wpart, rep_ctx)
                 # VVC: terminating bin only at slice/tile/WPP-row end
                 # (DecSlice.cpp:141-234); v1 has one slice, no tiles/WPP.
                 if cy == h_ctu - 1 and cx == w_ctu - 1:
@@ -392,6 +401,7 @@ class IntraEncoder:
         w_ctu, h_ctu = dcs.pic_w_ctu, dcs.pic_h_ctu
         substreams = []
         wpp_ctx = None
+        rep_ctx = CuCtx(self.frame_qp)
         for cy in range(h_ctu):
             if cfg.wpp and cy > 0:
                 # start a fresh substream, synced from the above row's
@@ -413,7 +423,7 @@ class IntraEncoder:
                 self._split_map = self._ctu_split_maps[(rect.x, rect.y)]
                 wpart = P.Partitioner(dcs)
                 wpart.init_ctu(rect, D.CH_L)
-                self._replay_node(writer, wpart)
+                self._replay_node(writer, wpart, rep_ctx)
                 if cfg.wpp and cx == 0:
                     wpp_ctx = ctx_m.copy()
                 if cx == w_ctu - 1 and (cfg.wpp or cy == h_ctu - 1):
@@ -442,6 +452,8 @@ class IntraEncoder:
         snap = {
             "n_cus": len(dcs.cus),
             "n_tus": len(dcs.tus),
+            "qg": (dict(self._qg) if getattr(self, "_qg", None) else None,
+                   getattr(self, "_qg_carry", None)),
             "map_l": dcs.map_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2].copy(),
             "map_tu_l": dcs.map_tu_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2].copy(),
             "qp_l": dcs.qp_map_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2].copy(),
@@ -480,6 +492,11 @@ class IntraEncoder:
         r = self.recon
         sx, sy = dcs.chroma_format.scale_x, dcs.chroma_format.scale_y
         ca = Rect(a.x >> sx, a.y >> sy, a.w >> sx, a.h >> sy)
+        if snap.get("qg") is not None:
+            q, carry = snap["qg"]
+            self._qg = dict(q) if q else None
+            if carry is not None:
+                self._qg_carry = carry
         del dcs.cus[snap["n_cus"]:]
         del dcs.tus[snap["n_tus"]:]
         dcs.map_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2] = snap["map_l"]
@@ -589,6 +606,68 @@ class IntraEncoder:
         est.ctx = est_after.ctx
         est.frac_bits = est_after.frac_bits
         return cost, choices
+
+    # -- adaptive QP (cu_qp_delta) ---------------------------------------
+    def _aqp_map(self, src_y: np.ndarray):
+        """Variance-adaptive per-CTU QP offsets (AQp.cpp:69 preanalyze
+        behavioral shape): activity = 1 + mean of the four quadrant
+        variances; dQP = clip(strength * log2(act / avgAct))."""
+        cfg = self.cfg
+        cs = cfg.ctu_size
+        h, w = src_y.shape
+        acts = {}
+        vals = []
+        for cy in range(0, h, cs):
+            for cx in range(0, w, cs):
+                blk = src_y[cy : cy + cs, cx : cx + cs].astype(np.float64)
+                bh, bw = blk.shape
+                qs = [blk[: bh // 2 or 1, : bw // 2 or 1],
+                      blk[: bh // 2 or 1, bw // 2 :],
+                      blk[bh // 2 :, : bw // 2 or 1],
+                      blk[bh // 2 :, bw // 2 :]]
+                act = 1.0 + float(np.mean(
+                    [q.var() for q in qs if q.size]))
+                acts[(cx, cy)] = act
+                vals.append(act)
+        avg = float(np.mean(vals)) if vals else 1.0
+        out = {}
+        for k, act in acts.items():
+            d = cfg.aqp_strength * np.log2(act / avg)
+            out[k] = int(np.clip(round(d), -cfg.aqp_range, cfg.aqp_range))
+        return out
+
+    def _enter_ctu_qp(self, ctu_rect):
+        """Per-CTU target QP + lambda + fresh quantization-group state."""
+        if not self.dcs.pps.cu_qp_delta_enabled:
+            self._ctu_qp = None
+            return
+        d = getattr(self, "_aqp_dqp", {}).get((ctu_rect.x, ctu_rect.y), 0)
+        qp = int(np.clip(self.frame_qp + d, 0, 63))
+        self._ctu_qp = qp
+        self.lam = self._base_lam * 2.0 ** ((qp - self.frame_qp) / 3.0)
+        self._qg = {"prev": getattr(self, "_qg_carry", self.frame_qp),
+                    "pred": None, "signaled": False, "qp": None}
+
+    def _qg_update(self, cu, codes_dqp: bool):
+        """Decoder-consistent QP finalization: CUs before the first
+        dqp-coded TU of a quantization group carry the PREDICTED QP (the
+        reader never sees their target)."""
+        qg = getattr(self, "_qg", None)
+        if qg is None or not self.dcs.pps.cu_qp_delta_enabled:
+            return
+        if qg["pred"] is None:
+            qg["pred"] = self._helper._predict_qp(cu, qg["prev"])
+            qg["qp"] = qg["pred"]
+        if qg["signaled"]:
+            cu.qp = qg["qp"]
+        elif codes_dqp:
+            qg["signaled"] = True
+            qg["qp"] = cu.qp
+        else:
+            cu.qp = qg["pred"]
+        self._qg_carry = qg["qp"]
+        b = cu.blocks[0]
+        self.dcs.qp_map_l[b.y >> 2 : b.y1 >> 2, b.x >> 2 : b.x1 >> 2] = cu.qp
 
     # -- fast-RD: whole-tree partition DP over the RMD SATD table --------
     def _fast_rd_cost_model(self):
@@ -783,6 +862,11 @@ class IntraEncoder:
         r = self.recon
         sx, sy = dcs.chroma_format.scale_x, dcs.chroma_format.scale_y
         ca = Rect(a.x >> sx, a.y >> sy, a.w >> sx, a.h >> sy)
+        if snap.get("qg") is not None:
+            q, carry = snap["qg"]
+            self._qg = dict(q) if q else None
+            if carry is not None:
+                self._qg_carry = carry
         dcs.map_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2] = snap["map_l"]
         dcs.map_tu_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2] = snap["map_tu_l"]
         dcs.qp_map_l[a.y >> 2 : a.y1 >> 2, a.x >> 2 : a.x1 >> 2] = snap["qp_l"]
@@ -1052,7 +1136,7 @@ class IntraEncoder:
         blocks = [Rect(a.x, a.y, a.w, a.h), ca, Rect(ca.x, ca.y, ca.w, ca.h)]
         cu = CU(ch_type=D.CH_L, tree_type=D.TREE_D, mode_type=D.MODE_TYPE_ALL,
                 blocks=blocks, chroma_format=fmt)
-        cu.qp = self.frame_qp
+        cu.qp = getattr(self, "_ctu_qp", None) or self.frame_qp
         return cu
 
     def _encode_cu_with_mode(self, a: Rect, part: P.Partitioner, mode: int,
@@ -1156,6 +1240,8 @@ class IntraEncoder:
             dist += float(np.sum((src - recon.astype(np.int64)) ** 2))
             self.recon.planes[0][b.y : b.y1, b.x : b.x1] = recon
         # bits
+        self._qg_update(cu, bool(any(t.cbf[0] or t.cbf[1] or t.cbf[2]
+                                     for t in cu.tus)))
         writer = SyntaxWriter(dcs, est)
         writer.coding_unit(cu, part, CuCtx(self.frame_qp))
         return dist
@@ -1236,6 +1322,8 @@ class IntraEncoder:
                 self.recon.planes[comp][b.y : b.y1, b.x : b.x1] = recon
                 self.recon.set_decomp(comp, b)
                 dist += float(np.sum((src - recon.astype(np.int64)) ** 2))
+        self._qg_update(cu, bool(any(t.cbf[0] or t.cbf[1] or t.cbf[2]
+                                     for t in cu.tus)))
         writer = SyntaxWriter(dcs, est)
         writer.coding_unit(cu, part, CuCtx(self.frame_qp))
         return dist
@@ -1402,9 +1490,19 @@ class IntraEncoder:
         return pred
 
     # ------------------------------------------------------------------
-    def _replay_node(self, writer: SyntaxWriter, part: P.Partitioner):
-        """Write final bins for the chosen tree (from the RD choices map)."""
+    def _replay_node(self, writer: SyntaxWriter, part: P.Partitioner,
+                     cu_ctx: CuCtx | None = None):
+        """Write final bins for the chosen tree (from the RD choices map).
+
+        cu_ctx threads the QP-prediction chain across CTUs when the
+        caller passes a slice-persistent context (cu_qp_delta)."""
         dcs = self.dcs
+        if cu_ctx is None:
+            cu_ctx = CuCtx(self.frame_qp)
+        if dcs.pps.cu_qp_delta_enabled and part.cur_qg_enable() \
+                and part.ch_type != D.CH_C:
+            cu_ctx.qg_start = True
+            cu_ctx.is_dqp_coded = False
         a = part.cur_area()
         key = (a.x, a.y, a.w, a.h, part.cur_depth)
         split_mode = self._split_map[key]
@@ -1414,13 +1512,13 @@ class IntraEncoder:
             while True:
                 sub = part.cur_area()
                 if sub.x < dcs.pic_w and sub.y < dcs.pic_h:
-                    self._replay_node(writer, part)
+                    self._replay_node(writer, part, cu_ctx)
                 if not part.next_part():
                     break
             part.exit_cur_split()
             return
         cu = dcs.get_cu(a.x, a.y, D.CH_L)
-        writer.coding_unit(cu, part, CuCtx(self.frame_qp))
+        writer.coding_unit(cu, part, cu_ctx)
 
 
 class InterEncoder(IntraEncoder):
@@ -1485,6 +1583,9 @@ class InterEncoder(IntraEncoder):
         else:
             ph.max_num_affine_merge_cand = int(
                 getattr(self.sps, "sbtmvp", False) and ph.tmvp_enabled)
+        # PROF enable mirrors the PH parse inference (vlc.py:1355-1357):
+        # no prof_control_present flag written -> ph_prof_disabled = 0
+        ph.dis_prof = False
         ph.min_qt_size = list(sps.min_qt_size)
         ph.max_mtt_depth = list(sps.max_mtt_depth)
         ph.max_bt_size = list(sps.max_bt_size)
@@ -1493,6 +1594,9 @@ class InterEncoder(IntraEncoder):
         # EncSlice::initializeLambda with LambdaFromQPEnable (CTC): flat
         # dQPFactor 0.57, lambda from the final per-picture QP
         self.lam = 0.57 * 2.0 ** ((self.frame_qp - 12) / 3.0)
+        self._base_lam = self.lam
+        self._aqp_dqp = {}  # per-CTU AQp targets: intra pictures only
+        self._qg_carry = self.frame_qp
         sh = SliceHeader()
         sh.slice_type = slice_type
         sh.qp = self.frame_qp
@@ -1549,6 +1653,7 @@ class InterEncoder(IntraEncoder):
             enc.trace = self._trace_f
         w_ctu = dcs.pic_w_ctu
         h_ctu = dcs.pic_h_ctu
+        rep_ctx = CuCtx(self.frame_qp)  # slice-persistent QP chain
         for cy in range(h_ctu):
             for cx in range(w_ctu):
                 if cx == 0:
@@ -1556,6 +1661,7 @@ class InterEncoder(IntraEncoder):
                 ctu_rect = Rect(cx * cfg.ctu_size, cy * cfg.ctu_size,
                                 cfg.ctu_size, cfg.ctu_size)
                 est = BitEstimator(ctx_m.copy())
+                self._enter_ctu_qp(ctu_rect)
                 part = P.Partitioner(dcs)
                 part.init_ctu(ctu_rect, D.CH_L)
                 _, self._split_map = self._rd_node(part, est)
@@ -1564,7 +1670,7 @@ class InterEncoder(IntraEncoder):
                 writer = SyntaxWriter(dcs, enc)
                 wpart = P.Partitioner(dcs)
                 wpart.init_ctu(ctu_rect, D.CH_L)
-                self._replay_node(writer, wpart)
+                self._replay_node(writer, wpart, rep_ctx)
                 if cy == h_ctu - 1 and cx == w_ctu - 1:
                     enc.encode_bin_trm(1)
         enc.finish()
@@ -1738,7 +1844,7 @@ class InterEncoder(IntraEncoder):
                 blocks=[Rect(a.x, a.y, a.w, a.h), ca, Rect(ca.x, ca.y, ca.w, ca.h)],
                 chroma_format=fmt)
         cu.pred_mode = D.MODE_INTER
-        cu.qp = self.frame_qp
+        cu.qp = getattr(self, "_ctu_qp", None) or self.frame_qp
         return cu
 
     # -- trials ---------------------------------------------------------
@@ -1802,6 +1908,7 @@ class InterEncoder(IntraEncoder):
                 dcs.qp_map_l[b.y >> 2 : b.y1 >> 2, b.x >> 2 : b.x1 >> 2] = cu.qp
             dist += float(np.sum((src - recon.astype(np.int64)) ** 2))
         cu.root_cbf = any(cbfs)
+        self._qg_update(cu, bool(cu.root_cbf))
         writer = SyntaxWriter(dcs, est)
         writer.coding_unit(cu, part, CuCtx(self.frame_qp))
         return dist
