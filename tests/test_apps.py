@@ -112,3 +112,32 @@ def test_vps_dci_parse():
                 assert sps.ols_hrd[-1] is not None
                 assert sps.vui["aspect_ratio_idc"] == 1
                 break
+
+
+def test_sei_suite_parse():
+    """Typed SEI payload parsing (SEIread.cpp behavior): buffering period
+    + picture timing from the HRD golden, plus the HDR metadata payload
+    parsers on synthetic payloads."""
+    from vtm_tpu.decoder import sei as S
+    from vtm_tpu.decoder.declib import Decoder
+
+    h = os.path.join(TD, "ai_hrdvui_small208_qp32.bit")
+    if not os.path.exists(h):
+        pytest.skip("golden streams not generated")
+    dec = Decoder()
+    dec.decode_stream(open(h, "rb").read())
+    types = {t for t, _ in dec.sei_log}
+    assert S.SEI_BUFFERING_PERIOD in types
+    assert S.SEI_PICTURE_TIMING in types
+    bp = [p for t, p in dec.sei_log if t == S.SEI_BUFFERING_PERIOD][0]
+    assert bp["cpb_cnt"] >= 1 and bp["initial_removal"]
+    pt = [p for t, p in dec.sei_log if t == S.SEI_PICTURE_TIMING][0]
+    assert pt["au_cpb_removal_delay"]
+    # HDR metadata payloads
+    cll = S.parse_content_light_level(bytes([0x03, 0xE8, 0x01, 0x90]))
+    assert cll == {"max_content_light_level": 1000,
+                   "max_pic_average_light_level": 400}
+    md = S.parse_mastering_display(bytes(24))
+    assert len(md["primaries"]) == 3
+    amb = S.parse_ambient_viewing_environment(bytes(8))
+    assert amb["illuminance"] == 0

@@ -47,6 +47,7 @@ class Decoder:
 
     def __init__(self, strict: bool = True):
         self.psm = vlc.ParameterSetManager()
+        self.sei_log: list = []  # (payload_type, parsed dict) observability
         self.ph: PicHeader | None = None
         self.cur_pic: Picture | None = None
         self.dpb: list[Picture] = []
@@ -103,6 +104,13 @@ class Decoder:
             for msg in seilib.parse_sei_rbsp(nal.rbsp):
                 if msg.payload_type == seilib.SEI_DECODED_PICTURE_HASH:
                     self.pending_hash_sei = seilib.parse_decoded_picture_hash(msg.payload)
+                    continue
+                if msg.payload_type == seilib.SEI_BUFFERING_PERIOD:
+                    self.last_bp = seilib.parse_buffering_period(msg.payload)
+                parsed = seilib.parse_known_payload(
+                    msg, getattr(self, "last_bp", None), nal.temporal_id)
+                if parsed is not None:
+                    self.sei_log.append((msg.payload_type, parsed))
         elif t == nalio.NAL_SUFFIX_SEI:
             for msg in seilib.parse_sei_rbsp(nal.rbsp):
                 if msg.payload_type == seilib.SEI_DECODED_PICTURE_HASH:
