@@ -99,6 +99,12 @@ def main():
     path = os.path.join(outdir, "small208_208x120_420_10.yuv")
     write_yuv(path, clip, fmt)
     print(path, os.path.getsize(path))
+    # 1080p north-star clip (bench + BD-rate ladder resolution)
+    clip = synth_clip(1920, 1080, 2)
+    fmt = YuvFormat(1920, 1080, ChromaFormat.YUV420, 8)
+    path = os.path.join(outdir, "hd1080_1920x1080_420_8.yuv")
+    write_yuv(path, clip, fmt)
+    print(path, os.path.getsize(path))
 
 
 if __name__ == "__main__":

@@ -19,18 +19,64 @@ from vtm_tpu.decoder import vlc
 from vtm_tpu.utils import pic_hash
 
 
-@dataclass
 class Picture:
-    poc: int
-    planes: list[np.ndarray]  # reconstruction, int32
-    sps_id: int
-    pps_id: int
-    hash_sei: seilib.DecodedPictureHash | None = None
-    slices: list[SliceHeader] = field(default_factory=list)
-    is_irap: bool = False
-    is_reference: bool = True
-    needed_for_output: bool = True
-    # 4x4 motion field etc. added when inter decode lands
+    """Decoded picture.  `planes` is lazily materialized: the in-loop
+    filter chain leaves its fused output on the device (ops/filter_chain),
+    and the host copy is fetched only at first host use — so XLA filter
+    compute overlaps the next picture's CABAC parse, and device-resident
+    reference planes are sliced from the chain output without a
+    host round-trip (throughput pipeline; cf. DecLib::executeLoopFilters
+    DecLib.cpp:596 which filters synchronously)."""
+
+    def __init__(self, poc: int, planes: list[np.ndarray], sps_id: int,
+                 pps_id: int, hash_sei=None, slices=None, is_irap=False,
+                 is_reference=True, needed_for_output=True):
+        self.poc = poc
+        self._planes = planes  # reconstruction, int32
+        self.sps_id = sps_id
+        self.pps_id = pps_id
+        self.hash_sei = hash_sei
+        self.slices = slices if slices is not None else []
+        self.is_irap = is_irap
+        self.is_reference = is_reference
+        self.needed_for_output = needed_for_output
+        self._pending_packed = None  # device array from the filter chain
+        self._decoder = None  # set while a hash verification is pending
+        # 4x4 motion field etc. added when inter decode lands
+
+    @property
+    def planes(self) -> list[np.ndarray]:
+        if self._pending_packed is not None:
+            self._materialize()
+        return self._planes
+
+    @planes.setter
+    def planes(self, v) -> None:
+        self._planes = v
+        self._pending_packed = None
+
+    def _fetch_only(self) -> None:
+        """Blocking fetch of the pending filter-chain output (no hash
+        bookkeeping — callers that need ordering use _materialize)."""
+        packed = self._pending_packed
+        if packed is None:
+            return
+        self._pending_packed = None
+        arr = np.asarray(packed)
+        pl = self._planes
+        ny = pl[0].size
+        pl[0][:] = arr[:ny].reshape(pl[0].shape).astype(pl[0].dtype)
+        if len(pl) > 1:
+            nc = pl[1].size
+            pl[1][:] = arr[ny : ny + nc].reshape(pl[1].shape).astype(pl[1].dtype)
+            pl[2][:] = arr[ny + nc : ny + 2 * nc].reshape(pl[2].shape).astype(pl[2].dtype)
+
+    def _materialize(self) -> None:
+        self._fetch_only()
+        dec = self._decoder
+        if dec is not None:
+            self._decoder = None
+            dec._drain_hashes(self)
 
 
 @dataclass
@@ -55,6 +101,9 @@ class Decoder:
         self.hash_results: list[HashResult] = []
         self.prev_tid0_poc = 0
         self.pending_hash_sei: seilib.DecodedPictureHash | None = None
+        # decode-ordered pictures whose hash check awaits materialization
+        self._hash_queue: list[Picture] = []
+        self._decode_seq = 0
         # strict=False: malformed/unsupported NALs are skipped with an error
         # count instead of aborting the stream (DecLib error resilience)
         self.strict = strict
@@ -308,26 +357,70 @@ class Decoder:
                 "inter": d.mf_inter, "ibc": d.mf_ibc, "interdir": d.mf_interdir,
                 "mv": d.mf_mv, "refidx": d.mf_refidx, "slice": d.mf_slice,
             }
+        pic._seq = self._decode_seq
+        self._decode_seq += 1
         if pic.hash_sei is not None:
-            sps = self.psm.sps[pic.sps_id]
-            bds = [sps.bit_depth] * len(pic.planes)
-            fn = pic_hash.HASH_FUNCS[pic.hash_sei.hash_type]
-            computed = fn(pic.planes, bds)
-            self.hash_results.append(
-                HashResult(pic.poc, computed == pic.hash_sei.digest, computed,
-                           pic.hash_sei.digest, pic.hash_sei.hash_type)
-            )
+            if pic._pending_packed is not None:
+                # hash runs lazily at first host use of the planes, in
+                # decode order (see _drain_hashes)
+                pic._decoder = self
+                self._hash_queue.append(pic)
+            else:
+                self._hash_one(pic)
         # device-resident reference copies: MC batches of later pictures
-        # gather from these without re-uploading the DPB each slice
+        # gather from these without re-uploading the DPB each slice.  When
+        # the filter chain output is still on the device they are sliced
+        # from it directly — no host round-trip at all.
         if pic.is_reference:
             try:
                 import jax.numpy as jnp
 
-                pic.device_planes = [jnp.asarray(p) for p in pic.planes]
+                packed = pic._pending_packed
+                if packed is not None:
+                    pl = pic._planes
+                    ny = pl[0].size
+                    dev = [packed[:ny].reshape(pl[0].shape)]
+                    if len(pl) > 1:
+                        nc = pl[1].size
+                        dev.append(packed[ny : ny + nc].reshape(pl[1].shape))
+                        dev.append(
+                            packed[ny + nc : ny + 2 * nc].reshape(pl[2].shape))
+                    pic.device_planes = dev
+                else:
+                    pic.device_planes = [jnp.asarray(p) for p in pic._planes]
             except Exception:
                 pic.device_planes = None
         self.dpb.append(pic)
         self.output.append(pic)
 
+    def _hash_one(self, pic: Picture) -> None:
+        sps = self.psm.sps[pic.sps_id]
+        bds = [sps.bit_depth] * len(pic._planes)
+        fn = pic_hash.HASH_FUNCS[pic.hash_sei.hash_type]
+        computed = fn(pic._planes, bds)
+        self.hash_results.append(
+            HashResult(pic.poc, computed == pic.hash_sei.digest, computed,
+                       pic.hash_sei.digest, pic.hash_sei.hash_type)
+        )
+
+    def _drain_hashes(self, upto_pic: Picture) -> None:
+        """Hash-check every queued picture decoded no later than upto_pic
+        (materializing stragglers), keeping hash_results in decode order."""
+        q = self._hash_queue
+        upto = getattr(upto_pic, "_seq", None)
+        while q and (upto is None or q[0]._seq <= upto):
+            p = q.pop(0)
+            p._decoder = None
+            p._fetch_only()
+            self._hash_one(p)
+
     def flush(self) -> None:
+        # materialize everything still pending (and run deferred hashes)
+        while self._hash_queue:
+            p = self._hash_queue.pop(0)
+            p._decoder = None
+            p._fetch_only()
+            self._hash_one(p)
+        for p in self.output:
+            p._fetch_only()
         self.output.sort(key=lambda p: p.poc)

@@ -516,18 +516,34 @@ class SyntaxWriter:
             return
         if sh.slice_type == SliceType.B:
             self.inter_pred_idc(cu)
+        affine = bool(getattr(cu, "affine", False))
         if (sh.slice_type != SliceType.I and self.sps.affine
                 and cu.lwidth > 8 and cu.lheight > 8):
-            # inter_affine_flag (AMVP affine ME not searched: always 0)
-            self.e.encode_bin(0, ctx("AffineFlag", self._ctx_affine_flag(cu)))
+            # inter_affine_flag + affine_type (CABACReader affine_flag:2143)
+            self.e.encode_bin(int(affine),
+                              ctx("AffineFlag", self._ctx_affine_flag(cu)))
+            if affine and self.sps.affine_type:
+                self.e.encode_bin(int(cu.affine_type), ctx("AffineType"))
         if cu.interdir != 2:
             self.ref_idx(cu, 0)
-            self.mvd_coding(cu.mvd[0])
+            if affine:
+                self.mvd_coding(cu.mvd_affi[0][0])
+                self.mvd_coding(cu.mvd_affi[0][1])
+                if cu.affine_type == 1:
+                    self.mvd_coding(cu.mvd_affi[0][2])
+            else:
+                self.mvd_coding(cu.mvd[0])
             self.e.encode_bin(cu.mvp_idx[0], ctx("MVPIdx"))
         if cu.interdir != 1:
             self.ref_idx(cu, 1)
             if not (self.cs.ph.mvd_l1_zero and cu.interdir == 3):
-                self.mvd_coding(cu.mvd[1])
+                if affine:
+                    self.mvd_coding(cu.mvd_affi[1][0])
+                    self.mvd_coding(cu.mvd_affi[1][1])
+                    if cu.affine_type == 1:
+                        self.mvd_coding(cu.mvd_affi[1][2])
+                else:
+                    self.mvd_coding(cu.mvd[1])
             self.e.encode_bin(cu.mvp_idx[1], ctx("MVPIdx"))
 
     def ref_idx(self, cu: CU, lst: int):

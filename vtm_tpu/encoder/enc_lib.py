@@ -1813,6 +1813,15 @@ class InterEncoder(IntraEncoder):
             for imv in (1, 2):
                 consider(lambda e, imv=imv: self._try_amvp_imv(
                     a, part, 0, mv0, mvp_idx0, imv, e))
+        # Affine AMVP: gradient-LS CPMV estimation seeded from the
+        # translational ME winner (InterSearch.cpp:4520
+        # xPredAffineInterSearch + AffineGradientSearch.cpp objective,
+        # solved as one closed-form whole-block step)
+        if (self.sps.affine and a.w > 8 and a.h > 8
+                and a.x1 <= dcs.pic_w and a.y1 <= dcs.pic_h):
+            for lt, rt, lb, atype in self._affine_estimate(a, mv0, 0, 0):
+                consider(lambda e, lt=lt, rt=rt, lb=lb, t=atype:
+                         self._try_affine_amvp(a, part, 0, lt, rt, lb, t, e))
         if dcs.sh.is_b:
             mv1, mvp_idx1 = self._motion_estimate(a, part, 1)
             if dcs.sh.ref_pocs[1][0] != dcs.sh.ref_pocs[0][0]:
@@ -2180,6 +2189,103 @@ class InterEncoder(IntraEncoder):
         cu.mv = [(0, 0), (0, 0)]
         cu.mv[lst] = M.mv_clip_periodic((mvp[0] + mvd_int[0],
                                          mvp[1] + mvd_int[1]))
+        return self._commit_inter(cu, a, part, est, skip=False)
+
+    def _affine_estimate(self, a: Rect, mv_trans, lst: int, ref_idx: int):
+        """Gradient affine CPMV estimation (encoder-only policy).
+
+        One batched Gauss-Newton step on whole-block tensors around the
+        best translational MV: error-vs-gradient least squares for the
+        4- and 6-parameter motion models.  Same objective as the
+        reference's iterative scalar search (InterSearch.cpp:5340
+        xAffineMotionEstimation, AffineGradientSearch.cpp), redesigned as
+        one closed-form numpy solve per model.  Returns
+        [(lt, rt, lb, affine_type), ...] with CPMVs at quarter-pel
+        internal (1/16) precision."""
+        from vtm_tpu.ops import mc as MC
+
+        dcs = self.dcs
+        ref = dcs.sh.ref_pics[lst][ref_idx].planes[0]
+        src = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.float64)
+        ix, iy = mv_trans[0] >> 4, mv_trans[1] >> 4
+        fx, fy = mv_trans[0] & 15, mv_trans[1] & 15
+        pred = MC.mc_block(ref, a.x + ix, a.y + iy, a.w, a.h, fx, fy,
+                           True, self.cfg.bit_depth, True).astype(np.float64)
+        e = (src - pred).ravel()
+        gy, gx = np.gradient(pred)
+        xs = np.broadcast_to(np.arange(a.w, dtype=np.float64), (a.h, a.w))
+        ys = np.broadcast_to(
+            np.arange(a.h, dtype=np.float64)[:, None], (a.h, a.w))
+        out = []
+        for atype in ((0, 1) if self.sps.affine_type else (0,)):
+            if atype == 0:
+                cols = [gx, gy, gx * xs + gy * ys, gy * xs - gx * ys]
+            else:
+                cols = [gx, gy, gx * xs, gx * ys, gy * xs, gy * ys]
+            A = np.stack([c.ravel() for c in cols], axis=1)
+            ata = A.T @ A + np.eye(A.shape[1]) * 1e-3
+            try:
+                dp = np.linalg.solve(ata, A.T @ e)
+            except np.linalg.LinAlgError:
+                continue
+
+            def dmv(px, py, dp=dp, atype=atype):
+                if atype == 0:
+                    return (dp[0] + dp[2] * px - dp[3] * py,
+                            dp[1] + dp[3] * px + dp[2] * py)
+                return (dp[0] + dp[2] * px + dp[3] * py,
+                        dp[1] + dp[4] * px + dp[5] * py)
+
+            cp = []
+            for px, py in ((0.0, 0.0), (float(a.w), 0.0), (0.0, float(a.h))):
+                dx, dy = dmv(px, py)
+                # quarter-pel units, clamped to +-32 pel for stability
+                qx = int(np.clip(round(dx * 4), -128, 128)) << 2
+                qy = int(np.clip(round(dy * 4), -128, 128)) << 2
+                cp.append((mv_trans[0] + qx, mv_trans[1] + qy))
+            if cp[0] == cp[1] == cp[2]:
+                continue  # degenerates to the translational candidate
+            out.append((cp[0], cp[1], cp[2], atype))
+        return out
+
+    def _try_affine_amvp(self, a, part, lst, lt, rt, lb, atype, est,
+                         ref_idx: int = 0):
+        """Affine AMVP trial: CPMVs at quarter-pel, coded mvds follow the
+        decoder's cumulative convention (mvd1/mvd2 relative to mvd0 —
+        inter_cu.derive_cu_mv), so reconstruction is decoder-exact."""
+        from vtm_tpu.decoder import affine as AF
+
+        dcs = self.dcs
+        cu = self._make_inter_cu(a, part)
+        cu.idx = len(dcs.cus)
+        cu.merge_flag = False
+        cu.skip = False
+        cu.affine = True
+        cu.affine_type = atype
+        cu.imv = 0
+        cu.interdir = 1 << lst
+        cu.ref_idx = [-1, -1]
+        cu.ref_idx[lst] = ref_idx
+        cands = AF.fill_affine_mvp_cand(dcs, cu, lst, ref_idx)
+        best = None
+        for mi, cand in enumerate(cands[:2]):
+            m0 = ((lt[0] - cand[0][0]) >> 2, (lt[1] - cand[0][1]) >> 2)
+            m1 = (((rt[0] - cand[1][0]) >> 2) - m0[0],
+                  ((rt[1] - cand[1][1]) >> 2) - m0[1])
+            if atype == 1:
+                m2 = (((lb[0] - cand[2][0]) >> 2) - m0[0],
+                      ((lb[1] - cand[2][1]) >> 2) - m0[1])
+            else:
+                m2 = (0, 0)
+            wgt = sum(abs(v) for v in (*m0, *m1, *m2))
+            if best is None or wgt < best[0]:
+                best = (wgt, mi, m0, m1, m2)
+        _, mi, m0, m1, m2 = best
+        cu.mvp_idx = [0, 0]
+        cu.mvp_idx[lst] = mi
+        cu.mvd = [(0, 0), (0, 0)]
+        cu.mvd_affi = [[(0, 0)] * 3, [(0, 0)] * 3]
+        cu.mvd_affi[lst] = [m0, m1, m2]
         return self._commit_inter(cu, a, part, est, skip=False)
 
     def _try_bi(self, a, part, mv0, mvp_idx0, mv1, mvp_idx1, est,

@@ -255,17 +255,29 @@ def _pel_filter_chroma(s: _Line, tc, sw, no_p, no_q, maxv, large_boundary,
 
 
 class DeblockState:
-    """Per-CTU edge maps (the m_aapucBS / maxFilterLength arrays)."""
+    """Edge maps (the m_aapucBS / maxFilterLength arrays).
 
-    def __init__(self, ctu_size: int):
-        n = ctu_size // 4
-        self.n = n
+    Historically per-CTU (square ctu_size extent, like the reference's
+    m_aapucBS); when pic_w/pic_h are given the arrays span the whole
+    picture so the vectorized BS/collect passes run ONCE per direction
+    instead of per CTU.  Marking semantics are identical: every cell is
+    owned by exactly one CU, and the subblock max-length lookbehind/
+    lookahead never leaves the owning CU (see _set_max_filter_len_
+    subblocks), so picture-wide accumulation cannot alias."""
+
+    def __init__(self, ctu_size: int, pic_w: int = None, pic_h: int = None):
+        sw = ctu_size if pic_w is None else pic_w
+        sh = ctu_size if pic_h is None else pic_h
+        nx, ny = (sw + 3) // 4, (sh + 3) // 4
+        self.n = max(nx, ny)
+        self.nx, self.ny = nx, ny
         self.ctu_size = ctu_size
-        self.bs = [np.zeros((n, n), dtype=np.int32), np.zeros((n, n), dtype=np.int32)]
-        self.edge_filter = [np.zeros((n, n), dtype=bool), np.zeros((n, n), dtype=bool)]
-        self.max_len_p = np.zeros((3, ctu_size, ctu_size), dtype=np.int32)
-        self.max_len_q = np.zeros((3, ctu_size, ctu_size), dtype=np.int32)
-        self.transform_edge = np.zeros((3, ctu_size, ctu_size), dtype=bool)
+        self.sw, self.sh = sw, sh
+        self.bs = [np.zeros((ny, nx), dtype=np.int32), np.zeros((ny, nx), dtype=np.int32)]
+        self.edge_filter = [np.zeros((ny, nx), dtype=bool), np.zeros((ny, nx), dtype=bool)]
+        self.max_len_p = np.zeros((3, sw, sh), dtype=np.int8)
+        self.max_len_q = np.zeros((3, sw, sh), dtype=np.int8)
+        self.transform_edge = np.zeros((3, sw, sh), dtype=bool)
 
     def reset(self, edge_dir: int):
         self.bs[edge_dir][:] = 0
@@ -313,7 +325,7 @@ def build_pic_maps(dcs, pic) -> list:
     """Marking pass for BOTH directions (sample-independent): returns
     [maps_ver, maps_hor] for the fused filter chain."""
     ctu = dcs.sps.ctu_size
-    state = DeblockState(ctu)
+    state = DeblockState(ctu, pic_w=dcs.pic_w, pic_h=dcs.pic_h)
     is_dual = dcs.cus and any(c.blocks[0] is None for c in dcs.cus)
     h, w = pic.planes[0].shape
     cap = getattr(pic, "filter_capture", None)
@@ -321,36 +333,27 @@ def build_pic_maps(dcs, pic) -> list:
         cap["luma_in"] = pic.planes[0].copy()
         cap["dmaps"] = {}
         cap["bit_depth"] = dcs.sps.bit_depth
+    # dcs.cus is in decode order (CTU raster, z-order within), so marking
+    # the whole picture in one sweep sees exactly the per-CTU ordering
+    luma_cus = [c for c in dcs.cus if c.blocks[0] is not None]
+    chroma_cus = ([c for c in dcs.cus
+                   if c.blocks[0] is None and c.blocks[1] is not None]
+                  if is_dual else [])
     out = []
     for edge_dir in (EDGE_VER, EDGE_HOR):
         maps = PicDeblockMaps(h, w)
-        for cy in range(dcs.pic_h_ctu):
-            for cx in range(dcs.pic_w_ctu):
-                x0, y0 = cx * ctu, cy * ctu
-                state.reset(edge_dir)
-                luma_cus = [
-                    c for c in dcs.cus
-                    if c.blocks[0] is not None
-                    and x0 <= c.blocks[0].x < x0 + ctu and y0 <= c.blocks[0].y < y0 + ctu
-                ]
-                for cu in luma_cus:
-                    _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0, maps, phase=1)
-                _bs_ctu_vec(dcs, state, edge_dir, x0, y0, chroma_tree=False)
-                _collect_ctu_vec(dcs, state, edge_dir, x0, y0, maps,
-                                 chroma_tree=False)
-                if is_dual:
-                    state.reset(edge_dir)
-                    chroma_cus = [
-                        c for c in dcs.cus
-                        if c.blocks[0] is None and c.blocks[1] is not None
-                        and x0 <= (c.blocks[1].x << dcs.chroma_format.scale_x) < x0 + ctu
-                        and y0 <= (c.blocks[1].y << dcs.chroma_format.scale_y) < y0 + ctu
-                    ]
-                    for cu in chroma_cus:
-                        _deblock_cu(dcs, pic, cu, edge_dir, state, x0, y0, maps, phase=1)
-                    _bs_ctu_vec(dcs, state, edge_dir, x0, y0, chroma_tree=True)
-                    _collect_ctu_vec(dcs, state, edge_dir, x0, y0, maps,
-                                     chroma_tree=True)
+        state.reset(edge_dir)
+        for cu in luma_cus:
+            _deblock_cu(dcs, pic, cu, edge_dir, state, 0, 0, maps, phase=1)
+        _bs_ctu_vec(dcs, state, edge_dir, 0, 0, chroma_tree=False)
+        _collect_ctu_vec(dcs, state, edge_dir, 0, 0, maps, chroma_tree=False)
+        if is_dual:
+            state.reset(edge_dir)
+            for cu in chroma_cus:
+                _deblock_cu(dcs, pic, cu, edge_dir, state, 0, 0, maps, phase=1)
+            _bs_ctu_vec(dcs, state, edge_dir, 0, 0, chroma_tree=True)
+            _collect_ctu_vec(dcs, state, edge_dir, 0, 0, maps,
+                             chroma_tree=True)
         if cap is not None:
             cap["dmaps"][edge_dir] = (
                 maps.l_active.copy(), maps.l_tc.copy(), maps.l_beta.copy(),
@@ -549,7 +552,7 @@ def _set_edge_multiple(state, edge_dir, x, y, w, h, value, ctu_x, ctu_y, edge_fl
     n = (h // 4) if edge_dir == EDGE_VER else (w // 4)
     for i in range(n):
         yy, xx = (gy + i, gx) if edge_dir == EDGE_VER else (gy, gx + i)
-        if yy >= state.n or xx >= state.n or yy < 0 or xx < 0:
+        if yy >= state.ny or xx >= state.nx or yy < 0 or xx < 0:
             continue
         state.edge_filter[edge_dir][yy, xx] = value
         if state.bs[edge_dir][yy, xx] and value:
@@ -648,13 +651,13 @@ def _set_max_filter_len_subblocks(state, edge_dir, area_x, area_y, area_w,
                         mp[0, xi, yi] = min(mp[0, xi, yi], 5)
                 elif y > 0 and (
                     (yi >= 4 and te[0, xi, yi - 4]) or (y + 4) >= area_h
-                    or (yi + 4 < state.ctu_size and te[0, xi, yi + 4])
+                    or (yi + 4 < state.sh and te[0, xi, yi + 4])
                 ):
                     mq[0, xi, yi] = 1
                     mp[0, xi, yi] = 1
                 elif y > 0 and (
                     y == 8 or (yi >= 8 and te[0, xi, yi - 8]) or (y + 8) >= area_h
-                    or (yi + 8 < state.ctu_size and te[0, xi, yi + 8])
+                    or (yi + 8 < state.sh and te[0, xi, yi + 8])
                 ):
                     mq[0, xi, yi] = 2
                     mp[0, xi, yi] = 2
@@ -673,13 +676,13 @@ def _set_max_filter_len_subblocks(state, edge_dir, area_x, area_y, area_w,
                         mp[0, xi, yi] = min(mp[0, xi, yi], 5)
                 elif x > 0 and (
                     (xi >= 4 and te[0, xi - 4, yi]) or (x + 4) >= area_w
-                    or (xi + 4 < state.ctu_size and te[0, xi + 4, yi])
+                    or (xi + 4 < state.sw and te[0, xi + 4, yi])
                 ):
                     mq[0, xi, yi] = 1
                     mp[0, xi, yi] = 1
                 elif x > 0 and (
                     x == 8 or (xi >= 8 and te[0, xi - 8, yi]) or (x + 8) >= area_w
-                    or (xi + 8 < state.ctu_size and te[0, xi + 8, yi])
+                    or (xi + 8 < state.sw and te[0, xi + 8, yi])
                 ):
                     mq[0, xi, yi] = 2
                     mp[0, xi, yi] = 2
@@ -776,7 +779,6 @@ def _bs_ctu_vec(dcs, state, edge_dir, ctu_x, ctu_y, chroma_tree: bool) -> None:
     of one CTU — bit-identical to the scalar _bs_single / per-CU BS loop."""
     t = _build_bs_tables(dcs)
     fmt = dcs.chroma_format
-    n = state.n
     ef = state.edge_filter[edge_dir]
     ys, xs = np.nonzero(ef)
     if ys.size == 0:

@@ -62,6 +62,17 @@ def chain_body(y, cb, cr, lmcs_lut, dbv, dbh, sao, alf,
 _chain = partial(jax.jit, static_argnames=("bd", "sx", "sy", "fl"))(chain_body)
 
 
+def _defer_fetch() -> bool:
+    """True when decode samples execute on an accelerator (fetch has real
+    transfer latency worth hiding); False on host placement."""
+    try:
+        from vtm_tpu.common import exec_mode
+
+        return exec_mode.decode_placement() != "cpu"
+    except Exception:
+        return False
+
+
 def run_filter_chain(pic, planes, lmcs_lut, dmaps, sao_maps, alf_tables,
                      bit_depth: int, sx: int, sy: int) -> None:
     """Assemble arguments and run the fused chain; writes planes in place.
@@ -108,11 +119,22 @@ def run_filter_chain(pic, planes, lmcs_lut, dmaps, sao_maps, alf_tables,
     fl = (f_lmcs,) + fv + fh + tuple(sflags) + aflags
     if not any(fl):
         return
-    packed = np.asarray(_chain(
+    packed_dev = _chain(
         y, cb, cr, j(lmcs_lut.astype(np.int32)) if f_lmcs else y,
         dbv, dbh, tuple(sao), alf_args,
-        bd=bit_depth, sx=sx, sy=sy, fl=fl))
+        bd=bit_depth, sx=sx, sy=sy, fl=fl)
     cap = getattr(pic, "filter_capture", None) if pic is not None else None
+    if (cap is None and pic is not None and planes is getattr(pic, "_planes", None)
+            and hasattr(pic, "_pending_packed") and _defer_fetch()):
+        # leave the result on the device; the Picture materializes it at
+        # first host use (overlaps device compute + transfer latency with
+        # the next picture's parse, and device reference planes slice the
+        # packed output with no round-trip).  Only worth it when samples
+        # actually live on an accelerator: on host placement the fetch is
+        # a memcpy and the extra dispatches cost more than they hide.
+        pic._pending_packed = packed_dev
+        return
+    packed = np.asarray(packed_dev)
     if cap is not None:
         # full-chain capture for the gop-axis multichip dryrun
         cap["full"] = dict(
