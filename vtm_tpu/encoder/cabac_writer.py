@@ -311,6 +311,7 @@ class SyntaxWriter:
             if not cu.merge_flag:
                 self.e.encode_bin(int(cu.root_cbf), ctx("QtRootCbf"))
             if cu.root_cbf:
+                self.sbt_mode(cu)
                 for tu in cu.tus:
                     self.transform_unit(tu, cu_ctx, part)
                 self.mts_idx(cu)
@@ -577,6 +578,49 @@ class SyntaxWriter:
                 return
         self.e.encode_bin(int(cu.interdir == 2), ctx("InterDir", 5))
 
+    def _w_sbt_allowed(self, cu: CU) -> int:
+        """Mirror of SyntaxReader._sbt_allowed (CU::checkAllowedSbt)."""
+        if (not self.sps.sbt or cu.pred_mode != D.MODE_INTER
+                or getattr(cu, "ciip_flag", False)):
+            return 0
+        w, h = cu.lwidth, cu.lheight
+        max_size = 1 << self.sps.log2_max_tb_size
+        if w > max_size or h > max_size:
+            return 0
+        min_size = 8
+        mask = 0
+        mask |= (w >= min_size) << 1
+        mask |= (h >= min_size) << 2
+        mask |= (w >= min_size * 2) << 3
+        mask |= (h >= min_size * 2) << 4
+        return mask
+
+    def sbt_mode(self, cu: CU):
+        """Mirror of SyntaxReader.sbt_mode (SyntaxReader.sbt_mode twin; CABACReader.cpp sbt_mode:1547)."""
+        allowed = self._w_sbt_allowed(cu)
+        if not allowed:
+            return
+        w, h = cu.lwidth, cu.lheight
+        info = getattr(cu, "sbt_info", 0)
+        c = 1 if w * h <= 256 else 0
+        self.e.encode_bin(int(bool(info)), ctx("SbtFlag", c))
+        if not info:
+            return
+        sbt_idx = info & 0xF
+        pos = (info >> 4) & 3
+        ver_half = (allowed >> 1) & 1
+        hor_half = (allowed >> 2) & 1
+        ver_quad = (allowed >> 3) & 1
+        hor_quad = (allowed >> 4) & 1
+        quad = 1 if sbt_idx in (3, 4) else 0
+        if (hor_half or ver_half) and (hor_quad or ver_quad):
+            self.e.encode_bin(quad, ctx("SbtQuadFlag"))
+        hor = 1 if sbt_idx in (2, 4) else 0
+        if (quad and ver_quad and hor_quad) or (not quad and ver_half and hor_half):
+            c = 0 if w == h else (1 if w < h else 2)
+            self.e.encode_bin(hor, ctx("SbtHorFlag", c))
+        self.e.encode_bin(pos, ctx("SbtPosFlag"))
+
     def imv_mode(self, cu: CU):
         """Mirror of SyntaxReader.imv_mode (CABACReader imv_mode:962)."""
         from vtm_tpu.decoder import motion as M
@@ -833,13 +877,20 @@ class SyntaxWriter:
     def transform_unit(self, tu: TU, cu_ctx: CuCtx, part: P.Partitioner):
         cu = tu.cu
         has_chroma = self.sps.chroma_format_idc != 0 and tu.blocks[1] is not None
+        sbt_info = getattr(cu, "sbt_info", 0)
+        sbt_no_res = bool(sbt_info) and getattr(tu, "no_residual", False)
         if has_chroma and (not cu.is_sep_tree or part.ch_type == CH_C):
-            self.e.encode_bin(tu.cbf[1], self._cbf_ctx(1, False, False, cu))
-            self.e.encode_bin(tu.cbf[2], self._cbf_ctx(2, bool(tu.cbf[1]), False, cu))
+            if not sbt_no_res:
+                self.e.encode_bin(tu.cbf[1], self._cbf_ctx(1, False, False, cu))
+                self.e.encode_bin(tu.cbf[2], self._cbf_ctx(2, bool(tu.cbf[1]), False, cu))
         if part.ch_type == CH_L and tu.blocks[0] is not None:
             sig_chroma = bool(tu.cbf[1] or tu.cbf[2]) if has_chroma else False
             if cu.pred_mode != MODE_INTRA and tu.depth == 0 and not sig_chroma:
                 assert tu.cbf[0], "inter root TU luma cbf inferred 1"
+            elif sbt_no_res:
+                assert not tu.cbf[0], "SBT no-residual TU luma cbf inferred 0"
+            elif sbt_info and not sig_chroma:
+                assert tu.cbf[0], "SBT residual TU luma cbf inferred 1"
             else:
                 self.e.encode_bin(tu.cbf[0], self._cbf_ctx(0, False, False, cu))
         cbf_chroma = bool(tu.cbf[1] or tu.cbf[2]) if has_chroma else False

@@ -80,6 +80,7 @@ class EncoderConfig:
     num_active_refs: int = 1  # active L0 references (multi-ref ME when > 1)
     geo: bool = False  # geometric-partition merge search (B slices)
     affine: bool = False  # affine (subblock) merge candidate trials
+    sbt: bool = False  # sub-block transform trials for inter residuals
     aqp: bool = False  # variance-adaptive per-CTU QP (cu_qp_delta)
     aqp_range: int = 3  # max |dQP| (MaxQPAdaptationRange)
     aqp_strength: float = 1.5  # dQP per doubling of relative activity
@@ -1822,6 +1823,18 @@ class InterEncoder(IntraEncoder):
             for lt, rt, lb, atype in self._affine_estimate(a, mv0, 0, 0):
                 consider(lambda e, lt=lt, rt=rt, lb=lb, t=atype:
                          self._try_affine_amvp(a, part, 0, lt, rt, lb, t, e))
+        # SBT: half-TU residual trials on the best motion candidates,
+        # pre-gated by residual-energy asymmetry at the ME winner
+        # (EncCu.cpp:4210 SBT loop + its SBT energy early-out)
+        if (self.sps.sbt and a.x1 <= dcs.pic_w and a.y1 <= dcs.pic_h
+                and a.w <= (1 << self.sps.log2_max_tb_size)
+                and a.h <= (1 << self.sps.log2_max_tb_size)):
+            for si in self._sbt_pick(a, 0, 0, mv0):
+                consider(lambda e, si=si: self._try_amvp(
+                    a, part, 0, mv0, mvp_idx0, e, sbt_info=si))
+                for idx in merge_list[:1]:
+                    consider(lambda e, idx=idx, si=si: self._try_merge(
+                        a, part, idx, False, e, sbt_info=si))
         if dcs.sh.is_b:
             mv1, mvp_idx1 = self._motion_estimate(a, part, 1)
             if dcs.sh.ref_pocs[1][0] != dcs.sh.ref_pocs[0][0]:
@@ -1857,7 +1870,76 @@ class InterEncoder(IntraEncoder):
         return cu
 
     # -- trials ---------------------------------------------------------
-    def _commit_inter(self, cu, a, part, est, skip: bool):
+    def _sbt_pick(self, a: Rect, lst: int, ref_idx: int, mv) -> list:
+        """SBT config preselection: residual energy of each zeroed half at
+        the translational ME winner; only a strongly one-sided residual
+        justifies the half-TU trial (cf. EncCu SBT fast decisions)."""
+        from vtm_tpu.ops import mc as MC
+
+        dcs = self.dcs
+        ref = dcs.sh.ref_pics[lst][ref_idx].planes[0]
+        src = self.src[0][a.y : a.y1, a.x : a.x1].astype(np.int64)
+        pred = MC.mc_block(ref, a.x + (mv[0] >> 4), a.y + (mv[1] >> 4),
+                           a.w, a.h, mv[0] & 15, mv[1] & 15, True,
+                           self.cfg.bit_depth, True)
+        e2 = (src - pred).astype(np.float64) ** 2
+        total = float(e2.sum())
+        if total <= 0:
+            return []
+        cfgs = []
+        if a.w >= 8:
+            e_l = float(e2[:, : a.w // 2].sum())
+            cfgs.append((e_l, 1 | (1 << 4)))          # zero left  → pos 1
+            cfgs.append((total - e_l, 1))             # zero right → pos 0
+        if a.h >= 8:
+            e_t = float(e2[: a.h // 2].sum())
+            cfgs.append((e_t, 2 | (1 << 4)))          # zero top    → pos 1
+            cfgs.append((total - e_t, 2))             # zero bottom → pos 0
+        if not cfgs:
+            return []
+        zero_e, best = min(cfgs)
+        return [best] if zero_e < 0.15 * total else []
+
+    def _sbt_tus(self, cu, sbt_info: int) -> list:
+        """SBT half-TU tiling (mirror of the decoder's _sbt_transform_tree /
+        PartitionerImpl::getSbtTuTiling, UnitPartitioner.cpp:1091)."""
+        sbt_idx = sbt_info & 0xF
+        sbt_pos = (sbt_info >> 4) & 0x3
+        tus = []
+        for i in range(2):
+            if sbt_idx == 2:  # HOR_HALF
+                wf, xo, hf, yo = 4, 0, 2, (0 if i == 0 else 2)
+            else:  # VER_HALF
+                wf, xo, hf, yo = 2, (0 if i == 0 else 2), 4, 0
+            blocks = []
+            for b in cu.blocks:
+                if b is None:
+                    blocks.append(None)
+                    continue
+                blocks.append(Rect(b.x + ((b.w * xo) >> 2),
+                                   b.y + ((b.h * yo) >> 2),
+                                   (b.w * wf) >> 2, (b.h * hf) >> 2))
+            tu = TU(blocks=blocks, cu=cu, depth=1)
+            tu.no_residual = (sbt_pos == 0 and i == 1) or (sbt_pos == 1 and i == 0)
+            tus.append(tu)
+        return tus
+
+    def _sbt_tr_types(self, cu, b):
+        """SBT implicit luma transform pair (TrQuant::getTrTypes SBT branch,
+        TrQuant.cpp:728) — must match the decoder's inv_transform."""
+        if not self.sps.mts:
+            return TX.DCT2, TX.DCT2
+        sbt_idx = cu.sbt_info & 0xF
+        sbt_pos = (cu.sbt_info >> 4) & 0x3
+        if sbt_idx in (1, 3):  # VER_HALF / VER_QUAD
+            if b.h > 32:
+                return TX.DCT2, TX.DCT2
+            return (TX.DCT8, TX.DST7) if sbt_pos == 0 else (TX.DST7, TX.DST7)
+        if b.w > 32:
+            return TX.DCT2, TX.DCT2
+        return (TX.DST7, TX.DCT8) if sbt_pos == 0 else (TX.DST7, TX.DST7)
+
+    def _commit_inter(self, cu, a, part, est, skip: bool, sbt_info: int = 0):
         """Common commit: derive span/HMVP, MC, residual, recon, bits."""
         from vtm_tpu.decoder import inter_cu as IC
         from vtm_tpu.decoder import motion as M
@@ -1883,46 +1965,60 @@ class InterEncoder(IntraEncoder):
             if getattr(cu, "ciip_flag", False):
                 preds = IC.ciip_blend(self.recon, dcs, cu, preds)
         fmt = dcs.chroma_format
-        tu = TU(blocks=[Rect(b.x, b.y, b.w, b.h) if b else None for b in cu.blocks],
-                cu=cu, depth=0)
-        cu.tus.append(tu)
-        dcs.add_tu(tu)
+        if sbt_info and not skip:
+            cu.sbt_info = sbt_info
+            tus = self._sbt_tus(cu, sbt_info)
+        else:
+            tus = [TU(blocks=[Rect(b.x, b.y, b.w, b.h) if b else None
+                              for b in cu.blocks], cu=cu, depth=0)]
+        for tu in tus:
+            cu.tus.append(tu)
+            dcs.add_tu(tu)
         maxv = (1 << self.cfg.bit_depth) - 1
         dist = 0.0
         cbfs = []
-        for comp in range(fmt.num_components):
-            b = tu.blocks[comp]
-            src = self.src[comp][b.y : b.y1, b.x : b.x1].astype(np.int64)
-            pred = preds[comp]
-            if skip:
-                lev = np.zeros((b.h, b.w), dtype=np.int32)
-            else:
-                resi = src - pred
-                coeffs = TX.fwd_transform_2d_np(resi.astype(np.int32), self.cfg.bit_depth)
-                qp = self.recon._qp_for(tu, comp)
-                lev = _quantize_tu(coeffs, qp, self.cfg.bit_depth, self.lam,
-                                   self.cfg.dep_quant, tu=tu, comp=comp,
-                                   est=est, sps=self.sps)
-            tu.coeffs[comp] = lev
-            tu.cbf[comp] = int(np.any(lev))
-            cbfs.append(tu.cbf[comp])
-            if tu.cbf[comp]:
-                rec_resi = self.recon.inv_transform(tu, comp)
-            else:
-                rec_resi = np.zeros_like(src)
-            recon = np.clip(pred + rec_resi, 0, maxv).astype(np.int32)
-            self.recon.planes[comp][b.y : b.y1, b.x : b.x1] = recon
-            self.recon.set_decomp(comp, b)
-            if comp == 0:
-                dcs.qp_map_l[b.y >> 2 : b.y1 >> 2, b.x >> 2 : b.x1 >> 2] = cu.qp
-            dist += float(np.sum((src - recon.astype(np.int64)) ** 2))
+        for tu in tus:
+            for comp in range(fmt.num_components):
+                b = tu.blocks[comp]
+                cb = cu.blocks[comp]
+                src = self.src[comp][b.y : b.y1, b.x : b.x1].astype(np.int64)
+                pred = preds[comp][b.y - cb.y : b.y1 - cb.y,
+                                   b.x - cb.x : b.x1 - cb.x]
+                if skip or getattr(tu, "no_residual", False):
+                    lev = np.zeros((b.h, b.w), dtype=np.int32)
+                else:
+                    resi = src - pred
+                    if sbt_info and comp == 0:
+                        th, tv = self._sbt_tr_types(cu, b)
+                        coeffs = TX.fwd_transform_2d_np(
+                            resi.astype(np.int32), self.cfg.bit_depth, th, tv)
+                    else:
+                        coeffs = TX.fwd_transform_2d_np(
+                            resi.astype(np.int32), self.cfg.bit_depth)
+                    qp = self.recon._qp_for(tu, comp)
+                    lev = _quantize_tu(coeffs, qp, self.cfg.bit_depth, self.lam,
+                                       self.cfg.dep_quant, tu=tu, comp=comp,
+                                       est=est, sps=self.sps)
+                tu.coeffs[comp] = lev
+                tu.cbf[comp] = int(np.any(lev))
+                cbfs.append(tu.cbf[comp])
+                if tu.cbf[comp]:
+                    rec_resi = self.recon.inv_transform(tu, comp)
+                else:
+                    rec_resi = np.zeros_like(src)
+                recon = np.clip(pred + rec_resi, 0, maxv).astype(np.int32)
+                self.recon.planes[comp][b.y : b.y1, b.x : b.x1] = recon
+                self.recon.set_decomp(comp, b)
+                if comp == 0:
+                    dcs.qp_map_l[b.y >> 2 : b.y1 >> 2, b.x >> 2 : b.x1 >> 2] = cu.qp
+                dist += float(np.sum((src - recon.astype(np.int64)) ** 2))
         cu.root_cbf = any(cbfs)
         self._qg_update(cu, bool(cu.root_cbf))
         writer = SyntaxWriter(dcs, est)
         writer.coding_unit(cu, part, CuCtx(self.frame_qp))
         return dist
 
-    def _try_merge(self, a, part, idx: int, skip: bool, est):
+    def _try_merge(self, a, part, idx: int, skip: bool, est, sbt_info: int = 0):
         from vtm_tpu.decoder import motion as M
 
         dcs = self.dcs
@@ -1934,7 +2030,8 @@ class InterEncoder(IntraEncoder):
         M.set_merge_info(dcs, cu, mrg, idx)
         if not skip:
             # coded merge: rootCbf inferred 1 → invalid if residual all-zero
-            dist = self._commit_inter(cu, a, part, est, skip=False)
+            dist = self._commit_inter(cu, a, part, est, skip=False,
+                                      sbt_info=sbt_info)
             if not cu.root_cbf or (
                 not (cu.tus[0].cbf[1] or cu.tus[0].cbf[2]) and not cu.tus[0].cbf[0]
             ):
@@ -2136,7 +2233,8 @@ class InterEncoder(IntraEncoder):
         cu.root_cbf = False
         return self._commit_inter(cu, a, part, est, skip=True)
 
-    def _try_amvp(self, a, part, lst, mv, mvp_idx, est, ref_idx: int = 0):
+    def _try_amvp(self, a, part, lst, mv, mvp_idx, est, ref_idx: int = 0,
+                  sbt_info: int = 0):
         from vtm_tpu.decoder import motion as M
 
         dcs = self.dcs
@@ -2158,7 +2256,11 @@ class InterEncoder(IntraEncoder):
         cu.mv = [(0, 0), (0, 0)]
         cu.mv[lst] = M.mv_clip_periodic(
             (mvp[0] + (mvd[0] << 2), mvp[1] + (mvd[1] << 2)))
-        return self._commit_inter(cu, a, part, est, skip=False)
+        dist = self._commit_inter(cu, a, part, est, skip=False,
+                                  sbt_info=sbt_info)
+        if sbt_info and not cu.root_cbf:
+            return None  # SBT needs residual; plain AMVP covers all-zero
+        return dist
 
     def _try_amvp_imv(self, a, part, lst, mv, mvp_idx, imv, est):
         """AMVP with reduced MV resolution (imv 1 = full-pel, 2 = 4-pel):
@@ -2530,6 +2632,7 @@ class RandomAccessEncoder(InterEncoder):
             cfg.geo = True  # geometric-partition merge on for RA (CTC)
             cfg.ciip = True  # combined inter/intra merge on for RA (CTC)
             cfg.affine = True  # affine merge candidates on for RA (CTC)
+            cfg.sbt = True  # sub-block transform trials on for RA (CTC)
             cfg.num_active_refs = max(cfg.num_active_refs, 2)  # multi-ref ME
         super().__init__(cfg)
         self.gop_size = gop_size

@@ -116,7 +116,7 @@ def write_sps(cfg) -> bytes:
     else:
         w.flag(0)  # mmvd
     w.ue(1)  # six_minus_max_num_merge_cand → 5
-    w.flag(0)  # sbt
+    w.flag(1 if getattr(cfg, "sbt", False) else 0)  # sbt
     if getattr(cfg, "affine", False):
         w.flag(1)  # affine
         w.ue(0)    # five_minus_max_num_subblock_merge_cand → 5
