@@ -54,11 +54,14 @@ def encode_cfg(name, frames, w, h, qp):
             # tool-off ablations: raise the RA CTC defaults first, then
             # clear the ablated tool BEFORE the encoder builds its SPS
             cfg.mmvd = cfg.amvr = cfg.geo = cfg.ciip = cfg.affine = True
+            cfg.sbt = True
             cfg.num_active_refs = max(cfg.num_active_refs, 2)
             if "no_ciip" in name:
                 cfg.ciip = False
             if "no_affine" in name:
                 cfg.affine = False
+            if "no_sbt" in name:
+                cfg.sbt = False
             enc = RandomAccessEncoder(cfg, raise_tool_defaults=False)
         return enc.encode(frames)
     finally:

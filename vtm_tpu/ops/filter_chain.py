@@ -82,7 +82,22 @@ def run_filter_chain(pic, planes, lmcs_lut, dmaps, sao_maps, alf_tables,
     alf_tables: dict from ops/alf.build_alf_tables or None.
     """
     n_comp = len(planes)
-    j = jnp.asarray
+    from vtm_tpu.parallel import mesh as MESH
+
+    dmesh = MESH.decode_mesh()
+    if dmesh is not None:
+        # live sharded path: width-shard the sample planes over the mesh's
+        # 'tile' axis; the SAME jitted chain recompiles partitioned and
+        # XLA/GSPMD inserts the deblock/SAO/ALF halo exchanges
+        from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+        sx = NamedSharding(dmesh, PSpec(None, "tile"))
+        j = lambda a: (jax.device_put(jnp.asarray(a), sx)
+                       if getattr(a, "ndim", 0) == 2
+                       and a.shape[-1] >= 8 * dmesh.shape["tile"]
+                       else jnp.asarray(a))
+    else:
+        j = jnp.asarray
     y = j(planes[0].astype(np.int32))
     cb = j(planes[1].astype(np.int32)) if n_comp > 1 else y
     cr = j(planes[2].astype(np.int32)) if n_comp > 2 else y

@@ -243,15 +243,28 @@ class McBatch:
                 out[:n] = a
                 return out
 
+            from vtm_tpu.parallel import mesh as MESH
+
+            dmesh = MESH.decode_mesh()
+            if dmesh is not None and nb % len(dmesh.devices.flat) == 0:
+                # live sharded path: the tile-job batch axis spreads over
+                # the whole mesh; reference planes replicate
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as PS
+
+                sj = NamedSharding(dmesh, PS(("gop", "tile")))
+                put = lambda a: jax.device_put(jnp.asarray(a), sj)
+            else:
+                put = jnp.asarray
             return (
                 refs,
-                jnp.asarray(padded(r_b[blk], np.int32)),
-                jnp.asarray(padded(cat_x, np.int32)),
-                jnp.asarray(padded(cat_y, np.int32)),
-                jnp.asarray(padded(cfh[blk], np.int32)),
-                jnp.asarray(padded(cfv[blk], np.int32)),
-                jnp.asarray(padded(fy_b[blk], bool)),
-                jnp.asarray(padded(rnd_b[blk], bool)),
+                put(padded(r_b[blk], np.int32)),
+                put(padded(cat_x, np.int32)),
+                put(padded(cat_y, np.int32)),
+                put(padded(cfh[blk], np.int32)),
+                put(padded(cfv[blk], np.int32)),
+                put(padded(fy_b[blk], bool)),
+                put(padded(rnd_b[blk], bool)),
             )
 
     def block_result(self, handle) -> np.ndarray:

@@ -84,3 +84,34 @@ def sharded_recon_step(mesh, coeff, pred, orig):
         return recon.astype(jnp.int16), sse[None]
 
     return step(coeff, pred, orig)
+
+
+# ---------------------------------------------------------------------------
+# Product decode-mesh plumbing: when a mesh is active the decoder's device
+# dispatches (fused filter chain, MC tile batches) are issued with sharded
+# input placements, and XLA/GSPMD partitions the SAME jitted kernels over
+# the mesh (halo exchanges inserted by the compiler).  This is the live
+# sharded path — the capture-replay forms in __graft_entry__ additionally
+# prove gop-axis batching over distinct pictures.
+
+_DECODE_MESH = None
+
+
+def decode_mesh():
+    """The active decode mesh, or None (single-device execution)."""
+    return _DECODE_MESH
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def decode_mesh_ctx(mesh):
+    """Run decoder dispatches sharded over `mesh` (gop, tile axes)."""
+    global _DECODE_MESH
+    prev = _DECODE_MESH
+    _DECODE_MESH = mesh
+    try:
+        yield
+    finally:
+        _DECODE_MESH = prev
