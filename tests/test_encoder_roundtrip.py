@@ -149,6 +149,28 @@ def test_rate_control_ldb():
     assert sizes[400_000] > sizes[100_000]
 
 
+def test_ctu_rate_control_ldb():
+    """CTU-level R-λ rate control: per-CTU QPs vary inside inter pictures
+    (coded via cu_qp_delta) and the stream stays hash-exact."""
+    from vtm_tpu.encoder.enc_lib import LowDelayBEncoder
+
+    fmt = YuvFormat(208, 120, ChromaFormat.YUV420, 8)
+    frames = read_yuv(f"{TESTDATA}/small208_208x120_420_8.yuv", fmt, 3)
+    cfg = EncoderConfig(width=208, height=120, qp=32,
+                        max_mtt_depth_intra=0, target_bitrate=150_000,
+                        frame_rate=30.0)
+    cfg.ctu_rc = True
+    enc = LowDelayBEncoder(cfg)
+    bits = enc.encode(frames)
+    dec = Decoder()
+    pics = dec.decode_stream(bits)
+    assert all(hr.ok for hr in dec.hash_results)
+    # at least one inter picture carries more than one CU QP
+    multi = [sorted({c.qp for c in p.dcs.cus})
+             for p in pics if hasattr(p, "dcs") and p.poc > 0]
+    assert any(len(q) > 1 for q in multi), multi
+
+
 def test_mctf_prefilter():
     """MCTF temporal prefilter reduces bits on noisy static content."""
     from vtm_tpu.encoder.enc_lib import LowDelayBEncoder

@@ -82,6 +82,7 @@ class EncoderConfig:
     affine: bool = False  # affine (subblock) merge candidate trials
     sbt: bool = False  # sub-block transform trials for inter residuals
     aqp: bool = False  # variance-adaptive per-CTU QP (cu_qp_delta)
+    ctu_rc: bool = False  # CTU-level R-lambda rate control (needs target_bitrate)
     aqp_range: int = 3  # max |dQP| (MaxQPAdaptationRange)
     aqp_strength: float = 1.5  # dQP per doubling of relative activity
     satd_rmd: bool = True  # whole-frame batched device RMD (SATD costs)
@@ -193,6 +194,7 @@ class IntraEncoder:
         self._base_lam = self.lam
         self._aqp_dqp = (self._aqp_map(src_planes[0].astype(np.int64))
                          if cfg.aqp else {})
+        self._ctu_rc = None  # CTU rate control applies to inter frames only
         self._qg_carry = self.frame_qp
         sh = SliceHeader()
         sh.slice_type = SliceType.I
@@ -642,7 +644,12 @@ class IntraEncoder:
         if not self.dcs.pps.cu_qp_delta_enabled:
             self._ctu_qp = None
             return
-        d = getattr(self, "_aqp_dqp", {}).get((ctu_rect.x, ctu_rect.y), 0)
+        rc = getattr(self, "_ctu_rc", None)
+        if rc is not None:
+            qp, _lam = rc.ctu_qp()
+            d = qp - self.frame_qp
+        else:
+            d = getattr(self, "_aqp_dqp", {}).get((ctu_rect.x, ctu_rect.y), 0)
         qp = int(np.clip(self.frame_qp + d, 0, 63))
         self._ctu_qp = qp
         self.lam = self._base_lam * 2.0 ** ((qp - self.frame_qp) / 3.0)
@@ -1654,6 +1661,30 @@ class InterEncoder(IntraEncoder):
             enc.trace = self._trace_f
         w_ctu = dcs.pic_w_ctu
         h_ctu = dcs.pic_h_ctu
+        # CTU-level rate control: remaining-budget R-lambda allocation with
+        # MAD-vs-previous-recon complexity weights (RateCtrl.h:189-247)
+        self._ctu_rc = None
+        rc_t = getattr(self, "_rc_pic_target", None)
+        if rc_t is not None and dcs.pps.cu_qp_delta_enabled:
+            from vtm_tpu.encoder.rate_ctrl import CtuRateControl
+
+            target, lam_pic, qp_pic = rc_t
+            prev = getattr(self, "last_recon", None)
+            weights, ppc = [], []
+            cs_sz = cfg.ctu_size
+            for cy in range(h_ctu):
+                for cx in range(w_ctu):
+                    y0, x0 = cy * cs_sz, cx * cs_sz
+                    blk = self.src[0][y0 : y0 + cs_sz, x0 : x0 + cs_sz]
+                    if prev is not None:
+                        pb = prev[0][y0 : y0 + cs_sz, x0 : x0 + cs_sz]
+                        weights.append(float(np.abs(
+                            blk.astype(np.int64) - pb).mean()) + 0.1)
+                    else:
+                        weights.append(1.0)
+                    ppc.append(blk.size)
+            self._ctu_rc = CtuRateControl(target, weights, lam_pic,
+                                          qp_pic, ppc)
         rep_ctx = CuCtx(self.frame_qp)  # slice-persistent QP chain
         for cy in range(h_ctu):
             for cx in range(w_ctu):
@@ -1666,6 +1697,9 @@ class InterEncoder(IntraEncoder):
                 part = P.Partitioner(dcs)
                 part.init_ctu(ctu_rect, D.CH_L)
                 _, self._split_map = self._rd_node(part, est)
+                if getattr(self, "_ctu_rc", None) is not None:
+                    # estimator bits of the chosen tree feed the CTU model
+                    self._ctu_rc.update(est.frac_bits / 32768.0)
                 self.__dict__.setdefault("_ctu_split_maps", {})[
                     (ctu_rect.x, ctu_rect.y)] = self._split_map
                 writer = SyntaxWriter(dcs, enc)
@@ -2586,6 +2620,10 @@ class LowDelayBEncoder(InterEncoder):
             else:
                 qp = cfg.qp if is_i else cfg.qp + getattr(cfg, "b_qp_offset", 5)
             self.rc_qps.append(qp)
+            self._rc_pic_target = (
+                (rc.picture_target(), lam, qp)
+                if (rc and getattr(cfg, "ctu_rc", False) and not is_i)
+                else None)
             if is_i:
                 saved = cfg.qp
                 cfg.qp = qp

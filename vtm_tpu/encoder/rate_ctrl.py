@@ -18,6 +18,53 @@ BETA_MIN, BETA_MAX = -3.0, -0.1
 LAMBDA_EPS = 0.1
 
 
+class CtuRateControl:
+    """CTU-level R-λ allocation (behavioral counterpart of
+    EncRCPic::getLCUTargetBpp / updateAfterCTU, RateCtrl.h:189-247):
+    the remaining picture budget is split over the remaining CTUs by
+    complexity weight, each CTU gets λ = α·bpp^β clipped around the
+    picture λ, QP clipped to pic_qp ± 2, and α/β are LMS-updated from
+    the observed CTU bits (coded via cu_qp_delta)."""
+
+    def __init__(self, pic_target_bits: float, weights, pic_lambda: float,
+                 pic_qp: int, pixels_per_ctu):
+        self.remaining = float(pic_target_bits)
+        self.weights = [max(w, 1e-3) for w in weights]
+        self.wsum = sum(self.weights) or 1.0
+        self.ppc = list(pixels_per_ctu)
+        self.pic_lambda = pic_lambda
+        self.pic_qp = pic_qp
+        self.alpha, self.beta = 3.2003, -1.367
+        self.i = 0
+        self._lam = pic_lambda
+
+    def ctu_qp(self):
+        """(qp, lambda) for the next CTU in raster order."""
+        i = self.i
+        t = max(10.0, self.remaining * self.weights[i] / self.wsum)
+        bpp = t / self.ppc[i]
+        lam = self.alpha * (bpp ** self.beta)
+        lam = max(self.pic_lambda * 0.25, min(self.pic_lambda * 4.0, lam))
+        qp = int(round(4.2005 * math.log(max(lam, LAMBDA_EPS)) + 13.7122))
+        qp = max(self.pic_qp - 2, min(self.pic_qp + 2, qp))
+        self._lam = lam
+        return qp, lam
+
+    def update(self, actual_bits: float) -> None:
+        """Model + budget update after the CTU's bits are known."""
+        i = self.i
+        self.wsum -= self.weights[i]
+        self.remaining -= actual_bits
+        bpp = max(actual_bits / self.ppc[i], 1e-6)
+        lam_comp = max(LAMBDA_EPS, self.alpha * (bpp ** self.beta))
+        delta = math.log(self._lam) - math.log(lam_comp)
+        self.alpha += 0.10 * delta * self.alpha
+        self.beta += 0.05 * delta * math.log(bpp)
+        self.alpha = max(ALPHA_MIN, min(ALPHA_MAX, self.alpha))
+        self.beta = max(BETA_MIN, min(BETA_MAX, self.beta))
+        self.i += 1
+
+
 class RateControl:
     """Picture-level rate control; slice-QP granularity."""
 

@@ -182,7 +182,7 @@ def write_pps(cfg) -> bytes:
     w.ue(0)  # num_ref_idx_l1_default_active_minus1
     w.flag(0)  # rpl1_idx_present
     w.se(cfg.init_qp - 26)
-    w.flag(1 if getattr(cfg, "aqp", False) else 0)  # cu_qp_delta_enabled
+    w.flag(1 if (getattr(cfg, "aqp", False) or getattr(cfg, "ctu_rc", False)) else 0)  # cu_qp_delta_enabled
     w.flag(0)  # chroma_tool_offsets_present
     w.flag(0)  # weighted_pred
     w.flag(0)  # weighted_bipred
@@ -263,11 +263,11 @@ def write_picture_header(w: BitWriter, cfg, poc: int, is_irap: bool = True,
     w.u(poc & 0xFF, 8)  # poc lsb
     if is_irap:
         w.flag(0)  # no_output_of_prior_pics
-        if getattr(cfg, "aqp", False):
+        if getattr(cfg, "aqp", False) or getattr(cfg, "ctu_rc", False):
             w.ue(0)  # ph_cu_qp_delta_subdiv_intra (QG = CTU)
     if not is_irap:
         # inter-slice PH fields (affine/bdof/dmvr still off in our SPS)
-        if getattr(cfg, "aqp", False):
+        if getattr(cfg, "aqp", False) or getattr(cfg, "ctu_rc", False):
             w.ue(0)  # ph_cu_qp_delta_subdiv_inter
         if getattr(cfg, "tmvp", False):
             w.flag(1)  # ph_temporal_mvp_enabled
