@@ -116,6 +116,25 @@ def _encode_once() -> tuple:
                 str(dev.platform) if dev is not None else "cpu")
 
 
+def _decode_hd1080() -> float | None:
+    """Decode throughput of the 1080p AI golden (north-star resolution)."""
+    from vtm_tpu.decoder.declib import Decoder
+
+    path = "testdata/ai_full_hd1080_qp37.bit"
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        data = f.read()
+    dec = Decoder()
+    pics = dec.decode_stream(data)  # warm-up + hash check
+    if any(not hr.ok for hr in dec.hash_results):
+        return None
+    t0 = time.perf_counter()
+    dec = Decoder()
+    pics = dec.decode_stream(data)
+    return len(pics) / (time.perf_counter() - t0)
+
+
 def _encode_hd1080_once() -> float:
     """AI encode of one 1080p frame at QP37 (north-star config); opt-in
     via VTM_TPU_BENCH_HD=1 (first compile of the 1080p class kernels is
@@ -164,6 +183,10 @@ def main():
     except Exception:
         enc_fps = enc_vs = None
         enc_dev = "error"
+    try:
+        hd_dec_fps = _decode_hd1080()
+    except Exception:
+        hd_dec_fps = None
     hd_fps = HD1080_AI_FPS_LAST_MEASURED
     hd_src = "last-measured"
     if os.environ.get("VTM_TPU_BENCH_HD"):
@@ -188,6 +211,8 @@ def main():
         "encode_ai_fps_hd1080": hd_fps,
         "hd1080_source": hd_src,
         "anchor_encode_ai_fps_hd1080": VTM_ENCODE_HD1080_AI_FPS,
+        "decode_fps_hd1080": (round(hd_dec_fps, 3)
+                              if hd_dec_fps is not None else None),
         "anchor_encode_ai_fps": round(enc_anchor_fps, 4),
         "anchor_encode_source": enc_anchor_src,
     }))

@@ -54,6 +54,7 @@ def test_sbt_stream_roundtrip(monkeypatch):
          if (skip or sbt_info) else None))
 
     cfg = EL.EncoderConfig(width=208, height=120, qp=32)
+    cfg.sbt = True
     enc = EL.RandomAccessEncoder(cfg, gop_size=4)
     bits = enc.encode(frames)
     dec = Decoder()
@@ -87,6 +88,7 @@ def test_affine_amvp_rotation_roundtrip():
         frames.append([y.astype(np.int32), u.astype(np.int32),
                        v.astype(np.int32)])
     cfg = EL.EncoderConfig(width=208, height=120, qp=32)
+    cfg.affine_amvp = True
     enc = EL.RandomAccessEncoder(cfg, gop_size=4)
     bits = enc.encode(frames)
     dec = Decoder()

@@ -54,8 +54,13 @@ def encode_cfg(name, frames, w, h, qp):
             # tool-off ablations: raise the RA CTC defaults first, then
             # clear the ablated tool BEFORE the encoder builds its SPS
             cfg.mmvd = cfg.amvr = cfg.geo = cfg.ciip = cfg.affine = True
-            cfg.sbt = True
             cfg.num_active_refs = max(cfg.num_active_refs, 2)
+            # affine_amvp / sbt default off (each measured ~+1.2% RA
+            # BD-rate on this ladder); 'r5tools'/'no_*' names toggle them
+            if "r5tools" in name or "sbt_on" in name:
+                cfg.sbt = True
+            if "r5tools" in name or "affamvp_on" in name:
+                cfg.affine_amvp = True
             if "no_ciip" in name:
                 cfg.ciip = False
             if "no_affine" in name:

@@ -467,9 +467,33 @@ def derive_ccalf(dcs, shim, src_planes, lam, pre_alf_luma, param):
             cf = np.linalg.solve(A + np.eye(7) * 1e-3, b)
         except np.linalg.LinAlgError:
             continue
-        # snap to the codable grid (nearest by value)
+        # snap to the codable grid (nearest by value), then greedy joint
+        # re-fit: per coefficient, try the neighbouring grid values and
+        # keep any that lowers the true quadratic LS objective — repairs
+        # the coupling the independent per-coefficient snap ignores
+        # (cf. the reference's iterative CC-ALF refinement passes)
         q = np.array([_CC_CAND[np.argmin(np.abs(_CC_CAND - v))] for v in cf],
                      dtype=np.int64)
+
+        def ls_obj(qq):
+            v = qq.astype(np.float64)
+            return float(v @ A @ v - 2.0 * (b @ v))
+
+        best_obj = ls_obj(q)
+        for _ in range(2):
+            improved = False
+            for i in range(7):
+                ci = int(np.argmin(np.abs(_CC_CAND - q[i])))
+                for cj in (ci - 1, ci + 1):
+                    if not (0 <= cj < len(_CC_CAND)):
+                        continue
+                    trial = q.copy()
+                    trial[i] = _CC_CAND[cj]
+                    o = ls_obj(trial)
+                    if o < best_obj:
+                        best_obj, q, improved = o, trial, True
+            if not improved:
+                break
         if not q.any():
             continue
         # exact integer filter delta over the plane

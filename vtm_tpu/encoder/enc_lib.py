@@ -80,6 +80,12 @@ class EncoderConfig:
     num_active_refs: int = 1  # active L0 references (multi-ref ME when > 1)
     geo: bool = False  # geometric-partition merge search (B slices)
     affine: bool = False  # affine (subblock) merge candidate trials
+    # affine AMVP search (gradient-LS CPMVs) and SBT half-TU trials are
+    # implemented and decode-proven but DEFAULT OFF: on the synthetic
+    # translational BD-rate ladder each costs ~+1.2% RA BD-rate
+    # (bdr_runs/small208x9_ra_{no_sbt,no_affine,r5tools}.json) — their
+    # RD-local wins don't pay off globally there.  Enable per content.
+    affine_amvp: bool = False
     sbt: bool = False  # sub-block transform trials for inter residuals
     aqp: bool = False  # variance-adaptive per-CTU QP (cu_qp_delta)
     ctu_rc: bool = False  # CTU-level R-lambda rate control (needs target_bitrate)
@@ -1852,7 +1858,8 @@ class InterEncoder(IntraEncoder):
         # translational ME winner (InterSearch.cpp:4520
         # xPredAffineInterSearch + AffineGradientSearch.cpp objective,
         # solved as one closed-form whole-block step)
-        if (self.sps.affine and a.w > 8 and a.h > 8
+        if (self.sps.affine and getattr(self.cfg, "affine_amvp", False)
+                and a.w > 8 and a.h > 8
                 and a.x1 <= dcs.pic_w and a.y1 <= dcs.pic_h):
             for lt, rt, lb, atype in self._affine_estimate(a, mv0, 0, 0):
                 consider(lambda e, lt=lt, rt=rt, lb=lb, t=atype:
@@ -2670,7 +2677,6 @@ class RandomAccessEncoder(InterEncoder):
             cfg.geo = True  # geometric-partition merge on for RA (CTC)
             cfg.ciip = True  # combined inter/intra merge on for RA (CTC)
             cfg.affine = True  # affine merge candidates on for RA (CTC)
-            cfg.sbt = True  # sub-block transform trials on for RA (CTC)
             cfg.num_active_refs = max(cfg.num_active_refs, 2)  # multi-ref ME
         super().__init__(cfg)
         self.gop_size = gop_size
