@@ -161,13 +161,15 @@ def main():
     # warm-up: first pass compiles every kernel shape
     n, bad = _decode_once()
     assert bad == 0, f"hash mismatches: {bad}"
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    # best-of-3, matching the anchor measurement's methodology above
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
         n, bad = _decode_once()
         assert bad == 0
-    dt = (time.perf_counter() - t0) / iters
-    fps = n / dt
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    fps = n / best
     placement = exec_mode.decode_placement()
     exec_backend = ("cpu" if placement == "cpu" else jax.default_backend())
     enc_anchor_fps, enc_anchor_src = measure_vtm_encode_ai_fps()
